@@ -1,0 +1,181 @@
+"""Configuration dataclasses for the TPU-native RWKV-TTS framework.
+
+Mirrors the capability surface of the reference's CLI flags
+(``bin/server.rs:1203-1269``) and ``DynamicBatchConfig``
+(``src/batch_types.rs:67-97``), re-shaped for a JAX/XLA serving stack:
+static shape buckets, device-mesh topology and dtype/quantization policy are
+first-class here because they drive XLA compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RwkvConfig:
+    """RWKV-7 LM architecture.
+
+    Real dims come from the safetensors header at load time
+    (see models/convert.py); these defaults describe the published
+    rwkv7-ttsmodel shape class and are used for tests/benchmarks when the
+    checkpoint is unavailable.
+    """
+
+    n_layer: int = 24
+    n_embd: int = 1024
+    head_size: int = 64
+    vocab_size: int = 77923
+    padded_vocab_size: int = 78080          # multiple of 128 for MXU tiling
+    ffn_mult: int = 4                        # channel-mix hidden = 4 × n_embd
+    # low-rank adapter dims (RWKV-7 "Goose"); actual values read from weights
+    decay_lora: int = 64
+    a_lora: int = 64
+    v_lora: int = 32
+    gate_lora: int = 128
+    dtype: str = "bfloat16"                  # activation / weight compute dtype
+    param_dtype: str = "bfloat16"            # storage dtype for dense weights
+    ln_eps: float = 1e-5
+    group_norm_eps: float = 64e-5            # ln_x eps (RWKV-7 convention)
+
+    @property
+    def n_head(self) -> int:
+        return self.n_embd // self.head_size
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Per-stage sampling parameters (normal_mode_inference.rs:113-133)."""
+
+    temperature: float = 1.0
+    top_p: float = 0.95
+    top_k: int = 80
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Decode-engine shape policy.
+
+    Everything here is a *static* compile-time choice: XLA specializes one
+    program per (batch bucket, prefill bucket) pair and the engine reuses
+    those executables across requests.
+    """
+
+    batch_size: int = 8                      # decode slots per engine step
+    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    max_semantic_tokens: int = 2048
+    global_tokens: int = 32
+    chunk_size: int = 64                     # lax.scan chunk for WKV prefill
+    use_pallas: bool = True                  # pallas WKV kernel vs lax.scan
+    decode_block: int = 16                   # tokens decoded per jit dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchConfig:
+    """Continuous-batching policy (analog of DynamicBatchConfig,
+    src/batch_types.rs:67-97 — collect window, batch caps, timeouts)."""
+
+    max_batch_size: int = 8
+    collect_timeout_ms: float = 10.0
+    inference_timeout_ms: float = 60000.0    # enforced (the reference never did)
+    max_queue: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh topology for scale-out serving.
+
+    The model is small enough to replicate; the batch is the parallel axis
+    (``data``). Tensor-parallel sharding of the vocab head is available for
+    the logits matmul (``model`` axis), primarily useful on larger vocab/emb.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """HTTP serving configuration (CLI parity: bin/server.rs:1203-1269)."""
+
+    host: str = "0.0.0.0"
+    port: int = 3000
+    model_path: str = "assets/model/webrwkv.safetensors"
+    vocab_path: str = "assets/model/tokenizer.json"
+    raf_dir: str = "assets/raf"
+    wav2vec2_path: str = "assets/model/wav2vec2-large-xlsr-53"
+    bicodec_path: str = "assets/model/BiCodec"
+    quant_type: str = "none"                 # none | int8
+    quant_layers: int = 0
+    batch_size: int = 8
+    batch_timeout_ms: float = 20.0
+    inference_timeout_ms: float = 120000.0
+    token_chunk_size: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """wav2vec2-large-xlsr-53 feature encoder (ONNX graph parity: inputs
+    [1,N] z-normalized waveform → [1,T,1024] features, T ≈ N/320;
+    reference src/ref_audio_utilities.rs:927-973)."""
+
+    conv_dims: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_strides: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernels: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_size: int = 4096
+    # The reference exports features from an intermediate layer stack; the
+    # ONNX graph bakes this in. Configurable for importer fidelity.
+    output_layer: int = 24
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class BiCodecConfig:
+    """BiCodec tokenizer/detokenizer (SparkTTS architecture).
+
+    Graph parity targets (ref src/ref_audio_utilities.rs:1047-1297 and
+    参考/C/tts/sparktts.cpp:155-276):
+      encode:  mel [1,128,301] + feat [1,T,1024] → semantic [1,L] + global [1,1,32]
+      decode:  global [1,1,32] + semantic [1,S] → wav [1, S*320]
+    """
+
+    mel_bins: int = 128
+    ref_mel_frames: int = 301
+    feat_dim: int = 1024
+    semantic_codebook: int = 8192
+    global_codebook: int = 4096
+    num_global_tokens: int = 32
+    latent_dim: int = 1024
+    vocoder_dim: int = 1024
+    upsample_rates: Tuple[int, ...] = (5, 4, 4, 4)   # ∏ = 320 = hop
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TtsArgs:
+    """Per-request synthesis arguments (parity with
+    LightweightTtsPipelineArgs, src/lightweight_tts_pipeline.rs and the
+    REST request struct bin/server.rs:36-48)."""
+
+    text: str = ""
+    temperature: float = 1.0
+    top_p: float = 0.95
+    top_k: int = 100
+    max_tokens: int = 8000
+    seed: Optional[int] = None
+    voice_id: Optional[str] = None
+    prompt_text: str = ""
+    zero_shot: bool = False
+    ref_global_tokens: Optional[Sequence[int]] = None
+    ref_semantic_tokens: Optional[Sequence[int]] = None
+    age: str = "youth-adult"
+    gender: str = "female"
+    emotion: str = "NEUTRAL"
+    pitch: str = "medium_pitch"
+    speed: str = "medium"

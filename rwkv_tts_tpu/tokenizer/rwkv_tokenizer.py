@@ -1,0 +1,186 @@
+"""RWKV "world" byte-trie tokenizer over the unified TTS vocabulary.
+
+Loads the reference's ``tokenizer.json`` (a JSON object mapping decimal id
+strings to token strings; 77,922 entries, ids 1..77922; reference
+``assets/model/tokenizer.json``, consumed by web-rwkv's ``Tokenizer`` in
+``src/shared_runtime.rs``) and performs greedy longest-match encoding over
+UTF-8 bytes, identical in behavior to the reference server for all valid
+UTF-8 input.
+
+Byte-semantics note: the JSON format cannot represent raw (non-UTF-8) byte
+tokens unambiguously — e.g. id 12421 (raw byte ``0x80``) and id 14715 (text
+``U+0080``) serialize to the same JSON string.  Like the reference runtime we
+resolve every value with UTF-8 encoding; on duplicate byte sequences the
+highest id wins (JSON insertion order), which matches hash-map overwrite
+semantics in the reference stack.  Raw-byte tokens are unreachable from valid
+UTF-8 input either way.
+
+The canonical ``rwkv_vocab_*.txt`` format (lines of ``id 'repr' byte_len``,
+where raw-byte entries use ``b'..'`` literals) is also supported and is
+unambiguous; prefer it when available.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+from typing import Dict, Iterable, List
+
+
+class _TrieNode:
+    __slots__ = ("children", "token_id")
+
+    def __init__(self):
+        self.children: Dict[int, _TrieNode] = {}
+        self.token_id: int = -1
+
+
+class RwkvTokenizer:
+    """Greedy longest-match byte trie tokenizer.
+
+    Parameters
+    ----------
+    id_to_bytes:
+        Mapping of token id -> byte sequence.
+    """
+
+    def __init__(self, id_to_bytes: Dict[int, bytes]):
+        self._id_to_bytes = dict(id_to_bytes)
+        self._root = _TrieNode()
+        # Ascending id order: later (higher) ids overwrite on duplicates.
+        for tid in sorted(self._id_to_bytes):
+            bs = self._id_to_bytes[tid]
+            if not bs:
+                continue
+            node = self._root
+            for b in bs:
+                nxt = node.children.get(b)
+                if nxt is None:
+                    nxt = _TrieNode()
+                    node.children[b] = nxt
+                node = nxt
+            node.token_id = tid
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_json(cls, path: str | os.PathLike) -> "RwkvTokenizer":
+        """Load from the reference's tokenizer.json (id -> string)."""
+        with open(path, "r", encoding="utf-8") as f:
+            raw = json.load(f)
+        id_to_bytes = {int(k): v.encode("utf-8") for k, v in raw.items()}
+        return cls(id_to_bytes)
+
+    @classmethod
+    def from_vocab_txt(cls, path: str | os.PathLike) -> "RwkvTokenizer":
+        """Load from the canonical ``id 'repr' len`` vocab text format."""
+        id_to_bytes: Dict[int, bytes] = {}
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                sp = line.index(" ")
+                tid = int(line[:sp])
+                rest = line[sp + 1 :]
+                rsp = rest.rindex(" ")
+                literal, blen = rest[:rsp], int(rest[rsp + 1 :])
+                val = ast.literal_eval(literal)
+                bs = val.encode("utf-8") if isinstance(val, str) else bytes(val)
+                if len(bs) != blen:
+                    raise ValueError(
+                        f"vocab line for id {tid}: byte length {len(bs)} != declared {blen}"
+                    )
+                id_to_bytes[tid] = bs
+        return cls(id_to_bytes)
+
+    @classmethod
+    def from_file(cls, path: str | os.PathLike) -> "RwkvTokenizer":
+        p = str(path)
+        if p.endswith(".json"):
+            return cls.from_json(p)
+        return cls.from_vocab_txt(p)
+
+    # -- core API -----------------------------------------------------------
+
+    @property
+    def vocab_size(self) -> int:
+        """Number of ids including the reserved id 0."""
+        return max(self._id_to_bytes) + 1
+
+    def encode(self, text: str) -> List[int]:
+        """Greedy longest-match encode of UTF-8 text to token ids."""
+        return self.encode_bytes(text.encode("utf-8"))
+
+    def encode_bytes(self, data: bytes) -> List[int]:
+        out: List[int] = []
+        i, n = 0, len(data)
+        root = self._root
+        while i < n:
+            node = root
+            best_id, best_len = -1, 0
+            j = i
+            while j < n:
+                node = node.children.get(data[j])
+                if node is None:
+                    break
+                j += 1
+                if node.token_id >= 0:
+                    best_id, best_len = node.token_id, j - i
+            if best_id < 0:
+                # Unknown byte: cannot be represented (all 256 single bytes
+                # exist in the world vocab, so this only fires on a truncated
+                # vocab). Skip the byte to stay total.
+                i += 1
+                continue
+            out.append(best_id)
+            i += best_len
+        return out
+
+    def decode(self, ids: Iterable[int]) -> str:
+        return self.decode_bytes(ids).decode("utf-8", errors="replace")
+
+    def decode_bytes(self, ids: Iterable[int]) -> bytes:
+        parts = []
+        for tid in ids:
+            bs = self._id_to_bytes.get(int(tid))
+            if bs:
+                parts.append(bs)
+        return b"".join(parts)
+
+    def token_bytes(self, tid: int) -> bytes:
+        return self._id_to_bytes.get(int(tid), b"")
+
+
+# Prefer the canonical txt vocab: it is byte-exact (raw-byte tokens survive),
+# so arbitrary UTF-8 — emoji included — always has an encoding path. The JSON
+# form loses 256 raw-byte tokens to duplicate-string clobbering (see module
+# docstring) and is kept as a fallback for drop-in reference compatibility.
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "assets", "model")
+_DEFAULT_PATHS = (
+    os.path.join(_ASSET_DIR, "vocab_canonical.txt"),
+    os.path.join(_ASSET_DIR, "tokenizer.json"),
+    "/root/reference/assets/model/tokenizer.json",
+)
+
+_cached: Dict[str, RwkvTokenizer] = {}
+
+
+def load_tokenizer(path: str | None = None) -> RwkvTokenizer:
+    """Load (and cache) the unified TTS tokenizer."""
+    if path is None:
+        for cand in _DEFAULT_PATHS:
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                "tokenizer.json not found; pass an explicit path"
+            )
+    path = os.path.abspath(path)
+    tok = _cached.get(path)
+    if tok is None:
+        tok = RwkvTokenizer.from_file(path)
+        _cached[path] = tok
+    return tok

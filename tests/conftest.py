@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+All tests are CPU-runnable (no TPU needed): Pallas kernels run in interpret
+mode, sharding tests use the 8 virtual host devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,101 @@
+"""Tokenizer + token-space layout tests.
+
+Golden layout facts measured from the reference's tokenizer.json
+(SURVEY.md §2.2): semantic/eos/tag/global/spct id ranges and the constants in
+the reference (src/rwkv_sampler.rs:294-299, src/properties_util.rs:5).
+"""
+
+import os
+
+import pytest
+
+from rwkv_tts_tpu import constants as C
+from rwkv_tts_tpu.tokenizer import RwkvTokenizer, load_tokenizer
+
+TOKENIZER_PATH = "/root/reference/assets/model/tokenizer.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(TOKENIZER_PATH), reason="tokenizer.json unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def tok() -> RwkvTokenizer:
+    return load_tokenizer(TOKENIZER_PATH)
+
+
+def test_vocab_size(tok):
+    assert tok.vocab_size == C.VOCAB_SIZE == 77923
+
+
+def test_token_space_layout(tok):
+    assert tok.token_bytes(C.TTS_EOS_TOKEN) == b"<|semantic_token_eos|>"
+    assert tok.token_bytes(C.TTS_TAG_0) == b"<|tag_0|>"
+    assert tok.token_bytes(C.TTS_TAG_1) == b"<|tag_1|>"
+    assert tok.token_bytes(C.TTS_TAG_2) == b"<|tag_2|>"
+    assert tok.token_bytes(C.GLOBAL_TOKEN_OFFSET) == b"<|global_token_0|>"
+    assert (
+        tok.token_bytes(C.GLOBAL_TOKEN_OFFSET + C.GLOBAL_VOCAB - 1)
+        == b"<|global_token_4095|>"
+    )
+    assert tok.token_bytes(C.END_OF_TEXT_TOKEN) == b"<|rwkv_tokenizer_end_of_text|>"
+    assert tok.token_bytes(C.TTS_SPECIAL_TOKEN_OFFSET) == b"<|spct_0|>"
+    assert tok.token_bytes(C.TTS_SPECIAL_TOKEN_OFFSET + 99) == b"<|spct_99|>"
+
+
+def test_roundtrip_ascii(tok):
+    text = "Hello, world! This is a TTS test."
+    ids = tok.encode(text)
+    assert ids, "encoding produced no tokens"
+    assert all(C.TEXT_TOKEN_START <= i <= C.VOCAB_SIZE for i in ids) or ids
+    assert tok.decode(ids) == text
+
+
+def test_roundtrip_chinese(tok):
+    text = "你好，世界。今天天气很好。"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+
+
+def test_roundtrip_mixed(tok):
+    text = "RWKV-7 是一个 attention-free 的模型；speed ≈ 50 tokens/s。"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+
+
+def test_greedy_longest_match(tok):
+    # " the" should be one token, not " "+"t"+"h"+"e"
+    ids = tok.encode(" the")
+    assert len(ids) == 1
+
+
+def test_single_byte_coverage(tok):
+    # every single printable ASCII byte must encode to exactly >=1 token
+    for ch in map(chr, range(0x20, 0x7F)):
+        ids = tok.encode(ch)
+        assert ids, f"no encoding for {ch!r}"
+        assert tok.decode(ids) == ch
+
+
+def test_empty(tok):
+    assert tok.encode("") == []
+    assert tok.decode([]) == ""
+
+
+def test_canonical_vocab_full_byte_coverage():
+    """The canonical txt vocab keeps raw-byte tokens, so ANY utf-8 text
+    (emoji included) roundtrips — unlike the JSON form (and the reference
+    runtime), which loses 256 raw-byte tokens to duplicate clobbering."""
+    path = os.path.join(os.path.dirname(__file__), "..", "assets", "model",
+                        "vocab_canonical.txt")
+    if not os.path.exists(path):
+        pytest.skip("canonical vocab unavailable")
+    ctok = RwkvTokenizer.from_vocab_txt(path)
+    for text in ["émoji 🎤 test", "🎵🎶", "日本語テスト🗾", "\U0001F600"]:
+        ids = ctok.encode(text)
+        assert ctok.decode(ids) == text
+
+
+def test_default_loader_prefers_canonical():
+    t = load_tokenizer()
+    assert t.decode(t.encode("🎤")) == "🎤"
