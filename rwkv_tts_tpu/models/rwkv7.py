@@ -1,0 +1,352 @@
+"""RWKV-7 ("Goose") language model, functional JAX implementation.
+
+Replaces the reference's ``web-rwkv`` GPU runtime (WGSL shaders, consumed via
+``v7::Bundle`` at src/shared_runtime.rs:156-184) with a TPU-first design:
+
+  * pure functional ``(params, state, tokens) -> (logits, state)`` — no
+    mutable runtime object; jit/vmap/shard_map compose over it;
+  * all per-token projections batch over [B·T] onto the MXU in bfloat16;
+  * the WKV-7 recurrence runs as a Pallas kernel (ops/wkv7.py) with f32
+    state [B, H, N, N] carried explicitly in a pytree — the analog of the
+    reference's per-slot GPU state (``model_bundle.state()``,
+    src/shared_runtime.rs:227-229);
+  * layer parameters are stacked along a leading L axis and the layer loop
+    is a ``lax.scan`` — one compiled layer body regardless of depth;
+  * layernorms / groupnorm / decays run in f32 for stability.
+
+Weight layout matches the standard RWKV-7 checkpoint naming
+(``blocks.N.att.*`` etc.) so ``webrwkv.safetensors`` loads directly via
+models/convert.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RwkvConfig
+from ..ops.wkv7 import wkv7_scan, wkv7_pallas, wkv7_single
+
+Params = Dict[str, Any]
+State = Dict[str, jax.Array]
+
+
+# --------------------------------------------------------------------------
+# Parameter initialization (random; real weights come from convert.py)
+# --------------------------------------------------------------------------
+
+def init_params(cfg: RwkvConfig, key: jax.Array) -> Params:
+    """Random-init parameter pytree with the stacked-layer layout."""
+    L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
+    V = cfg.padded_vocab_size
+    pdt = jnp.dtype(cfg.param_dtype)
+    f32 = jnp.float32
+    ks = iter(jax.random.split(key, 64))
+
+    def dense(k, i, o, scale=None):
+        scale = scale if scale is not None else (i ** -0.5)
+        return (jax.random.normal(k, (L, i, o), f32) * scale).astype(pdt)
+
+    params: Params = {
+        "emb": (jax.random.normal(next(ks), (V, C), f32) * 1e-4).astype(pdt),
+        "ln0_w": jnp.ones((C,), f32), "ln0_b": jnp.zeros((C,), f32),
+        "ln_out_w": jnp.ones((C,), f32), "ln_out_b": jnp.zeros((C,), f32),
+        "head": dense(next(ks), C, V)[0],
+        "blocks": {
+            "ln1_w": jnp.ones((L, C), f32), "ln1_b": jnp.zeros((L, C), f32),
+            "ln2_w": jnp.ones((L, C), f32), "ln2_b": jnp.zeros((L, C), f32),
+            # token-shift interpolation weights
+            "x_r": jnp.zeros((L, C), f32), "x_w": jnp.zeros((L, C), f32),
+            "x_k": jnp.zeros((L, C), f32), "x_v": jnp.zeros((L, C), f32),
+            "x_a": jnp.zeros((L, C), f32), "x_g": jnp.zeros((L, C), f32),
+            # dense projections
+            "w_r": dense(next(ks), C, C), "w_k": dense(next(ks), C, C),
+            "w_v": dense(next(ks), C, C), "w_o": dense(next(ks), C, C),
+            # decay LoRA: w = -softplus(-(w0 + tanh(x@w1)@w2)) - 0.5
+            "w0": jnp.full((L, C), -4.0, f32),
+            "w1": dense(next(ks), C, cfg.decay_lora, 0.0),
+            "w2": dense(next(ks), cfg.decay_lora, C, cfg.decay_lora ** -0.5),
+            # in-context learning rate LoRA: a = sigmoid(a0 + (x@a1)@a2)
+            "a0": jnp.zeros((L, C), f32),
+            "a1": dense(next(ks), C, cfg.a_lora, 0.0),
+            "a2": dense(next(ks), cfg.a_lora, C, cfg.a_lora ** -0.5),
+            # value-residual LoRA (layers > 0): v += (v0_first - v)·σ(v0+(x@v1)@v2)
+            "v0": jnp.zeros((L, C), f32),
+            "v1": dense(next(ks), C, cfg.v_lora, 0.0),
+            "v2": dense(next(ks), cfg.v_lora, C, cfg.v_lora ** -0.5),
+            # output gate LoRA: g = σ(x@g1)@g2
+            "g1": dense(next(ks), C, cfg.gate_lora, 0.0),
+            "g2": dense(next(ks), cfg.gate_lora, C, cfg.gate_lora ** -0.5),
+            # key shaping
+            "k_k": jnp.full((L, C), 0.85, f32),
+            "k_a": jnp.ones((L, C), f32),
+            "r_k": jnp.zeros((L, H, N), f32),
+            # post-WKV group norm (ln_x)
+            "ln_x_w": jnp.ones((L, C), f32), "ln_x_b": jnp.zeros((L, C), f32),
+            # channel mix
+            "ffn_x_k": jnp.zeros((L, C), f32),
+            "ffn_k": dense(next(ks), C, cfg.ffn_mult * C),
+            "ffn_v": dense(next(ks), cfg.ffn_mult * C, C),
+        },
+    }
+    return params
+
+
+def init_state(cfg: RwkvConfig, batch: int) -> State:
+    """Fresh recurrent state — the analog of web-rwkv's ``state.init()``
+    (src/normal_mode_inference.rs:66-71)."""
+    L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
+    return {
+        "att_x": jnp.zeros((L, batch, C), jnp.float32),
+        "ffn_x": jnp.zeros((L, batch, C), jnp.float32),
+        "wkv": jnp.zeros((L, batch, H, N, N), jnp.float32),
+    }
+
+
+# --------------------------------------------------------------------------
+# Building blocks
+# --------------------------------------------------------------------------
+
+def _layer_norm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+
+def _group_norm(x, w, b, n_groups, eps):
+    """GroupNorm over the channel dim; x: [..., C]."""
+    orig = x.shape
+    xf = x.astype(jnp.float32).reshape(orig[:-1] + (n_groups, orig[-1] // n_groups))
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = ((xf - mu) * jax.lax.rsqrt(var + eps)).reshape(orig)
+    return (xf * w + b).astype(x.dtype)
+
+
+def _l2norm_heads(x, H, N, eps=1e-12):
+    """L2-normalize per head: x [..., C] viewed as [..., H, N]."""
+    shp = x.shape
+    xf = x.astype(jnp.float32).reshape(shp[:-1] + (H, N))
+    inv = jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv).reshape(shp)
+
+
+def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas):
+    """RWKV-7 attention-analog. x: [B, T, C]; shift_x: [B, C] (last token of
+    the previous chunk); wkv_state: [B, H, N, N]. Returns
+    (out, new_shift, new_wkv_state, v_first)."""
+    B, T, C = x.shape
+    H, N = cfg.n_head, cfg.head_size
+    cdt = x.dtype
+
+    xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
+    xx = xprev - x
+    xr = x + xx * lp["x_r"].astype(cdt)
+    xw = x + xx * lp["x_w"].astype(cdt)
+    xk = x + xx * lp["x_k"].astype(cdt)
+    xv = x + xx * lp["x_v"].astype(cdt)
+    xa = x + xx * lp["x_a"].astype(cdt)
+    xg = x + xx * lp["x_g"].astype(cdt)
+
+    r = xr @ lp["w_r"].astype(cdt)
+    # decay in f32: soft-clamped log-log decay ≤ -0.5
+    w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
+    w_lora = w_lora @ lp["w2"].astype(jnp.float32)
+    w = -jax.nn.softplus(-(lp["w0"] + w_lora)) - 0.5
+    k = xk @ lp["w_k"].astype(cdt)
+    v = xv @ lp["w_v"].astype(cdt)
+
+    v_res_gate = jax.nn.sigmoid(
+        lp["v0"]
+        + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
+        @ lp["v2"].astype(jnp.float32)
+    )
+    v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
+    v = jnp.where(
+        is_first,
+        v.astype(jnp.float32),
+        v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
+    ).astype(cdt)
+
+    a = jax.nn.sigmoid(
+        lp["a0"]
+        + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
+        @ lp["a2"].astype(jnp.float32)
+    )
+    g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
+
+    kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
+    k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
+
+    def hv(t):  # [B, T, C] -> [B, T, H, N]
+        return t.reshape(B, T, H, N)
+
+    wkv_fn = wkv7_pallas if use_pallas else wkv7_scan
+    y, wkv_state = wkv_fn(
+        hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v.astype(jnp.float32)),
+        hv(-kk), hv(kk * a), wkv_state,
+    )
+    y = y.reshape(B, T, C)
+
+    y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
+    # bonus: per-head (r·k·r_k) v
+    rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None, None]).sum(
+        axis=-1, keepdims=True
+    )
+    y = y.astype(jnp.float32) + (rk * hv(v.astype(jnp.float32))).reshape(B, T, C)
+    out = (y.astype(cdt) * g) @ lp["w_o"].astype(cdt)
+    return out, x[:, -1, :].astype(jnp.float32), wkv_state, v_first
+
+
+def _channel_mix(lp, x, shift_x):
+    """RWKV-7 FFN: squared-ReLU MLP with token shift."""
+    cdt = x.dtype
+    xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
+    xk = x + (xprev - x) * lp["ffn_x_k"].astype(cdt)
+    h = jnp.square(jax.nn.relu(xk @ lp["ffn_k"].astype(cdt)))
+    return h @ lp["ffn_v"].astype(cdt), x[:, -1, :].astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Forward passes
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "last_only"))
+def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
+            use_pallas: bool = False, last_only: bool = True
+            ) -> Tuple[jax.Array, State]:
+    """Process a [B, T] token chunk.
+
+    Returns (logits, new_state); logits are [B, V] for the last position when
+    ``last_only`` (the RnnOption::Last analog, src/normal_mode_inference.rs:62)
+    else [B, T, V].
+    """
+    cdt = jnp.dtype(cfg.dtype)
+    B, T = tokens.shape
+    x = params["emb"][tokens].astype(cdt)
+    x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+
+    bp = params["blocks"]
+    v_first0 = jnp.zeros((B, T, cfg.n_embd), jnp.float32)
+
+    def layer_body(carry, inputs):
+        x, v_first, idx = carry
+        lp, att_x, ffn_x, wkv = inputs
+        is_first = idx == 0
+        h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        att, att_x, wkv, v_first = _time_mix(
+            lp, h, att_x, wkv, v_first, is_first, cfg, use_pallas
+        )
+        x = x + att
+        h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        ffn, ffn_x = _channel_mix(lp, h, ffn_x)
+        x = x + ffn
+        return (x, v_first, idx + 1), (att_x, ffn_x, wkv)
+
+    (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+        layer_body,
+        (x, v_first0, jnp.int32(0)),
+        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+    )
+
+    x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+    if last_only:
+        x = x[:, -1, :]
+    logits = (x @ params["head"].astype(cdt)).astype(jnp.float32)
+    new_state = {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
+    return logits, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
+         ) -> Tuple[jax.Array, State]:
+    """Single-token decode step: token [B] → logits [B, V].
+
+    Specializes T=1: no intra-chunk scan, WKV via the fused jnp path
+    (wkv7_single) so XLA folds the whole step into one program.
+    """
+    cdt = jnp.dtype(cfg.dtype)
+    B = token.shape[0]
+    C, H, N = cfg.n_embd, cfg.n_head, cfg.head_size
+    x = params["emb"][token].astype(cdt)
+    x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+
+    bp = params["blocks"]
+
+    def layer_body(carry, inputs):
+        x, v_first, idx = carry
+        lp, att_x, ffn_x, wkv = inputs
+        is_first = idx == 0
+
+        h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        xx = att_x.astype(cdt) - h
+        xr = h + xx * lp["x_r"].astype(cdt)
+        xw = h + xx * lp["x_w"].astype(cdt)
+        xk = h + xx * lp["x_k"].astype(cdt)
+        xv = h + xx * lp["x_v"].astype(cdt)
+        xa = h + xx * lp["x_a"].astype(cdt)
+        xg = h + xx * lp["x_g"].astype(cdt)
+
+        r = xr @ lp["w_r"].astype(cdt)
+        w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
+        w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(jnp.float32))) - 0.5
+        k = xk @ lp["w_k"].astype(cdt)
+        v = xv @ lp["w_v"].astype(cdt)
+        v_res_gate = jax.nn.sigmoid(
+            lp["v0"]
+            + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
+            @ lp["v2"].astype(jnp.float32)
+        )
+        v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
+        v = jnp.where(
+            is_first, v.astype(jnp.float32),
+            v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
+        )
+        a = jax.nn.sigmoid(
+            lp["a0"]
+            + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
+            @ lp["a2"].astype(jnp.float32)
+        )
+        g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
+
+        kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
+        k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
+
+        def hv(t):
+            return t.reshape(B, H, N)
+
+        y, wkv = wkv7_single(
+            hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),
+            hv(-kk), hv(kk * a), wkv,
+        )
+        y = y.reshape(B, C)
+        y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
+        rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None]).sum(
+            axis=-1, keepdims=True
+        )
+        y = y.astype(jnp.float32) + (rk * hv(v)).reshape(B, C)
+        att = (y.astype(cdt) * g) @ lp["w_o"].astype(cdt)
+        x = x + att
+        new_att_x = h[:, :].astype(jnp.float32)
+
+        h2 = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        xk2 = h2 + (ffn_x.astype(cdt) - h2) * lp["ffn_x_k"].astype(cdt)
+        ffn = jnp.square(jax.nn.relu(xk2 @ lp["ffn_k"].astype(cdt))) @ lp["ffn_v"].astype(cdt)
+        x = x + ffn
+        new_ffn_x = h2.astype(jnp.float32)
+
+        return (x, v_first, idx + 1), (new_att_x, new_ffn_x, wkv)
+
+    v_first0 = jnp.zeros((B, C), jnp.float32)
+    (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+        layer_body,
+        (x, v_first0, jnp.int32(0)),
+        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+    )
+    x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+    logits = (x @ params["head"].astype(cdt)).astype(jnp.float32)
+    return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}

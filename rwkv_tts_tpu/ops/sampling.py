@@ -1,0 +1,114 @@
+"""On-device token sampling: softmax → top-k → top-p → temperature → multinomial.
+
+Behavioral port of the reference sampler ``sample_logits_with_top_p_k``
+(``src/rwkv_sampler.rs:55-211``), which itself mirrors the Python
+``sample_logits``.  The whole pipeline runs inside the jitted decode step —
+the autoregressive loop never leaves the chip, which removes the reference's
+per-token GPU→CPU logits roundtrip + host-side sort (its hottest path,
+SURVEY.md §3.5).
+
+Order of operations (must match the reference exactly):
+  1. softmax over the (masked) logits;
+  2. top-k: zero all probabilities outside the k largest;
+  3. top-p: find the smallest prefix of the descending-sorted probabilities
+     with cumulative mass ≥ top_p; zero everything strictly below the cutoff
+     probability; if the surviving mass is below top_p, redistribute the
+     deficit evenly across entries equal to the cutoff (tie redistribution,
+     rwkv_sampler.rs:136-151);
+  4. temperature: p ← p^(1/T), renormalized (no-op at T=1);
+  5. multinomial draw by inverse CDF **in original index order**.
+
+Two deliberate deviations, both documented:
+  * The reference does not renormalize before its inverse-CDF draw, so with
+    probability ≈ 1-top_p the uniform falls past the total mass and the code
+    returns the *last* surviving index (rwkv_sampler.rs:184-189) — a bias the
+    Python original does not have (torch.multinomial renormalizes). We follow
+    the Python/torch semantics and renormalize.
+  * Exact floating-point ties at the k-th probability keep all tied entries
+    (the reference's stable sort keeps the lowest-index ones). Measure-zero
+    for real logits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["filtered_probs", "sample_token", "sample_logits"]
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def filtered_probs(
+    logits: jax.Array,
+    temperature: jax.Array | float,
+    top_p: jax.Array | float,
+    top_k: int,
+) -> jax.Array:
+    """Return the post-filter (pre-draw) probability vector.
+
+    logits: [..., V] float; masked entries should already be -inf.
+    top_k is static (compiled in); temperature/top_p may be traced.
+    """
+    v = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    k = top_k if 0 < top_k < v else v
+    # Sorted descending top-k values; doubles as the sorted prefix for top-p
+    # (after top-k zeroing, at most k nonzero probabilities survive, so the
+    # top-p cutoff always lies inside this prefix).
+    vals = jax.lax.top_k(probs, k)[0]
+    if k < v:
+        kth = vals[..., -1:]
+        probs = jnp.where(probs >= kth, probs, 0.0)
+
+    # --- top-p with tie redistribution (applied when top_p < 1) -----------
+    csum = jnp.cumsum(vals, axis=-1)
+    reached = csum >= top_p
+    # If the cumulative never reaches top_p the reference applies no cutoff.
+    has_cutoff = reached[..., -1:]
+    first = jnp.argmax(reached, axis=-1)
+    cutoff = jnp.take_along_axis(vals, first[..., None], axis=-1)
+
+    kept = jnp.where(probs >= cutoff, probs, 0.0)
+    total = jnp.sum(kept, axis=-1, keepdims=True)
+    at_cut = kept == cutoff
+    n_cut = jnp.sum(at_cut, axis=-1, keepdims=True)
+    deficit = jnp.where((total < top_p) & (n_cut > 0),
+                        (top_p - total) / jnp.maximum(n_cut, 1), 0.0)
+    kept = jnp.where(at_cut & (deficit > 0), cutoff + deficit, kept)
+
+    apply_p = has_cutoff & (jnp.asarray(top_p) < 1.0)
+    probs = jnp.where(apply_p, kept, probs)
+
+    # --- temperature as probability exponent ------------------------------
+    t = jnp.asarray(temperature, jnp.float32)
+    inv_t = jnp.where(t > 0, 1.0 / jnp.maximum(t, 1e-8), 1.0)
+    powed = jnp.where(probs > 0, jnp.power(probs, inv_t), 0.0)
+    s = jnp.sum(powed, axis=-1, keepdims=True)
+    powed = jnp.where(s > 0, powed / s, powed)
+    probs = jnp.where(jnp.abs(t - 1.0) > 1e-6, powed, probs)
+    return probs
+
+
+def sample_token(probs: jax.Array, key: jax.Array) -> jax.Array:
+    """Multinomial draw by inverse CDF in index order. probs: [..., V]."""
+    total = jnp.sum(probs, axis=-1, keepdims=True)
+    norm = probs / jnp.maximum(total, 1e-30)
+    c = jnp.cumsum(norm, axis=-1)
+    u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=jnp.float32)
+    idx = jnp.sum((c < u).astype(jnp.int32), axis=-1)
+    return jnp.minimum(idx, probs.shape[-1] - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def sample_logits(
+    logits: jax.Array,
+    key: jax.Array,
+    temperature: jax.Array | float,
+    top_p: jax.Array | float,
+    top_k: int,
+) -> jax.Array:
+    """Full sampler: logits [..., V] → token ids [...]."""
+    return sample_token(filtered_probs(logits, temperature, top_p, top_k), key)

@@ -1,0 +1,160 @@
+"""WKV-7 linear recurrence (RWKV-7 "Goose" dynamic state evolution).
+
+The recurrence, per head with state S ∈ R^{N×N} (value-major: S[i, j] pairs
+value channel i with key channel j):
+
+    S_t = S_{t-1} · diag(exp(-exp(w_t)))  +  (S_{t-1} a_t) b_tᵀ  +  v_t k_tᵀ
+    y_t = S_t r_t
+
+where, per RWKV-7 convention, ``a = -kk`` (removal direction, L2-normalized)
+and ``b = kk * iclr`` (replacement gated by the in-context learning rate).
+``w`` is the log-log decay (softplus-clamped to ≤ -0.5 upstream), so the
+multiplicative decay exp(-exp(w)) ∈ (0, e^{-e^{-0.5}} ≈ 0.545..1).
+
+The reference executes this as a WGSL shader inside the ``web-rwkv`` crate
+(consumed at src/shared_runtime.rs:156-184); here it is a Pallas TPU kernel
+gridded over (batch, head) with the state resident in VMEM for the whole
+chunk, plus a ``lax.scan`` oracle used for CPU tests and as a numerical
+ground truth.
+
+All FLOP-heavy projection matmuls live *outside* this op (they batch over
+[B·T] onto the MXU); the recurrence itself is bandwidth-light elementwise +
+small matvec work, which is exactly what the VPU wants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["wkv7", "wkv7_scan", "wkv7_pallas"]
+
+
+def wkv7_scan(r, w, k, v, a, b, state):
+    """Reference implementation via lax.scan.
+
+    r, w, k, v, a, b: [B, T, H, N] float32 (w = log-log decay)
+    state: [B, H, N, N] float32
+    returns: (y [B, T, H, N], new_state [B, H, N, N])
+    """
+    decay = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
+
+    def step(s, xs):
+        r_t, d_t, k_t, v_t, a_t, b_t = xs          # each [B, H, N]
+        sa = jnp.einsum("bhij,bhj->bhi", s, a_t,
+                        precision=jax.lax.Precision.HIGHEST)
+        s = (
+            s * d_t[:, :, None, :]
+            + sa[..., None] * b_t[:, :, None, :]
+            + v_t[..., None] * k_t[:, :, None, :]
+        )
+        y_t = jnp.einsum("bhij,bhj->bhi", s, r_t,
+                         precision=jax.lax.Precision.HIGHEST)
+        return s, y_t
+
+    xs = tuple(
+        jnp.moveaxis(x.astype(jnp.float32), 1, 0)
+        for x in (r, decay, k, v, a, b)
+    )
+    state, ys = jax.lax.scan(step, state.astype(jnp.float32), xs)
+    return jnp.moveaxis(ys, 0, 1), state
+
+
+def _wkv7_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+                 y_ref, s_out_ref, s_scratch):
+    """Pallas kernel body. Grid: (B·H,). Blocks: [1, T, N] per sequence
+    tensor, [1, N, N] for state. The state stays in a VMEM scratch across
+    the whole T-loop — zero HBM traffic inside the recurrence."""
+    T = r_ref.shape[1]
+    s_scratch[:] = s0_ref[0]
+
+    def body(t, _):
+        r_t = r_ref[0, t, :]
+        d_t = jnp.exp(-jnp.exp(w_ref[0, t, :].astype(jnp.float32)))
+        k_t = k_ref[0, t, :]
+        v_t = v_ref[0, t, :]
+        a_t = a_ref[0, t, :]
+        b_t = b_ref[0, t, :]
+        s = s_scratch[:]
+        # sa_i = Σ_j S[i,j] a[j]
+        sa = jnp.dot(s, a_t[:, None], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        s = s * d_t[None, :] + sa * b_t[None, :] + v_t[:, None] * k_t[None, :]
+        s_scratch[:] = s
+        y = jnp.dot(s, r_t[:, None], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        y_ref[0, t, :] = y[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    s_out_ref[0] = s_scratch[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_pallas(r, w, k, v, a, b, state, interpret=False):
+    """Pallas WKV-7. Same signature/semantics as :func:`wkv7_scan`.
+
+    Internally flattens to [B·H, T, N] (head-major) so the block's trailing
+    two dims (T, N) meet the TPU (8, 128)-tiling rules; the transposes fuse
+    into the surrounding projection matmuls under jit.
+    """
+    B, T, H, N = r.shape
+    f32 = jnp.float32
+
+    def flat(x):  # [B, T, H, N] -> [B*H, T, N]
+        return jnp.moveaxis(x.astype(f32), 2, 1).reshape(B * H, T, N)
+
+    seq_spec = pl.BlockSpec((1, T, N), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, N, N), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    y, s_out = pl.pallas_call(
+        _wkv7_kernel,
+        grid=(B * H,),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, T, N), f32),
+            jax.ShapeDtypeStruct((B * H, N, N), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, N), f32)],
+        interpret=interpret,
+    )(
+        flat(r), flat(w), flat(k), flat(v), flat(a), flat(b),
+        state.astype(f32).reshape(B * H, N, N),
+    )
+    y = jnp.moveaxis(y.reshape(B, H, T, N), 1, 2)
+    return y, s_out.reshape(B, H, N, N)
+
+
+def wkv7(r, w, k, v, a, b, state, use_pallas: bool | None = None):
+    """Dispatch to the Pallas kernel on TPU, the scan oracle elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return wkv7_pallas(r, w, k, v, a, b, state)
+    return wkv7_scan(r, w, k, v, a, b, state)
+
+
+def wkv7_single(r, w, k, v, a, b, state):
+    """Single-token step (decode): inputs [B, H, N], state [B, H, N, N].
+
+    Kept as pure jnp — at T=1 a kernel launch buys nothing, and XLA fuses
+    this into the surrounding decode step.
+    """
+    decay = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
+    sa = jnp.einsum("bhij,bhj->bhi", state, a,
+                    precision=jax.lax.Precision.HIGHEST)
+    state = (
+        state * decay[:, :, None, :]
+        + sa[..., None] * b[:, :, None, :]
+        + v[..., None] * k[:, :, None, :]
+    )
+    y = jnp.einsum("bhij,bhj->bhi", state, r,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y, state

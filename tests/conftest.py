@@ -2,17 +2,21 @@
 
 All tests are CPU-runnable (no TPU needed): Pallas kernels run in interpret
 mode, sharding tests use the 8 virtual host devices.
+
+Note: the axon environment pins ``JAX_PLATFORMS=axon`` via sitecustomize, so
+the env var alone is not enough — we must override through jax.config.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,98 @@
+"""RWKV-7 model invariants: prefill/step equivalence, chunking, shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.config import RwkvConfig
+from rwkv_tts_tpu.models import rwkv7
+
+CFG = RwkvConfig(
+    n_layer=3, n_embd=128, head_size=64, vocab_size=1000,
+    padded_vocab_size=1024, decay_lora=32, a_lora=32, v_lora=16,
+    gate_lora=32, dtype="float32", param_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_forward_shapes(params):
+    B, T = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, CFG.vocab_size)
+    state = rwkv7.init_state(CFG, B)
+    logits, new_state = rwkv7.forward(params, tokens, state, CFG)
+    assert logits.shape == (B, CFG.padded_vocab_size)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    assert new_state["wkv"].shape == (CFG.n_layer, B, 2, 64, 64)
+    full, _ = rwkv7.forward(params, tokens, state, CFG, last_only=False)
+    assert full.shape == (B, T, CFG.padded_vocab_size)
+    np.testing.assert_allclose(np.array(full[:, -1]), np.array(logits),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_equals_stepwise(params):
+    """forward() over a sequence must equal iterated step() — the contract
+    that makes chunked prefill + incremental decode interchangeable."""
+    B, T = 2, 10
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, CFG.vocab_size)
+    state = rwkv7.init_state(CFG, B)
+    logits_seq, state_seq = rwkv7.forward(params, tokens, state, CFG)
+
+    state_it = rwkv7.init_state(CFG, B)
+    for t in range(T):
+        logits_it, state_it = rwkv7.step(params, tokens[:, t], state_it, CFG)
+
+    np.testing.assert_allclose(np.array(logits_it), np.array(logits_seq),
+                               rtol=2e-4, atol=2e-4)
+    for k in state_seq:
+        np.testing.assert_allclose(np.array(state_it[k]), np.array(state_seq[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_chunked_prefill_equals_full(params):
+    B, T = 1, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0, CFG.vocab_size)
+    state = rwkv7.init_state(CFG, B)
+    logits_full, state_full = rwkv7.forward(params, tokens, state, CFG)
+
+    state_c = rwkv7.init_state(CFG, B)
+    _, state_c = rwkv7.forward(params, tokens[:, :7], state_c, CFG)
+    logits_c, state_c = rwkv7.forward(params, tokens[:, 7:], state_c, CFG)
+
+    np.testing.assert_allclose(np.array(logits_c), np.array(logits_full),
+                               rtol=2e-4, atol=2e-4)
+    for k in state_full:
+        np.testing.assert_allclose(np.array(state_c[k]), np.array(state_full[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_state_isolation_across_batch(params):
+    """Each batch slot's state evolves independently (the per-request
+    isolation the reference enforces via per-slot GPU states)."""
+    tok_a = jnp.array([[5, 7, 9]])
+    tok_b = jnp.array([[100, 200, 300]])
+    sa = rwkv7.init_state(CFG, 1)
+    la, sa = rwkv7.forward(params, tok_a, sa, CFG)
+
+    both = jnp.concatenate([tok_a, tok_b], 0)
+    sb = rwkv7.init_state(CFG, 2)
+    lb, sb = rwkv7.forward(params, both, sb, CFG)
+
+    np.testing.assert_allclose(np.array(lb[0]), np.array(la[0]),
+                               rtol=1e-5, atol=1e-5)
+    for k in sa:
+        np.testing.assert_allclose(np.array(sb[k][:, 0]), np.array(sa[k][:, 0]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_determinism(params):
+    tokens = jnp.array([[1, 2, 3, 4]])
+    s = rwkv7.init_state(CFG, 1)
+    l1, _ = rwkv7.forward(params, tokens, s, CFG)
+    l2, _ = rwkv7.forward(params, tokens, s, CFG)
+    np.testing.assert_array_equal(np.array(l1), np.array(l2))

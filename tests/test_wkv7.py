@@ -1,0 +1,93 @@
+"""WKV-7 recurrence: Pallas kernel vs lax.scan oracle vs NumPy loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.ops.wkv7 import wkv7_pallas, wkv7_scan, wkv7_single
+
+
+def numpy_wkv7(r, w, k, v, a, b, state):
+    """Direct NumPy transcription of the RWKV-7 state evolution."""
+    B, T, H, N = r.shape
+    s = state.astype(np.float64).copy()
+    y = np.zeros((B, T, H, N), np.float64)
+    decay = np.exp(-np.exp(w.astype(np.float64)))
+    for t in range(T):
+        for bi in range(B):
+            for h in range(H):
+                S = s[bi, h]
+                sa = S @ a[bi, t, h]
+                S = (S * decay[bi, t, h][None, :]
+                     + np.outer(sa, b[bi, t, h])
+                     + np.outer(v[bi, t, h], k[bi, t, h]))
+                s[bi, h] = S
+                y[bi, t, h] = S @ r[bi, t, h]
+    return y, s
+
+
+def _rand_inputs(B=2, T=17, H=2, N=64, seed=0):
+    rng = np.random.default_rng(seed)
+    r = rng.normal(0, 1, (B, T, H, N)).astype(np.float32)
+    w = (-rng.uniform(0.5, 4.0, (B, T, H, N))).astype(np.float32)  # log-log decay ≤ -0.5
+    k = rng.normal(0, 1, (B, T, H, N)).astype(np.float32)
+    v = rng.normal(0, 1, (B, T, H, N)).astype(np.float32)
+    kk = rng.normal(0, 1, (B, T, H, N)).astype(np.float32)
+    kk /= np.linalg.norm(kk, axis=-1, keepdims=True)
+    iclr = 1 / (1 + np.exp(-rng.normal(0, 1, (B, T, H, N)))).astype(np.float32)
+    a = -kk
+    b = kk * iclr
+    s0 = rng.normal(0, 0.1, (B, H, N, N)).astype(np.float32)
+    return r, w, k, v, a.astype(np.float32), b.astype(np.float32), s0
+
+
+def test_scan_matches_numpy():
+    inputs = _rand_inputs()
+    y_ref, s_ref = numpy_wkv7(*inputs)
+    y, s = wkv7_scan(*map(jnp.asarray, inputs))
+    np.testing.assert_allclose(np.array(y), y_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.array(s), s_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_matches_scan():
+    inputs = _rand_inputs(seed=1)
+    y_ref, s_ref = wkv7_scan(*map(jnp.asarray, inputs))
+    y, s = wkv7_pallas(*map(jnp.asarray, inputs),
+                       interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.array(y), np.array(y_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.array(s), np.array(s_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_single_step_matches_scan():
+    r, w, k, v, a, b, s0 = _rand_inputs(T=5, seed=2)
+    y_seq, s_seq = wkv7_scan(*map(jnp.asarray, (r, w, k, v, a, b, s0)))
+    s = jnp.asarray(s0)
+    ys = []
+    for t in range(5):
+        y_t, s = wkv7_single(*(jnp.asarray(x[:, t]) for x in (r, w, k, v, a, b)), s)
+        ys.append(np.array(y_t))
+    np.testing.assert_allclose(np.stack(ys, 1), np.array(y_seq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.array(s), np.array(s_seq), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_equals_full():
+    """Scanning two chunks with carried state == one full pass (the chunked
+    prefill contract, token_chunk_size analog)."""
+    r, w, k, v, a, b, s0 = _rand_inputs(T=16, seed=3)
+    y_full, s_full = wkv7_scan(*map(jnp.asarray, (r, w, k, v, a, b, s0)))
+    s = jnp.asarray(s0)
+    y1, s = wkv7_scan(*(jnp.asarray(x[:, :9]) for x in (r, w, k, v, a, b)), s)
+    y2, s = wkv7_scan(*(jnp.asarray(x[:, 9:]) for x in (r, w, k, v, a, b)), s)
+    np.testing.assert_allclose(
+        np.concatenate([np.array(y1), np.array(y2)], 1), np.array(y_full),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.array(s), np.array(s_full), rtol=1e-5, atol=1e-6)
+
+
+def test_decay_bounds():
+    # decay must stay in (0, exp(-exp(-0.5))] for valid log-log decays
+    w = jnp.full((1, 1, 1, 64), -0.5)
+    d = np.exp(-np.exp(np.array(w)))
+    assert float(d.max()) <= np.exp(-np.exp(-0.5)) + 1e-7
