@@ -135,10 +135,18 @@ def _l2norm_heads(x, H, N, eps=1e-12):
     return (xf * inv).reshape(shp)
 
 
-def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas):
+def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
+              mask=None, last_idx=None):
     """RWKV-7 attention-analog. x: [B, T, C]; shift_x: [B, C] (last token of
     the previous chunk); wkv_state: [B, H, N, N]. Returns
-    (out, new_shift, new_wkv_state, v_first)."""
+    (out, new_shift, new_wkv_state, v_first).
+
+    ``mask`` [B, T] (optional): positions where mask==0 are padding — their
+    WKV state contribution is neutralized (decay→1, k→0, b→0) and the shift
+    state is gathered from ``last_idx`` [B] (index of each slot's last real
+    token) instead of position T-1. This makes right-padded variable-length
+    batched prefill exact.
+    """
     B, T, C = x.shape
     H, N = cfg.n_head, cfg.head_size
     cdt = x.dtype
@@ -182,13 +190,21 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas):
     kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
     k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
 
+    b_in = kk * a
+    if mask is not None:
+        m = mask[:, :, None].astype(jnp.float32)
+        # decay → 1 (w → -30 ⇒ exp(-exp(-30)) ≈ 1), no write terms
+        w = jnp.where(m > 0, w, -30.0)
+        k_in = k_in * m
+        b_in = b_in * m
+
     def hv(t):  # [B, T, C] -> [B, T, H, N]
         return t.reshape(B, T, H, N)
 
     wkv_fn = wkv7_pallas if use_pallas else wkv7_scan
     y, wkv_state = wkv_fn(
         hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v.astype(jnp.float32)),
-        hv(-kk), hv(kk * a), wkv_state,
+        hv(-kk), hv(b_in), wkv_state,
     )
     y = y.reshape(B, T, C)
 
@@ -199,16 +215,34 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas):
     )
     y = y.astype(jnp.float32) + (rk * hv(v.astype(jnp.float32))).reshape(B, T, C)
     out = (y.astype(cdt) * g) @ lp["w_o"].astype(cdt)
-    return out, x[:, -1, :].astype(jnp.float32), wkv_state, v_first
+
+    if last_idx is None:
+        new_shift = x[:, -1, :].astype(jnp.float32)
+    else:
+        gathered = jnp.take_along_axis(
+            x.astype(jnp.float32), last_idx[:, None, None], axis=1
+        )[:, 0, :]
+        has_real = (mask.sum(axis=1) > 0)[:, None]
+        new_shift = jnp.where(has_real, gathered, shift_x)
+    return out, new_shift, wkv_state, v_first
 
 
-def _channel_mix(lp, x, shift_x):
+def _channel_mix(lp, x, shift_x, mask=None, last_idx=None):
     """RWKV-7 FFN: squared-ReLU MLP with token shift."""
     cdt = x.dtype
     xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
     xk = x + (xprev - x) * lp["ffn_x_k"].astype(cdt)
     h = jnp.square(jax.nn.relu(xk @ lp["ffn_k"].astype(cdt)))
-    return h @ lp["ffn_v"].astype(cdt), x[:, -1, :].astype(jnp.float32)
+    out = h @ lp["ffn_v"].astype(cdt)
+    if last_idx is None:
+        new_shift = x[:, -1, :].astype(jnp.float32)
+    else:
+        gathered = jnp.take_along_axis(
+            x.astype(jnp.float32), last_idx[:, None, None], axis=1
+        )[:, 0, :]
+        has_real = (mask.sum(axis=1) > 0)[:, None]
+        new_shift = jnp.where(has_real, gathered, shift_x)
+    return out, new_shift
 
 
 # --------------------------------------------------------------------------
@@ -217,16 +251,28 @@ def _channel_mix(lp, x, shift_x):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "last_only"))
 def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
-            use_pallas: bool = False, last_only: bool = True
-            ) -> Tuple[jax.Array, State]:
+            use_pallas: bool = False, last_only: bool = True,
+            lengths: jax.Array | None = None) -> Tuple[jax.Array, State]:
     """Process a [B, T] token chunk.
 
     Returns (logits, new_state); logits are [B, V] for the last position when
     ``last_only`` (the RnnOption::Last analog, src/normal_mode_inference.rs:62)
     else [B, T, V].
+
+    ``lengths`` [B] (optional) marks right-padded variable-length prompts:
+    positions ≥ lengths[b] are padding — they leave slot b's state untouched
+    and ``last_only`` logits come from position lengths[b]-1. A slot with
+    length 0 passes through completely unchanged (used by the continuous
+    batcher for idle slots).
     """
     cdt = jnp.dtype(cfg.dtype)
     B, T = tokens.shape
+    if lengths is not None:
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])
+        last_idx = jnp.clip(lengths - 1, 0, T - 1)
+    else:
+        mask = None
+        last_idx = None
     x = params["emb"][tokens].astype(cdt)
     x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
 
@@ -239,11 +285,12 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
         is_first = idx == 0
         h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         att, att_x, wkv, v_first = _time_mix(
-            lp, h, att_x, wkv, v_first, is_first, cfg, use_pallas
+            lp, h, att_x, wkv, v_first, is_first, cfg, use_pallas,
+            mask=mask, last_idx=last_idx,
         )
         x = x + att
         h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        ffn, ffn_x = _channel_mix(lp, h, ffn_x)
+        ffn, ffn_x = _channel_mix(lp, h, ffn_x, mask=mask, last_idx=last_idx)
         x = x + ffn
         return (x, v_first, idx + 1), (att_x, ffn_x, wkv)
 
@@ -255,7 +302,10 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
 
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     if last_only:
-        x = x[:, -1, :]
+        if last_idx is not None:
+            x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
+        else:
+            x = x[:, -1, :]
     logits = (x @ params["head"].astype(cdt)).astype(jnp.float32)
     new_state = {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
     return logits, new_state

@@ -1,0 +1,317 @@
+"""TTS decode engine: prefill → global stage → semantic stage, on-device.
+
+This is the TPU-first replacement for the reference's inference drivers
+(``src/normal_mode_inference.rs``, ``src/zero_shot_inference.rs``): where the
+reference pays one GPU→CPU logits roundtrip plus a host-side 77k-entry sort
+*per generated token* (SURVEY.md §3.5), here each stage is a single jitted
+``lax.scan``/``lax.while_loop`` whose carry is the batched recurrent state —
+tokens, sampling, EOS gating and per-slot bookkeeping never leave the chip.
+
+Stage semantics (parity contracts, cited where they bind):
+  * prompt assembly      props + TAG_2 + text + TAG_0            (normal_mode_inference.rs:37-41)
+                         … + (ref_global+8196)* + TAG_1          (zero_shot_inference.rs:75-85;
+                         ref semantic deliberately NOT prefilled — cross-lingual design :86-91)
+  * global stage         exactly 32 tokens from logits[0:4096), t=1.0/p=.95/k=20,
+                         fed back +8196                          (normal_mode_inference.rs:219-287)
+  * semantic stage       ≤ min(max_tokens, 2048) from logits[0:8193), tags masked,
+                         t=1.0/p=.95/k=80, stop at EOS 8192      (normal_mode_inference.rs:316-391)
+  * zero-shot gating     EOS forbidden before hard_min ≈ 1.8×|text|, and accepted
+                         only if ≥70% of the last 12 draws were non-EOS, else
+                         resampled with EOS masked               (zero_shot_inference.rs:127-149,219-309)
+  * stage RNG streams    seed+1000 (global), seed+2000 (semantic) (rwkv_sampler.rs:265-275)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import EngineConfig, RwkvConfig, TtsArgs
+from ..models import rwkv7
+from ..ops.sampling import filtered_probs, sample_token
+from ..tokenizer import load_tokenizer
+from ..tokenizer.properties import convert_standard_properties_to_tokens
+
+
+# --------------------------------------------------------------------------
+# jitted stage programs
+# --------------------------------------------------------------------------
+
+def _mask_semantic(logits):
+    """Semantic-domain mask: ids > EOS and the three tags → -inf
+    (normal_mode_inference.rs:332-350)."""
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    bad = (ids > C.TTS_EOS_TOKEN) | (ids == C.TTS_TAG_0) | (ids == C.TTS_TAG_1) | (ids == C.TTS_TAG_2)
+    return jnp.where(bad[None, :], -jnp.inf, logits)
+
+
+def _mask_global(logits):
+    """Global-domain mask: only ids < 4096 are sampleable
+    (normal_mode_inference.rs:236-244)."""
+    V = logits.shape[-1]
+    ids = jnp.arange(V)
+    return jnp.where((ids < C.GLOBAL_VOCAB)[None, :], logits, -jnp.inf)
+
+
+def _fold_keys(base_keys, i):
+    return jax.vmap(lambda kb: jax.random.fold_in(kb, i))(base_keys)
+
+
+def _sample_batch(logits, keys, temperature, top_p, top_k):
+    probs = filtered_probs(logits, temperature, top_p, top_k)
+    return jax.vmap(sample_token)(probs, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig):
+    """Generate exactly 32 global (speaker) tokens.
+
+    carry: (state, logits, i); emits raw global ids [B, 32]; each sampled id
+    is fed back +GLOBAL_TOKEN_OFFSET. Returns (tokens, state, logits_after)
+    where logits_after corresponds to the model having consumed the last
+    global token (ready for TAG_1).
+    """
+    gk = C.GLOBAL_SAMPLING
+
+    def body(carry, i):
+        state, logits = carry
+        keys = _fold_keys(base_keys, i)
+        tok = _sample_batch(_mask_global(logits), keys,
+                            gk["temperature"], gk["top_p"], gk["top_k"])
+        logits, state = rwkv7.step(params, tok + C.GLOBAL_TOKEN_OFFSET, state, cfg)
+        return (state, logits), tok
+
+    (state, logits), toks = jax.lax.scan(
+        body, (state, first_logits), jnp.arange(C.GLOBAL_TOKENS_SIZE)
+    )
+    return jnp.moveaxis(toks, 0, 1), state, logits
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "zero_shot"))
+def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
+                   cfg: RwkvConfig, max_steps: int, zero_shot: bool):
+    """Generate semantic tokens until per-slot EOS / per-slot limit.
+
+    limits:   [B] int32 — per-request cap (min(max_tokens, 2048))
+    hard_min: [B] int32 — EOS forbidden before this step (0 in normal mode)
+
+    Returns (tokens [B, max_steps], lengths [B], state).
+    """
+    B = first_logits.shape[0]
+    sk = C.SEMANTIC_SAMPLING
+
+    buf0 = jnp.zeros((B, max_steps), jnp.int32)
+    win0 = jnp.zeros((B, C.ZS_EOS_WINDOW), jnp.bool_)   # rolling non-EOS window
+    nwin0 = jnp.zeros((B,), jnp.int32)                   # entries in window
+    done0 = jnp.zeros((B,), jnp.bool_)
+    len0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(carry):
+        _, _, _, done, _, _, _, i = carry
+        return (i < max_steps) & (~jnp.all(done))
+
+    def body(carry):
+        state, logits, buf, done, lens, win, nwin, i = carry
+        keys = _fold_keys(base_keys, i)
+        masked = _mask_semantic(logits)
+        forbid_eos = i < hard_min
+        masked = jnp.where(
+            forbid_eos[:, None] & (jnp.arange(masked.shape[-1]) == C.TTS_EOS_TOKEN)[None, :],
+            -jnp.inf, masked,
+        )
+        tok = _sample_batch(masked, keys, sk["temperature"], sk["top_p"], sk["top_k"])
+
+        if zero_shot:
+            # EOS-window gate: accept EOS only if the window is full and
+            # ≥70% of it is non-EOS; otherwise resample with EOS masked
+            # (zero_shot_inference.rs:219-309).
+            ratio = win.sum(axis=1) / jnp.maximum(nwin, 1)
+            allow_eos = (nwin >= C.ZS_EOS_WINDOW) & (ratio >= C.ZS_EOS_RATIO_THRESHOLD)
+            need_resample = (tok == C.TTS_EOS_TOKEN) & (~allow_eos)
+            no_eos = jnp.where(
+                (jnp.arange(masked.shape[-1]) == C.TTS_EOS_TOKEN)[None, :],
+                -jnp.inf, masked,
+            )
+            keys2 = _fold_keys(base_keys, i + (1 << 20))
+            tok2 = _sample_batch(no_eos, keys2, sk["temperature"], sk["top_p"], sk["top_k"])
+            tok = jnp.where(need_resample, tok2, tok)
+            # window tracks non-EOS of emitted (post-resample) tokens
+            win = jnp.concatenate(
+                [win[:, 1:], (tok != C.TTS_EOS_TOKEN)[:, None]], axis=1
+            )
+            nwin = jnp.minimum(nwin + 1, C.ZS_EOS_WINDOW)
+
+        is_eos = tok == C.TTS_EOS_TOKEN
+        active = (~done) & (i < limits)
+        emit = active & (~is_eos)
+        buf = buf.at[:, i].set(jnp.where(emit, tok, 0))
+        lens = lens + emit.astype(jnp.int32)
+        done = done | (active & is_eos) | (i + 1 >= limits)
+
+        # feed the raw token back (semantic domain uses raw ids,
+        # normal_mode_inference.rs:389-390); done slots feed a harmless 0
+        feed = jnp.where(emit, tok, 0)
+        logits, state = rwkv7.step(params, feed, state, cfg)
+        return (state, logits, buf, done, lens, win, nwin, i + 1)
+
+    carry = (state, first_logits, buf0, done0, len0, win0, nwin0, jnp.int32(0))
+    state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
+    return buf, lens, state
+
+
+# --------------------------------------------------------------------------
+# host-side engine
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GenerationResult:
+    global_tokens: List[int]
+    semantic_tokens: List[int]
+    prefill_tokens: int
+    decode_steps: int
+
+
+class TtsEngine:
+    """Owns the LM params + compiled stage programs; stateless across calls.
+
+    The analog of SharedRwkvRuntime + the two inference drivers: one model,
+    per-request independent state slots, deterministic per-request seeds.
+    """
+
+    def __init__(self, params, cfg: RwkvConfig, engine_cfg: EngineConfig = EngineConfig(),
+                 tokenizer=None, use_pallas: Optional[bool] = None):
+        self.params = params
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg
+        self.tokenizer = tokenizer or load_tokenizer()
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    # -- prompt assembly ----------------------------------------------------
+
+    def build_prompt(self, args: TtsArgs) -> Tuple[List[int], List[int]]:
+        """Returns (prompt_ids, text_ids). Zero-shot prompts embed the
+        reference global tokens; ref semantic tokens are intentionally NOT
+        prefilled (cross-lingual cloning, zero_shot_inference.rs:86-91)."""
+        text_ids = self.tokenizer.encode(args.text)
+        props = convert_standard_properties_to_tokens(
+            args.age, args.gender, args.emotion, args.pitch, args.speed
+        )
+        prompt = list(props) + [C.TTS_TAG_2] + text_ids + [C.TTS_TAG_0]
+        if args.zero_shot:
+            ref_global = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
+                          for t in (args.ref_global_tokens or [])]
+            prompt += [t + C.GLOBAL_TOKEN_OFFSET for t in ref_global]
+            prompt += [C.TTS_TAG_1]
+        return prompt, text_ids
+
+    def _bucket(self, n: int) -> int:
+        for b in self.engine_cfg.prefill_buckets:
+            if n <= b:
+                return b
+        return ((n + 255) // 256) * 256
+
+    # -- batched generation ---------------------------------------------------
+
+    def generate_batch(self, requests: Sequence[TtsArgs]) -> List[GenerationResult]:
+        """All requests must share a mode (zero_shot or not); the pipeline
+        groups mixed batches upstream."""
+        if not requests:
+            return []
+        zero_shot = requests[0].zero_shot
+        assert all(r.zero_shot == zero_shot for r in requests)
+        B = len(requests)
+        cfg, ecfg = self.cfg, self.engine_cfg
+
+        prompts, texts = zip(*(self.build_prompt(r) for r in requests))
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        T = self._bucket(int(lengths.max()))
+        tok_mat = np.zeros((B, T), np.int32)
+        for i, p in enumerate(prompts):
+            tok_mat[i, : len(p)] = p
+
+        state = rwkv7.init_state(cfg, B)
+        logits, state = rwkv7.forward(
+            self.params, jnp.asarray(tok_mat), state, cfg,
+            use_pallas=self.use_pallas, lengths=jnp.asarray(lengths),
+        )
+
+        seeds = [r.seed if r.seed is not None else
+                 int.from_bytes(os.urandom(4), "little") for r in requests]
+
+        limits = jnp.asarray(
+            [min(r.max_tokens, C.MAX_SEMANTIC_TOKENS) for r in requests], jnp.int32
+        )
+        if zero_shot:
+            # hard min: clamp(1.8×|text|, max(8, |text|/4)..64 lower bound,
+            # ≤ 0.9×limit)  (zero_shot_inference.rs:127-149)
+            hard_min = []
+            for r, t in zip(requests, texts):
+                tlen = len(t)
+                min_len = min(max(tlen // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
+                est = int(np.ceil(tlen * C.ZS_HARD_MIN_FACTOR))
+                upper = int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC)
+                hard_min.append(min(upper, max(min_len, est)))
+            hard_min = jnp.asarray(hard_min, jnp.int32)
+        else:
+            hard_min = jnp.zeros((B,), jnp.int32)
+
+        if zero_shot:
+            ref_globals = [list(r.ref_global_tokens or []) for r in requests]
+            sem_keys = jnp.asarray(
+                [jax.random.key_data(jax.random.PRNGKey(s + C.SEMANTIC_SEED_OFFSET))
+                 for s in seeds], jnp.uint32)
+            sem_keys = jax.vmap(jax.random.wrap_key_data)(sem_keys)
+            sem, sem_lens, state = semantic_stage(
+                self.params, state, logits, sem_keys, limits, hard_min,
+                cfg, ecfg.max_semantic_tokens, True,
+            )
+            sem_np, len_np = np.asarray(sem), np.asarray(sem_lens)
+            out = []
+            for i, r in enumerate(requests):
+                toks = [int(t) for t in sem_np[i, : len_np[i]]]
+                g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1) for t in ref_globals[i]]
+                out.append(GenerationResult(g, toks, int(lengths[i]), len(toks)))
+            return out
+
+        # normal mode: global stage, then TAG_1, then semantic
+        glob_keys = jnp.asarray(
+            [jax.random.key_data(jax.random.PRNGKey(s + C.GLOBAL_SEED_OFFSET))
+             for s in seeds], jnp.uint32)
+        glob_keys = jax.vmap(jax.random.wrap_key_data)(glob_keys)
+        glob, state, logits = global_stage(self.params, state, logits, glob_keys, cfg)
+
+        tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
+        logits, state = rwkv7.step(self.params, tag1, state, cfg)
+
+        sem_keys = jnp.asarray(
+            [jax.random.key_data(jax.random.PRNGKey(s + C.SEMANTIC_SEED_OFFSET))
+             for s in seeds], jnp.uint32)
+        sem_keys = jax.vmap(jax.random.wrap_key_data)(sem_keys)
+        sem, sem_lens, state = semantic_stage(
+            self.params, state, logits, sem_keys, limits, hard_min,
+            cfg, ecfg.max_semantic_tokens, False,
+        )
+
+        glob_np, sem_np, len_np = np.asarray(glob), np.asarray(sem), np.asarray(sem_lens)
+        out = []
+        for i in range(B):
+            toks = [int(t) for t in sem_np[i, : len_np[i]]]
+            out.append(GenerationResult(
+                [int(t) for t in glob_np[i]], toks, int(lengths[i]),
+                C.GLOBAL_TOKENS_SIZE + len(toks),
+            ))
+        return out
+
+    def generate(self, args: TtsArgs) -> GenerationResult:
+        return self.generate_batch([args])[0]

@@ -1,0 +1,105 @@
+"""Decode-engine behavior tests with a tiny random-weight model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu import constants as C
+from rwkv_tts_tpu.config import EngineConfig, RwkvConfig, TtsArgs
+from rwkv_tts_tpu.models import rwkv7
+from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+CFG = RwkvConfig(
+    n_layer=2, n_embd=128, head_size=64, vocab_size=77923,
+    padded_vocab_size=78080, decay_lora=32, a_lora=32, v_lora=16,
+    gate_lora=32, dtype="float32", param_dtype="float32",
+)
+ECFG = EngineConfig(prefill_buckets=(32, 64, 128), max_semantic_tokens=24)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    return TtsEngine(params, CFG, ECFG, use_pallas=False)
+
+
+def test_prompt_assembly_normal(engine):
+    args = TtsArgs(text="hi", age="child", gender="male", emotion="HAPPY",
+                   pitch="low_pitch", speed="fast")
+    prompt, text_ids = engine.build_prompt(args)
+    off = C.TTS_SPECIAL_TOKEN_OFFSET
+    assert prompt[:6] == [off, off + 13, off + 47, off + 24, off + 6, off + 4]
+    assert prompt[6] == C.TTS_TAG_2
+    assert prompt[7:7 + len(text_ids)] == text_ids
+    assert prompt[-1] == C.TTS_TAG_0
+
+
+def test_prompt_assembly_zero_shot(engine):
+    args = TtsArgs(text="hi", zero_shot=True,
+                   ref_global_tokens=[0, 5, 4095, 9999, -3],
+                   ref_semantic_tokens=[1, 2, 3])
+    prompt, _ = engine.build_prompt(args)
+    assert prompt[-1] == C.TTS_TAG_1
+    # clamped to [0,4095] then offset (zero_shot_inference.rs:47,82-84)
+    tail = prompt[-6:-1]
+    assert tail == [C.GLOBAL_TOKEN_OFFSET + t for t in [0, 5, 4095, 4095, 0]]
+    # ref semantic never prefixed
+    assert C.TTS_TAG_1 not in prompt[:-1]
+
+
+def test_generate_normal_mode(engine):
+    res = engine.generate(TtsArgs(text="hello world", seed=42, max_tokens=24))
+    assert len(res.global_tokens) == 32
+    assert all(0 <= t < C.GLOBAL_VOCAB for t in res.global_tokens)
+    assert len(res.semantic_tokens) <= 24
+    assert all(0 <= t < C.TTS_EOS_TOKEN + 1 and t != C.TTS_EOS_TOKEN
+               for t in res.semantic_tokens)
+
+
+def test_seed_determinism(engine):
+    a = engine.generate(TtsArgs(text="determinism", seed=7, max_tokens=16))
+    b = engine.generate(TtsArgs(text="determinism", seed=7, max_tokens=16))
+    assert a.global_tokens == b.global_tokens
+    assert a.semantic_tokens == b.semantic_tokens
+    c = engine.generate(TtsArgs(text="determinism", seed=8, max_tokens=16))
+    assert (c.global_tokens != a.global_tokens) or (c.semantic_tokens != a.semantic_tokens)
+
+
+def test_batch_matches_single(engine):
+    """A request's output must not depend on its batch neighbors — the
+    per-slot state/RNG isolation contract (dynamic_batch_manager.rs:409-476)."""
+    r1 = TtsArgs(text="first request", seed=1, max_tokens=12)
+    r2 = TtsArgs(text="a somewhat longer second request here", seed=2, max_tokens=12)
+    solo1 = engine.generate(r1)
+    solo2 = engine.generate(r2)
+    b1, b2 = engine.generate_batch([r1, r2])
+    assert b1.global_tokens == solo1.global_tokens
+    assert b1.semantic_tokens == solo1.semantic_tokens
+    assert b2.global_tokens == solo2.global_tokens
+    assert b2.semantic_tokens == solo2.semantic_tokens
+
+
+def test_zero_shot_uses_ref_globals(engine):
+    ref_g = list(range(32))
+    res = engine.generate(TtsArgs(
+        text="clone me", seed=3, zero_shot=True, max_tokens=24,
+        ref_global_tokens=ref_g, ref_semantic_tokens=[5, 6, 7],
+    ))
+    assert res.global_tokens == ref_g          # returned as-is (zero_shot_inference.rs:121)
+    assert len(res.semantic_tokens) <= 24
+
+
+def test_zero_shot_hard_min_blocks_eos(engine):
+    """With a long text, EOS is forbidden for ≥ the hard minimum — so with
+    a small cap the output must hit the cap exactly (no early EOS)."""
+    text = "word " * 30          # |text tokens| ≈ 30+ → hard_min ≈ 54 > cap
+    res = engine.generate(TtsArgs(text=text, seed=5, zero_shot=True,
+                                  max_tokens=20, ref_global_tokens=[1] * 32,
+                                  ref_semantic_tokens=[1, 2]))
+    assert len(res.semantic_tokens) == 20
+
+
+def test_max_tokens_cap(engine):
+    res = engine.generate(TtsArgs(text="cap test", seed=11, max_tokens=5))
+    assert len(res.semantic_tokens) <= 5

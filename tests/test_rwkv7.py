@@ -96,3 +96,36 @@ def test_determinism(params):
     l1, _ = rwkv7.forward(params, tokens, s, CFG)
     l2, _ = rwkv7.forward(params, tokens, s, CFG)
     np.testing.assert_array_equal(np.array(l1), np.array(l2))
+
+
+def test_masked_ragged_prefill_equals_individual(params):
+    """Right-padded variable-length batched prefill must equal per-request
+    unpadded prefill (state and last-token logits)."""
+    seqs = [[3, 1, 4, 1, 5], [9, 2, 6], [5, 3, 5, 8, 9, 7, 9, 3]]
+    B, T = len(seqs), 8
+    toks = np.zeros((B, T), np.int64)
+    for i, s in enumerate(seqs):
+        toks[i, :len(s)] = s
+    lengths = jnp.asarray([len(s) for s in seqs], jnp.int32)
+    state = rwkv7.init_state(CFG, B)
+    logits_b, state_b = rwkv7.forward(params, jnp.asarray(toks), state, CFG,
+                                      lengths=lengths)
+    for i, s in enumerate(seqs):
+        st = rwkv7.init_state(CFG, 1)
+        logit_i, st = rwkv7.forward(params, jnp.asarray([s]), st, CFG)
+        np.testing.assert_allclose(np.array(logits_b[i]), np.array(logit_i[0]),
+                                   rtol=2e-4, atol=2e-4)
+        for k in st:
+            np.testing.assert_allclose(np.array(state_b[k][:, i]),
+                                       np.array(st[k][:, 0]),
+                                       rtol=2e-4, atol=2e-4, err_msg=k)
+
+
+def test_zero_length_slot_untouched(params):
+    toks = jnp.array([[1, 2, 3], [7, 7, 7]])
+    lengths = jnp.asarray([3, 0], jnp.int32)
+    state = rwkv7.init_state(CFG, 2)
+    _, new_state = rwkv7.forward(params, toks, state, CFG, lengths=lengths)
+    for k in state:
+        np.testing.assert_array_equal(np.array(new_state[k][:, 1]),
+                                      np.array(state[k][:, 1]), err_msg=k)
