@@ -1,0 +1,144 @@
+"""Audio file IO: WAV (16/24/32-bit int, float32) decode, 16-bit WAV encode
+with the reference's dynamic gain, MP3 via ffmpeg when present.
+
+Replaces the reference's hound/symphonia decoders
+(src/ref_audio_utilities.rs:225-330) and the server's
+``convert_samples_to_wav`` (bin/server.rs:98-148). The decoders here are a
+self-contained RIFF parser (the stdlib ``wave`` module cannot read float or
+24-bit WAVs).
+"""
+
+from __future__ import annotations
+
+import io
+import shutil
+import struct
+import subprocess
+from typing import Tuple
+
+import numpy as np
+
+
+class AudioDecodeError(ValueError):
+    pass
+
+
+def read_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
+    """Parse a RIFF/WAVE byte string → (interleaved float32 samples, sample
+    rate, channels). Supports PCM 16/24/32-bit and IEEE float32/64."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise AudioDecodeError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise AudioDecodeError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1  # sub-format guid not parsed; assume PCM
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b = np.frombuffer(raw, np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+            vals = (b[:, 0].astype(np.int32)
+                    | (b[:, 1].astype(np.int32) << 8)
+                    | (b[:, 2].astype(np.int32) << 16))
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            samples = vals.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+        elif bits == 8:
+            samples = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise AudioDecodeError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(raw, "<f4").astype(np.float32)
+        elif bits == 64:
+            samples = np.frombuffer(raw, "<f8").astype(np.float32)
+        else:
+            raise AudioDecodeError(f"unsupported float bit depth {bits}")
+    else:
+        raise AudioDecodeError(f"unsupported WAV format tag {audio_format}")
+    return samples, int(sample_rate), int(channels)
+
+
+def read_wav_file(path: str) -> Tuple[np.ndarray, int, int]:
+    with open(path, "rb") as f:
+        return read_wav(f.read())
+
+
+def _ffmpeg():
+    return shutil.which("ffmpeg")
+
+
+def read_mp3_file(path: str) -> Tuple[np.ndarray, int, int]:
+    """Decode MP3 via ffmpeg → 16-bit WAV pipe. The reference links
+    symphonia; this environment carries no MP3 codec library."""
+    ff = _ffmpeg()
+    if not ff:
+        raise AudioDecodeError(
+            "MP3 decode requires ffmpeg, which is not installed in this "
+            "environment; provide WAV input instead"
+        )
+    out = subprocess.run(
+        [ff, "-v", "error", "-i", path, "-f", "wav", "-acodec", "pcm_s16le", "-"],
+        capture_output=True, check=True,
+    ).stdout
+    return read_wav(out)
+
+
+def read_audio_file(path: str) -> Tuple[np.ndarray, int, int]:
+    if path.lower().endswith(".mp3"):
+        return read_mp3_file(path)
+    return read_wav_file(path)
+
+
+def encode_wav_16bit(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """f32 PCM → mono 16-bit WAV bytes with the reference server's dynamic
+    gain (bin/server.rs:98-148): peaks > 1 are normalized down; quiet signals
+    are boosted toward 0.8 peak, capped at 10×."""
+    samples = np.asarray(samples, np.float32)
+    max_abs = float(np.max(np.abs(samples))) if samples.size else 0.0
+    if max_abs > 0.0:
+        scale = (1.0 / max_abs) if max_abs > 1.0 else min(0.8 / max_abs, 10.0)
+    else:
+        scale = 1.0
+    ints = np.clip(samples * scale, -1.0, 1.0) * 32767.0
+    pcm = ints.astype(np.int16).tobytes()
+
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + len(pcm)))
+    buf.write(b"WAVE")
+    buf.write(b"fmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", len(pcm)))
+    buf.write(pcm)
+    return buf.getvalue()
+
+
+def encode_mp3(samples: np.ndarray, sample_rate: int = 16000,
+               bitrate: str = "128k") -> bytes:
+    """MP3 encode via ffmpeg (reference: mp3lame-encoder)."""
+    ff = _ffmpeg()
+    if not ff:
+        raise AudioDecodeError("MP3 encode requires ffmpeg (not installed)")
+    wav = encode_wav_16bit(samples, sample_rate)
+    return subprocess.run(
+        [ff, "-v", "error", "-f", "wav", "-i", "-", "-b:a", bitrate,
+         "-f", "mp3", "-"],
+        input=wav, capture_output=True, check=True,
+    ).stdout

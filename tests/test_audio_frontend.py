@@ -1,0 +1,180 @@
+"""Audio front-end numeric parity tests.
+
+The mel test compares the rFFT implementation against a literal NumPy port of
+the reference's O(N²) DFT (src/tts_pipeline_fixes.rs) — same math, so they
+must agree to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.audio import io as aio
+from rwkv_tts_tpu.audio.frontend import (
+    get_ref_clip,
+    to_mono_first_channel,
+    trim_silence,
+    volume_normalize,
+    zero_mean_unit_variance,
+)
+from rwkv_tts_tpu.ops.mel import (
+    HOP_LENGTH,
+    N_FFT,
+    N_MELS,
+    hann_window,
+    mel_filterbank,
+    mel_spectrogram,
+)
+from rwkv_tts_tpu.ops.resample import resample
+
+
+# ---- reference oracle: literal port of tts_pipeline_fixes.rs --------------
+
+def oracle_mel(wav):
+    n_mels, n_fft, hop = 128, 1024, 320
+    pad = n_fft // 2
+    padded = np.concatenate([np.zeros(pad), wav, np.zeros(pad)]).astype(np.float32)
+    n = len(padded)
+    n_frames = 1 if n <= n_fft else (n - n_fft) // hop + 1
+    window = hann_window()
+    fb = mel_filterbank()
+    out = np.zeros((n_mels, n_frames), np.float32)
+    for fi in range(n_frames):
+        start = fi * hop
+        frame = np.zeros(n_fft, np.float32)
+        seg = padded[start: min(start + n_fft, n)]
+        frame[: len(seg)] = seg * window[: len(seg)]
+        mag = np.abs(np.fft.rfft(frame))
+        out[:, fi] = fb @ mag
+    return out
+
+
+def test_mel_matches_oracle():
+    rng = np.random.default_rng(0)
+    wav = rng.normal(0, 0.3, 16000).astype(np.float32)
+    ours = mel_spectrogram(wav)
+    ref = oracle_mel(wav)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mel_ref_clip_shape_is_301():
+    wav = np.random.default_rng(1).normal(0, 0.3, 96000).astype(np.float32)
+    m = mel_spectrogram(wav)
+    assert m.shape == (N_MELS, 301)
+
+
+def test_filterbank_properties():
+    fb = mel_filterbank()
+    assert fb.shape == (128, 513)
+    assert np.all(fb >= 0)
+    assert fb.sum() > 0
+    # Slaney normalization: each filter's area ≈ 2/(f_hi - f_lo) · width/2 … just
+    # check rows are nonzero and band-limited below fmax bin
+    fmax_bin = int(8000 * 1024 / 16000) + 2
+    assert np.all(fb[:, fmax_bin + 1:] == 0)
+
+
+def test_zero_mean_unit_variance():
+    rng = np.random.default_rng(2)
+    x = rng.normal(3.0, 2.0, 4096).astype(np.float32)
+    z = zero_mean_unit_variance(x)
+    assert abs(float(z.mean())) < 1e-4
+    assert abs(float(z.std()) - 1.0) < 1e-3
+    assert np.all(zero_mean_unit_variance(np.full(10, 5.0, np.float32)) == 0)
+    assert np.all(zero_mean_unit_variance(np.array([7.0], np.float32)) == 0)
+
+
+def test_ref_clip_exact_and_tiled():
+    long = np.arange(200000, dtype=np.float32)
+    clip = get_ref_clip(long)
+    assert clip.shape == (96000,)
+    np.testing.assert_array_equal(clip, long[:96000])
+    short = np.arange(1000, dtype=np.float32)
+    clip = get_ref_clip(short)
+    assert clip.shape == (96000,)
+    np.testing.assert_array_equal(clip[:1000], short)
+    np.testing.assert_array_equal(clip[1000:2000], short)   # tiling
+
+
+def test_trim_silence():
+    wav = np.concatenate([np.zeros(100), np.full(50, 0.5), np.zeros(30)]).astype(np.float32)
+    out = trim_silence(wav, 0.01)
+    assert out.shape == (50,)
+    silent = np.full(80, 0.001, np.float32)
+    assert np.all(trim_silence(silent) == 0) and len(trim_silence(silent)) == 80
+
+
+def test_volume_normalize_loud_and_quiet():
+    rng = np.random.default_rng(3)
+    loud = (rng.normal(0, 1.0, 16000) * 2.0).astype(np.float32)
+    out = volume_normalize(loud, 0.2)
+    assert float(np.max(np.abs(out))) <= 1.0
+    quiet = (rng.normal(0, 0.01, 16000)).astype(np.float32)
+    out_q = volume_normalize(quiet, 0.2)
+    assert float(np.max(np.abs(out_q))) > float(np.max(np.abs(quiet)))
+
+
+def test_first_channel_mono():
+    stereo = np.array([1, -1, 2, -2, 3, -3], np.float32)  # interleaved L/R
+    mono = to_mono_first_channel(stereo, 2)
+    np.testing.assert_array_equal(mono, [1, 2, 3])
+
+
+def test_resample_tone_preserved():
+    """A 440 Hz tone resampled 44100→16000 must stay 440 Hz with ~unity gain."""
+    sr0, sr1, f = 44100, 16000, 440.0
+    t = np.arange(sr0) / sr0
+    tone = np.sin(2 * np.pi * f * t).astype(np.float32)
+    out = resample(tone, sr0, sr1)
+    assert abs(len(out) - sr1) <= 2
+    spec = np.abs(np.fft.rfft(out[:sr1] * np.hanning(min(len(out), sr1))))
+    peak_hz = float(np.argmax(spec)) * sr1 / sr1
+    assert abs(peak_hz - f) <= 2.0
+    mid = out[len(out) // 4: -len(out) // 4]
+    assert 0.9 < float(np.max(np.abs(mid))) < 1.1
+
+
+def test_resample_antialiasing():
+    """Content above the target Nyquist must be strongly attenuated."""
+    sr0, sr1 = 48000, 16000
+    t = np.arange(sr0) / sr0
+    hi = np.sin(2 * np.pi * 11000.0 * t).astype(np.float32)  # > 8 kHz Nyquist
+    out = resample(hi, sr0, sr1)
+    assert float(np.max(np.abs(out[1000:-1000]))) < 0.01
+
+
+def test_wav_roundtrip_16bit():
+    rng = np.random.default_rng(4)
+    wav = (rng.normal(0, 0.2, 8000)).astype(np.float32)
+    blob = aio.encode_wav_16bit(wav, 16000)
+    back, sr, ch = aio.read_wav(blob)
+    assert sr == 16000 and ch == 1 and len(back) == len(wav)
+    # encode applies dynamic gain; correlation must be ~1
+    c = np.corrcoef(back, wav)[0, 1]
+    assert c > 0.999
+
+
+def test_wav_24bit_and_float():
+    import struct
+    # hand-build a 24-bit PCM WAV with known samples
+    vals = [0, 1 << 22, -(1 << 22)]
+    raw = b""
+    for v in vals:
+        raw += struct.pack("<I", v & 0xFFFFFFFF)[:3]
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+           + b"data" + struct.pack("<I", len(raw)) + raw)
+    samples, sr, ch = aio.read_wav(hdr)
+    np.testing.assert_allclose(samples, [0.0, 0.5, -0.5], atol=1e-6)
+
+    fl = np.array([0.25, -0.75], np.float32)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+           + b"data" + struct.pack("<I", 8) + fl.tobytes())
+    samples, _, _ = aio.read_wav(hdr)
+    np.testing.assert_allclose(samples, fl)
+
+
+def test_wav_reject_garbage():
+    with pytest.raises(aio.AudioDecodeError):
+        aio.read_wav(b"not a wav file at all, sorry")
