@@ -1,0 +1,204 @@
+"""Persisted voice-feature library, drop-in compatible with the reference's
+``.raf.json`` format (src/voice_feature_manager.rs).
+
+File format: pretty-printed JSON ``{id, name, prompt_text, created_at,
+global_tokens, semantic_tokens, audio_duration, sample_rate, checksum}``
+where ``checksum`` = SHA-256 over the same document serialized with
+``checksum = ""`` (serde_json::to_vec_pretty semantics — reproduced
+byte-exactly by ``json.dumps(indent=2, ensure_ascii=False,
+separators=(',', ': '))``; verified against the reference's shipped voices).
+A ``voices_metadata.json`` index sits alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import hashlib
+import json
+import os
+import threading
+import uuid
+from typing import Dict, List, Optional
+
+_FIELD_ORDER = (
+    "id", "name", "prompt_text", "created_at", "global_tokens",
+    "semantic_tokens", "audio_duration", "sample_rate", "checksum",
+)
+
+
+@dataclasses.dataclass
+class VoiceFeature:
+    id: str
+    name: str
+    prompt_text: str
+    created_at: str
+    global_tokens: List[int]
+    semantic_tokens: List[int]
+    audio_duration: float
+    sample_rate: int
+    checksum: str = ""
+
+    def to_ordered_dict(self) -> Dict:
+        d = dataclasses.asdict(self)
+        return {k: d[k] for k in _FIELD_ORDER}
+
+
+def _serialize(doc: Dict) -> str:
+    return json.dumps(doc, indent=2, ensure_ascii=False, separators=(",", ": "))
+
+
+def compute_checksum(feature: VoiceFeature) -> str:
+    doc = feature.to_ordered_dict()
+    doc["checksum"] = ""
+    return hashlib.sha256(_serialize(doc).encode("utf-8")).hexdigest()
+
+
+class ChecksumError(ValueError):
+    pass
+
+
+class VoiceStore:
+    """Thread-safe voice library with an in-memory cache and hit/miss stats
+    (parity: VoiceFeatureManager save/load/list/delete/rename/get_voice_tokens,
+    src/voice_feature_manager.rs:169-369)."""
+
+    def __init__(self, raf_dir: str):
+        self.raf_dir = raf_dir
+        os.makedirs(raf_dir, exist_ok=True)
+        self._cache: Dict[str, VoiceFeature] = {}
+        self._lock = threading.Lock()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    # -- paths ---------------------------------------------------------------
+
+    def _path(self, voice_id: str) -> str:
+        return os.path.join(self.raf_dir, f"{voice_id}.raf.json")
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.raf_dir, "voices_metadata.json")
+
+    # -- core API --------------------------------------------------------------
+
+    def save(self, name: str, prompt_text: str, global_tokens: List[int],
+             semantic_tokens: List[int], audio_duration: float,
+             sample_rate: int, voice_id: Optional[str] = None) -> VoiceFeature:
+        now = datetime.datetime.now(datetime.timezone.utc)
+        if voice_id is None:
+            voice_id = "voice_{}_{}".format(
+                now.strftime("%Y%m%d_%H%M%S"), uuid.uuid4().hex[:8]
+            )
+        feat = VoiceFeature(
+            id=voice_id, name=name, prompt_text=prompt_text,
+            created_at=now.strftime("%Y-%m-%dT%H:%M:%S.%f000Z"),
+            global_tokens=[int(t) for t in global_tokens],
+            semantic_tokens=[int(t) for t in semantic_tokens],
+            audio_duration=float(audio_duration), sample_rate=int(sample_rate),
+        )
+        feat.checksum = compute_checksum(feat)
+        blob = _serialize(feat.to_ordered_dict())
+        path = self._path(voice_id)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(blob)
+        with self._lock:
+            self._cache[voice_id] = feat
+        self._update_metadata()
+        return feat
+
+    def load(self, voice_id: str) -> VoiceFeature:
+        with self._lock:
+            if voice_id in self._cache:
+                self.cache_hits += 1
+                return self._cache[voice_id]
+            self.cache_misses += 1
+        path = self._path(voice_id)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"voice feature not found: {voice_id}")
+        with open(path, "r", encoding="utf-8") as f:
+            doc = json.load(f)
+        feat = VoiceFeature(**{k: doc[k] for k in _FIELD_ORDER})
+        if compute_checksum(feat) != feat.checksum:
+            raise ChecksumError(f"voice feature checksum mismatch: {voice_id}")
+        with self._lock:
+            self._cache[voice_id] = feat
+        return feat
+
+    def get_voice_tokens(self, voice_id: str):
+        feat = self.load(voice_id)
+        return feat.global_tokens, feat.semantic_tokens, feat.prompt_text
+
+    def list(self) -> List[Dict]:
+        out = []
+        for fn in sorted(os.listdir(self.raf_dir)):
+            if not fn.endswith(".raf.json"):
+                continue
+            vid = fn[: -len(".raf.json")]
+            try:
+                feat = self.load(vid)
+            except (ChecksumError, FileNotFoundError, KeyError,
+                    json.JSONDecodeError):
+                continue
+            out.append({
+                "id": feat.id, "name": feat.name,
+                "prompt_text": feat.prompt_text,
+                "created_at": feat.created_at,
+                "audio_duration": feat.audio_duration,
+                "sample_rate": feat.sample_rate,
+                "semantic_token_count": len(feat.semantic_tokens),
+            })
+        return out
+
+    def delete(self, voice_id: str) -> bool:
+        path = self._path(voice_id)
+        with self._lock:
+            self._cache.pop(voice_id, None)
+        if os.path.exists(path):
+            os.remove(path)
+            self._update_metadata()
+            return True
+        return False
+
+    def rename(self, voice_id: str, new_name: str) -> VoiceFeature:
+        feat = self.load(voice_id)
+        feat = dataclasses.replace(feat, name=new_name, checksum="")
+        feat.checksum = compute_checksum(feat)
+        with open(self._path(voice_id), "w", encoding="utf-8") as f:
+            f.write(_serialize(feat.to_ordered_dict()))
+        with self._lock:
+            self._cache[voice_id] = feat
+        self._update_metadata()
+        return feat
+
+    def stats(self) -> Dict:
+        with self._lock:
+            return {
+                "cache_hits": self.cache_hits,
+                "cache_misses": self.cache_misses,
+                "cached": len(self._cache),
+            }
+
+    # -- metadata index ----------------------------------------------------------
+
+    def _update_metadata(self) -> None:
+        voices = []
+        for fn in sorted(os.listdir(self.raf_dir)):
+            if not fn.endswith(".raf.json"):
+                continue
+            path = os.path.join(self.raf_dir, fn)
+            try:
+                with open(path, "r", encoding="utf-8") as f:
+                    doc = json.load(f)
+                voices.append({
+                    "id": doc["id"], "name": doc["name"],
+                    "prompt_text": doc["prompt_text"],
+                    "created_at": doc["created_at"],
+                    "file_path": path,
+                    "file_size": os.path.getsize(path),
+                    "checksum": doc["checksum"],
+                })
+            except (KeyError, json.JSONDecodeError, OSError):
+                continue
+        with open(self._meta_path, "w", encoding="utf-8") as f:
+            json.dump({"voices": voices}, f, ensure_ascii=False, indent=2)

@@ -1,0 +1,89 @@
+"""wav2vec2 + BiCodec shape/contract tests (random weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.config import BiCodecConfig, Wav2Vec2Config
+from rwkv_tts_tpu.models import bicodec, wav2vec2
+
+W2V_CFG = Wav2Vec2Config(num_layers=4, hidden_size=64, num_heads=4,
+                         ffn_size=128, conv_dims=(32, 32, 32, 32, 32, 32, 32))
+BC_CFG = BiCodecConfig(latent_dim=64, vocoder_dim=64, feat_dim=64,
+                       semantic_codebook=128)
+
+
+@pytest.fixture(scope="module")
+def w2v_params():
+    return wav2vec2.init_params(W2V_CFG, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def bc_params():
+    return bicodec.init_params(BC_CFG, jax.random.PRNGKey(1))
+
+
+def test_wav2vec2_downsample_ratio(w2v_params):
+    wav = jax.random.normal(jax.random.PRNGKey(2), (2, 16000))
+    feats = wav2vec2.extract_features(w2v_params, wav, W2V_CFG,
+                                      output_layers=(2, 3))
+    B, T, H = feats.shape
+    assert B == 2 and H == W2V_CFG.hidden_size
+    # 7 convs with strides 5,2,2,2,2,2,2 → ≈ N/320 frames
+    assert abs(T - 16000 // 320) <= 3
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_fsq_roundtrip():
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 4)) * 2.0
+    codes, quant = bicodec.fsq_quantize(z)
+    assert codes.shape == (4, 32)
+    assert int(codes.min()) >= 0 and int(codes.max()) < 4096
+    deq = bicodec.fsq_dequantize(codes)
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(quant), atol=1e-6)
+
+
+def test_fsq_all_codes_reachable():
+    codes = jnp.arange(4096)
+    vecs = bicodec.fsq_dequantize(codes)
+    rt, _ = bicodec.fsq_quantize(jnp.arctanh(jnp.clip(vecs, -0.999, 0.999)))
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(codes))
+
+
+def test_bicodec_encode_contract(bc_params):
+    feat = jax.random.normal(jax.random.PRNGKey(4), (2, 50, 64))
+    mel = jax.random.normal(jax.random.PRNGKey(5), (2, 128, 301)) * 0.1
+    sem, glob = bicodec.encode(bc_params, feat, mel, BC_CFG)
+    assert sem.shape == (2, 50)
+    assert glob.shape == (2, 32)
+    assert int(sem.min()) >= 0 and int(sem.max()) < BC_CFG.semantic_codebook
+    assert int(glob.min()) >= 0 and int(glob.max()) < 4096
+
+
+def test_bicodec_decode_contract(bc_params):
+    S = 64
+    g = jax.random.randint(jax.random.PRNGKey(6), (2, 32), 0, 4096)
+    s = jax.random.randint(jax.random.PRNGKey(7), (2, S), 0, 128)
+    wav = bicodec.decode(bc_params, g, s, BC_CFG)
+    assert wav.shape == (2, S * 320)
+    w = np.asarray(wav)
+    assert np.all(np.isfinite(w))
+    assert np.max(np.abs(w)) <= 1.0
+
+
+def test_detokenize_wrapper_pads_and_trims(bc_params):
+    g = list(range(32))
+    s = list(range(50))         # not a multiple of the bucket
+    wav = bicodec.detokenize(bc_params, g, s, BC_CFG, bucket=64)
+    assert wav.shape == (1, 50 * 320)
+
+
+def test_global_tokens_change_output(bc_params):
+    """The speaker condition must actually influence the waveform."""
+    s = jax.random.randint(jax.random.PRNGKey(8), (1, 64), 0, 128)
+    g1 = jnp.zeros((1, 32), jnp.int32)
+    g2 = jnp.full((1, 32), 4095, jnp.int32)
+    w1 = np.asarray(bicodec.decode(bc_params, g1, s, BC_CFG))
+    w2 = np.asarray(bicodec.decode(bc_params, g2, s, BC_CFG))
+    assert float(np.max(np.abs(w1 - w2))) > 1e-6

@@ -1,0 +1,98 @@
+"""Voice library tests, including byte-exact checksum compatibility with the
+reference's shipped .raf.json files."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from rwkv_tts_tpu.runtime.voice_store import (
+    ChecksumError,
+    VoiceFeature,
+    VoiceStore,
+    compute_checksum,
+)
+
+REF_RAF = "/root/reference/assets/raf"
+
+
+def test_reference_raf_checksum_compatibility():
+    """Our checksum must reproduce the reference's for its shipped voices."""
+    if not os.path.isdir(REF_RAF):
+        pytest.skip("reference raf dir unavailable")
+    n = 0
+    for fn in os.listdir(REF_RAF):
+        if not fn.endswith(".raf.json"):
+            continue
+        with open(os.path.join(REF_RAF, fn), encoding="utf-8") as f:
+            doc = json.load(f)
+        feat = VoiceFeature(**doc)
+        assert compute_checksum(feat) == doc["checksum"], fn
+        n += 1
+    assert n >= 2
+
+
+def test_load_reference_voices(tmp_path):
+    if not os.path.isdir(REF_RAF):
+        pytest.skip("reference raf dir unavailable")
+    d = tmp_path / "raf"
+    d.mkdir()
+    for fn in os.listdir(REF_RAF):
+        if fn.endswith(".raf.json"):
+            shutil.copy(os.path.join(REF_RAF, fn), d / fn)
+    store = VoiceStore(str(d))
+    voices = store.list()
+    assert len(voices) == 2
+    g, s, prompt = store.get_voice_tokens(voices[0]["id"])
+    assert len(g) == 32
+    assert len(s) > 0
+    assert prompt
+
+
+def test_roundtrip_crud(tmp_path):
+    store = VoiceStore(str(tmp_path / "raf"))
+    feat = store.save("测试音色", "你好世界", list(range(32)), [1, 2, 3, 8191],
+                      3.5, 16000)
+    assert feat.checksum
+    loaded = store.load(feat.id)
+    assert loaded.global_tokens == list(range(32))
+    assert loaded.semantic_tokens == [1, 2, 3, 8191]
+
+    # list + metadata
+    assert [v["id"] for v in store.list()] == [feat.id]
+    meta = json.load(open(tmp_path / "raf" / "voices_metadata.json"))
+    assert meta["voices"][0]["id"] == feat.id
+
+    # rename preserves checksum validity
+    store.rename(feat.id, "renamed")
+    store2 = VoiceStore(str(tmp_path / "raf"))  # fresh cache → disk read
+    assert store2.load(feat.id).name == "renamed"
+
+    # delete
+    assert store.delete(feat.id)
+    assert store.list() == []
+    assert not store.delete(feat.id)
+
+
+def test_checksum_tamper_detected(tmp_path):
+    store = VoiceStore(str(tmp_path / "raf"))
+    feat = store.save("v", "p", [1] * 32, [5], 1.0, 16000)
+    path = tmp_path / "raf" / f"{feat.id}.raf.json"
+    doc = json.load(open(path))
+    doc["semantic_tokens"] = [6]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    store2 = VoiceStore(str(tmp_path / "raf"))
+    with pytest.raises(ChecksumError):
+        store2.load(feat.id)
+    # tampered voice is skipped by list()
+    assert store2.list() == []
+
+
+def test_cache_stats(tmp_path):
+    store = VoiceStore(str(tmp_path / "raf"))
+    feat = store.save("v", "p", [1] * 32, [5], 1.0, 16000)
+    store.load(feat.id)          # hit (cached by save)
+    s = store.stats()
+    assert s["cache_hits"] >= 1
