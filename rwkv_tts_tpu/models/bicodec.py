@@ -80,21 +80,6 @@ def _tconv1d(x, w, b=None, stride=1):
     return out
 
 
-def _convnext_block_init(key, dim, mult=3):
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
-        "dw": jax.random.normal(k1, (dim, 1, 7), jnp.float32) * (7 ** -0.5),
-        "dw_b": jnp.zeros((dim,)),
-        "ln_w": jnp.ones((dim,)), "ln_b": jnp.zeros((dim,)),
-        "p1": jax.random.normal(k2, (dim, mult * dim), jnp.float32) * dim ** -0.5,
-        "p1_b": jnp.zeros((mult * dim,)),
-        "p2": jax.random.normal(k3, (mult * dim, dim), jnp.float32)
-              * (mult * dim) ** -0.5,
-        "p2_b": jnp.zeros((dim,)),
-        "gamma": jnp.full((dim,), 1e-2),
-    }
-
-
 def _convnext_block(p, x):
     """x [B, T, C] → [B, T, C]."""
     h = _conv1d(jnp.moveaxis(x, 1, 2), p["dw"], p["dw_b"],
@@ -139,54 +124,66 @@ def fsq_dequantize(code: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
-    ks = iter(jax.random.split(key, 64))
+    """Host-side NumPy init (utils/init.py): zero per-shape XLA compiles."""
+    from ..utils.init import Initializer
+
+    ini = Initializer(key)
     D = cfg.latent_dim
 
     def lin(i, o, scale=None):
-        s = scale if scale is not None else i ** -0.5
-        return jax.random.normal(next(ks), (i, o), jnp.float32) * s
+        return jnp.asarray(ini.normal((i, o), scale if scale is not None else i ** -0.5))
 
-    # semantic encoder: 1024 → D, 4 ConvNeXt blocks
+    def cnx_block(dim, mult=3):
+        return {
+            "dw": jnp.asarray(ini.normal((dim, 1, 7), 7 ** -0.5)),
+            "dw_b": jnp.asarray(ini.zeros((dim,))),
+            "ln_w": jnp.asarray(ini.ones((dim,))),
+            "ln_b": jnp.asarray(ini.zeros((dim,))),
+            "p1": lin(dim, mult * dim),
+            "p1_b": jnp.asarray(ini.zeros((mult * dim,))),
+            "p2": lin(mult * dim, dim),
+            "p2_b": jnp.asarray(ini.zeros((dim,))),
+            "gamma": jnp.asarray(ini.full((dim,), 1e-2)),
+        }
+
+    # semantic encoder: 1024 -> D, 4 ConvNeXt blocks
     enc = {
         "inp": lin(cfg.feat_dim, D),
-        "inp_b": jnp.zeros((D,)),
-        "blocks": [_convnext_block_init(next(ks), D) for _ in range(4)],
-        "out_ln_w": jnp.ones((D,)), "out_ln_b": jnp.zeros((D,)),
+        "inp_b": jnp.asarray(ini.zeros((D,))),
+        "blocks": [cnx_block(D) for _ in range(4)],
+        "out_ln_w": jnp.asarray(ini.ones((D,))),
+        "out_ln_b": jnp.asarray(ini.zeros((D,))),
     }
     # factorized VQ
     vq = {
         "proj_in": lin(D, SEMANTIC_CODE_DIM),
-        "codebook": jax.random.normal(
-            next(ks), (cfg.semantic_codebook, SEMANTIC_CODE_DIM), jnp.float32),
+        "codebook": jnp.asarray(ini.normal((cfg.semantic_codebook, SEMANTIC_CODE_DIM))),
         "proj_out": lin(SEMANTIC_CODE_DIM, D),
     }
     # speaker encoder over mel [128, F]
     spk_dim = 256
     spk = {
-        "c1": jax.random.normal(next(ks), (spk_dim, cfg.mel_bins, 5), jnp.float32)
-              * (cfg.mel_bins * 5) ** -0.5,
-        "c1_b": jnp.zeros((spk_dim,)),
+        "c1": jnp.asarray(ini.normal((spk_dim, cfg.mel_bins, 5), (cfg.mel_bins * 5) ** -0.5)),
+        "c1_b": jnp.asarray(ini.zeros((spk_dim,))),
         "res": [
             {
-                "w": jax.random.normal(next(ks), (spk_dim, spk_dim, 3), jnp.float32)
-                     * (spk_dim * 3) ** -0.5,
-                "b": jnp.zeros((spk_dim,)),
+                "w": jnp.asarray(ini.normal((spk_dim, spk_dim, 3), (spk_dim * 3) ** -0.5)),
+                "b": jnp.asarray(ini.zeros((spk_dim,))),
             }
             for _ in range(3)
         ],
-        "queries": jax.random.normal(
-            next(ks), (cfg.num_global_tokens, spk_dim), jnp.float32) * 0.02,
+        "queries": jnp.asarray(ini.normal((cfg.num_global_tokens, spk_dim), 0.02)),
         "q_proj": lin(spk_dim, spk_dim), "k_proj": lin(spk_dim, spk_dim),
         "v_proj": lin(spk_dim, spk_dim),
         "fsq_proj": lin(spk_dim, len(FSQ_LEVELS)),
     }
-    # global-token → condition vector
+    # global-token -> condition vector
     cond_dim = 256
     glob_dec = {
         "emb": lin(len(FSQ_LEVELS), cond_dim, 0.5),
-        "emb_b": jnp.zeros((cond_dim,)),
+        "emb_b": jnp.asarray(ini.zeros((cond_dim,))),
         "mix": lin(cond_dim, cond_dim),
-        "mix_b": jnp.zeros((cond_dim,)),
+        "mix_b": jnp.asarray(ini.zeros((cond_dim,))),
     }
     # decoder / vocoder
     Dv = cfg.vocoder_dim
@@ -195,17 +192,14 @@ def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
     for r in cfg.upsample_rates:
         out_ch = max(ch // 2, 32)
         ups.append({
-            "t_w": jax.random.normal(next(ks), (out_ch, ch, 3 * r), jnp.float32)
-                   * (ch * 3 * r) ** -0.5,
-            "t_b": jnp.zeros((out_ch,)),
+            "t_w": jnp.asarray(ini.normal((out_ch, ch, 3 * r), (ch * 3 * r) ** -0.5)),
+            "t_b": jnp.asarray(ini.zeros((out_ch,))),
             "res": [
                 {
-                    "w1": jax.random.normal(next(ks), (out_ch, out_ch, 3), jnp.float32)
-                          * (out_ch * 3) ** -0.5,
-                    "b1": jnp.zeros((out_ch,)),
-                    "w2": jax.random.normal(next(ks), (out_ch, out_ch, 3), jnp.float32)
-                          * (out_ch * 3) ** -0.5,
-                    "b2": jnp.zeros((out_ch,)),
+                    "w1": jnp.asarray(ini.normal((out_ch, out_ch, 3), (out_ch * 3) ** -0.5)),
+                    "b1": jnp.asarray(ini.zeros((out_ch,))),
+                    "w2": jnp.asarray(ini.normal((out_ch, out_ch, 3), (out_ch * 3) ** -0.5)),
+                    "b2": jnp.asarray(ini.zeros((out_ch,))),
                 }
                 for _ in range(2)
             ],
@@ -214,19 +208,14 @@ def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
         })
         ch = out_ch
     dec = {
-        "prenet": lin(D, Dv), "prenet_b": jnp.zeros((Dv,)),
+        "prenet": lin(D, Dv), "prenet_b": jnp.asarray(ini.zeros((Dv,))),
         "ups": ups,
-        "post_w": jax.random.normal(next(ks), (1, ch, 7), jnp.float32)
-                  * (ch * 7) ** -0.5,
-        "post_b": jnp.zeros((1,)),
+        "post_w": jnp.asarray(ini.normal((1, ch, 7), (ch * 7) ** -0.5)),
+        "post_b": jnp.asarray(ini.zeros((1,))),
     }
     return {"encoder": enc, "vq": vq, "speaker": spk,
             "glob_dec": glob_dec, "decoder": dec}
 
-
-# --------------------------------------------------------------------------
-# encode path (BiCodecTokenize parity)
-# --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode(params: Params, feat: jax.Array, mel: jax.Array,

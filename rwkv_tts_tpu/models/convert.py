@@ -1,0 +1,283 @@
+"""Checkpoint import: RWKV-7 safetensors → our stacked-layer pytree, plus a
+minimal ONNX initializer reader for the codec weights.
+
+The reference loads ``webrwkv.safetensors`` through web-rwkv's Loader
+(src/shared_runtime.rs:85-176, "V7 only" enforced at :115-120). That file is
+the standard RWKV-7 checkpoint layout (``blocks.N.att.*``, torch Linear
+weights stored [out, in]); we map it into the layout of models/rwkv7.py,
+inferring every dimension from tensor shapes — nothing is hard-coded
+(the reference's prefab fallback dims at shared_runtime.rs:128-137 are
+explicitly NOT trusted, per SURVEY.md §2.2).
+
+ONNX: the ``onnx`` package is not available in this environment, so
+``read_onnx_initializers`` parses the protobuf wire format directly — enough
+to pull named weight tensors out of any .onnx file for mapping into the JAX
+codec modules.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import RwkvConfig
+
+log = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------
+# safetensors reading (header-driven, zero-copy slices)
+# --------------------------------------------------------------------------
+
+_ST_DTYPES = {
+    "F32": np.float32, "F16": np.float16, "BF16": None,  # bf16 special-cased
+    "I64": np.int64, "I32": np.int32, "U8": np.uint8,
+}
+
+
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a .safetensors file as float32 numpy arrays."""
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        blob = f.read()
+    out = {}
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        dt, shape = info["dtype"], info["shape"]
+        s, e = info["data_offsets"]
+        raw = blob[s:e]
+        if dt == "BF16":
+            u16 = np.frombuffer(raw, np.uint16)
+            arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = np.frombuffer(raw, _ST_DTYPES[dt]).astype(np.float32)
+        out[name] = arr.reshape(shape)
+    return out
+
+
+# --------------------------------------------------------------------------
+# RWKV-7 checkpoint → rwkv7.py pytree
+# --------------------------------------------------------------------------
+
+def infer_config(tensors: Dict[str, np.ndarray],
+                 dtype: str = "bfloat16") -> RwkvConfig:
+    """Derive the architecture from tensor shapes (SURVEY.md: actual dims
+    come from the safetensors header; never hard-code)."""
+    n_layer = 1 + max(
+        int(k.split(".")[1]) for k in tensors if k.startswith("blocks.")
+    )
+    vocab, n_embd = tensors["emb.weight"].shape
+    r_k = tensors["blocks.0.att.r_k"]
+    n_head, head_size = r_k.shape if r_k.ndim == 2 else (
+        n_embd // 64, 64
+    )
+    def lora(k):
+        t = tensors.get(k)
+        return int(t.shape[-1]) if t is not None and t.ndim == 2 else 0
+    ffn_hidden = tensors["blocks.0.ffn.key.weight"].shape[0]
+    padded = ((vocab + 127) // 128) * 128
+    return RwkvConfig(
+        n_layer=n_layer, n_embd=n_embd, head_size=head_size,
+        vocab_size=vocab, padded_vocab_size=padded,
+        ffn_mult=ffn_hidden // n_embd,
+        decay_lora=lora("blocks.0.att.w1"),
+        a_lora=lora("blocks.0.att.a1"),
+        v_lora=lora("blocks.1.att.v1") if "blocks.1.att.v1" in tensors else 0,
+        gate_lora=lora("blocks.0.att.g1"),
+        dtype=dtype, param_dtype=dtype,
+    )
+
+
+def load_rwkv7(path: str, dtype: str = "bfloat16"
+               ) -> Tuple[Dict[str, Any], RwkvConfig]:
+    """Load webrwkv.safetensors into the stacked-layer pytree of
+    models/rwkv7.py. Returns (params, config)."""
+    import jax.numpy as jnp
+
+    t = read_safetensors(path)
+    cfg = infer_config(t, dtype)
+    L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
+    V, PV = cfg.vocab_size, cfg.padded_vocab_size
+    pdt = jnp.dtype(cfg.param_dtype)
+
+    def flat(x):
+        return np.asarray(x).reshape(-1)
+
+    def stack(fmt, shape, transform=None, default=0.0):
+        """Stack blocks.{i}.<fmt> over layers into [L, *shape]."""
+        arrs = []
+        for i in range(L):
+            key = f"blocks.{i}.{fmt}"
+            if key in t:
+                a = t[key]
+                if transform:
+                    a = transform(a)
+                arrs.append(np.asarray(a, np.float32).reshape(shape))
+            else:
+                arrs.append(np.full(shape, default, np.float32))
+        return np.stack(arrs)
+
+    def j(x, dt=None):
+        return jnp.asarray(x, dt or pdt)
+
+    f32 = jnp.float32
+    tr = np.transpose  # torch Linear [out,in] → ours [in,out]
+
+    emb = np.zeros((PV, C), np.float32)
+    emb[:V] = t["emb.weight"]
+    head = np.zeros((C, PV), np.float32)
+    head[:, :V] = tr(t["head.weight"])
+
+    Dw, Da, Dv, Dg = cfg.decay_lora, cfg.a_lora, cfg.v_lora, cfg.gate_lora
+    params = {
+        "emb": j(emb),
+        "ln0_w": j(t["blocks.0.ln0.weight"], f32),
+        "ln0_b": j(t["blocks.0.ln0.bias"], f32),
+        "ln_out_w": j(t["ln_out.weight"], f32),
+        "ln_out_b": j(t["ln_out.bias"], f32),
+        "head": j(head),
+        "blocks": {
+            "ln1_w": j(stack("ln1.weight", (C,)), f32),
+            "ln1_b": j(stack("ln1.bias", (C,)), f32),
+            "ln2_w": j(stack("ln2.weight", (C,)), f32),
+            "ln2_b": j(stack("ln2.bias", (C,)), f32),
+            "x_r": j(stack("att.x_r", (C,)), f32),
+            "x_w": j(stack("att.x_w", (C,)), f32),
+            "x_k": j(stack("att.x_k", (C,)), f32),
+            "x_v": j(stack("att.x_v", (C,)), f32),
+            "x_a": j(stack("att.x_a", (C,)), f32),
+            "x_g": j(stack("att.x_g", (C,)), f32),
+            "w_r": j(stack("att.receptance.weight", (C, C), tr)),
+            "w_k": j(stack("att.key.weight", (C, C), tr)),
+            "w_v": j(stack("att.value.weight", (C, C), tr)),
+            "w_o": j(stack("att.output.weight", (C, C), tr)),
+            "w0": j(stack("att.w0", (C,)), f32),
+            "w1": j(stack("att.w1", (C, Dw))),
+            "w2": j(stack("att.w2", (Dw, C))),
+            "a0": j(stack("att.a0", (C,)), f32),
+            "a1": j(stack("att.a1", (C, Da))),
+            "a2": j(stack("att.a2", (Da, C))),
+            # layer 0 has no v-lora; zeros make σ(v0+..)=0.5 but v_first
+            # branch is selected there, so the values are unused
+            "v0": j(stack("att.v0", (C,)), f32),
+            "v1": j(stack("att.v1", (C, Dv))),
+            "v2": j(stack("att.v2", (Dv, C))),
+            "g1": j(stack("att.g1", (C, Dg))),
+            "g2": j(stack("att.g2", (Dg, C))),
+            "k_k": j(stack("att.k_k", (C,)), f32),
+            "k_a": j(stack("att.k_a", (C,)), f32),
+            "r_k": j(stack("att.r_k", (H, N)), f32),
+            "ln_x_w": j(stack("att.ln_x.weight", (C,)), f32),
+            "ln_x_b": j(stack("att.ln_x.bias", (C,)), f32),
+            "ffn_x_k": j(stack("ffn.x_k", (C,)), f32),
+            "ffn_k": j(stack("ffn.key.weight", (C, cfg.ffn_mult * C), tr)),
+            "ffn_v": j(stack("ffn.value.weight", (cfg.ffn_mult * C, C), tr)),
+        },
+    }
+    return params, cfg
+
+
+# --------------------------------------------------------------------------
+# minimal ONNX protobuf reader (initializers only)
+# --------------------------------------------------------------------------
+
+_ONNX_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 6: np.int32, 7: np.int64,
+    10: np.float16, 11: np.float64,
+}
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        result |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val = buf[pos:pos + 8]; pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]; pos += ln
+        elif wire == 5:
+            val = buf[pos:pos + 4]; pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_tensor_proto(buf: bytes) -> Tuple[str, Optional[np.ndarray]]:
+    dims, name, dtype, raw = [], "", 1, b""
+    floats, ints = [], []
+    for field, wire, val in _iter_fields(buf):
+        if field == 1 and wire == 0:
+            dims.append(val)
+        elif field == 2:
+            dtype = val
+        elif field == 8:
+            name = val.decode("utf-8", "replace")
+        elif field == 9:
+            raw = val
+        elif field == 4:   # packed float_data
+            floats.append(val)
+        elif field == 7:   # packed int64_data
+            ints.append(val)
+    np_dt = _ONNX_DTYPES.get(dtype)
+    if np_dt is None:
+        return name, None
+    if raw:
+        arr = np.frombuffer(raw, np_dt)
+    elif floats:
+        arr = np.frombuffer(b"".join(floats), np.float32)
+    elif ints:
+        vals = []
+        for blob in ints:
+            p = 0
+            while p < len(blob):
+                v, p = _read_varint(blob, p)
+                vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+        arr = np.asarray(vals, np.int64)
+    else:
+        arr = np.zeros(0, np_dt)
+    try:
+        return name, arr.reshape(dims)
+    except ValueError:
+        return name, arr
+
+
+def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
+    """Extract {name: ndarray} for every initializer in an ONNX file."""
+    with open(path, "rb") as f:
+        model = f.read()
+    graph = None
+    for field, wire, val in _iter_fields(model):
+        if field == 7 and wire == 2:   # ModelProto.graph
+            graph = val
+            break
+    if graph is None:
+        raise ValueError("no graph in ONNX file")
+    out = {}
+    for field, wire, val in _iter_fields(graph):
+        if field == 5 and wire == 2:   # GraphProto.initializer
+            name, arr = _parse_tensor_proto(val)
+            if arr is not None:
+                out[name] = arr
+    return out

@@ -39,57 +39,70 @@ State = Dict[str, jax.Array]
 # --------------------------------------------------------------------------
 
 def init_params(cfg: RwkvConfig, key: jax.Array) -> Params:
-    """Random-init parameter pytree with the stacked-layer layout."""
+    """Random-init parameter pytree with the stacked-layer layout.
+
+    Host-side NumPy generation (utils/init.py): zero per-shape XLA compiles.
+    """
+    from ..utils.init import Initializer
+
+    ini = Initializer(key)
     L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
     V = cfg.padded_vocab_size
     pdt = jnp.dtype(cfg.param_dtype)
     f32 = jnp.float32
-    ks = iter(jax.random.split(key, 64))
 
-    def dense(k, i, o, scale=None):
+    def j(x, dt=f32):
+        # cast on host (ml_dtypes handles bf16 in numpy), then a pure
+        # device_put — jnp.asarray with a dtype change would compile one
+        # conversion program per shape, which is seconds each on a remote
+        # TPU tunnel
+        import numpy as np
+        return jax.device_put(np.asarray(x).astype(dt))
+
+    def dense(i, o, scale=None):
         scale = scale if scale is not None else (i ** -0.5)
-        return (jax.random.normal(k, (L, i, o), f32) * scale).astype(pdt)
+        return j(ini.normal((L, i, o), scale), pdt)
 
     params: Params = {
-        "emb": (jax.random.normal(next(ks), (V, C), f32) * 1e-4).astype(pdt),
-        "ln0_w": jnp.ones((C,), f32), "ln0_b": jnp.zeros((C,), f32),
-        "ln_out_w": jnp.ones((C,), f32), "ln_out_b": jnp.zeros((C,), f32),
-        "head": dense(next(ks), C, V)[0],
+        "emb": j(ini.normal((V, C), 1e-4), pdt),
+        "ln0_w": j(ini.ones((C,))), "ln0_b": j(ini.zeros((C,))),
+        "ln_out_w": j(ini.ones((C,))), "ln_out_b": j(ini.zeros((C,))),
+        "head": j(ini.normal((C, V), C ** -0.5), pdt),
         "blocks": {
-            "ln1_w": jnp.ones((L, C), f32), "ln1_b": jnp.zeros((L, C), f32),
-            "ln2_w": jnp.ones((L, C), f32), "ln2_b": jnp.zeros((L, C), f32),
+            "ln1_w": j(ini.ones((L, C))), "ln1_b": j(ini.zeros((L, C))),
+            "ln2_w": j(ini.ones((L, C))), "ln2_b": j(ini.zeros((L, C))),
             # token-shift interpolation weights
-            "x_r": jnp.zeros((L, C), f32), "x_w": jnp.zeros((L, C), f32),
-            "x_k": jnp.zeros((L, C), f32), "x_v": jnp.zeros((L, C), f32),
-            "x_a": jnp.zeros((L, C), f32), "x_g": jnp.zeros((L, C), f32),
+            "x_r": j(ini.zeros((L, C))), "x_w": j(ini.zeros((L, C))),
+            "x_k": j(ini.zeros((L, C))), "x_v": j(ini.zeros((L, C))),
+            "x_a": j(ini.zeros((L, C))), "x_g": j(ini.zeros((L, C))),
             # dense projections
-            "w_r": dense(next(ks), C, C), "w_k": dense(next(ks), C, C),
-            "w_v": dense(next(ks), C, C), "w_o": dense(next(ks), C, C),
+            "w_r": dense(C, C), "w_k": dense(C, C),
+            "w_v": dense(C, C), "w_o": dense(C, C),
             # decay LoRA: w = -softplus(-(w0 + tanh(x@w1)@w2)) - 0.5
-            "w0": jnp.full((L, C), -4.0, f32),
-            "w1": dense(next(ks), C, cfg.decay_lora, 0.0),
-            "w2": dense(next(ks), cfg.decay_lora, C, cfg.decay_lora ** -0.5),
+            "w0": j(ini.full((L, C), -4.0)),
+            "w1": dense(C, cfg.decay_lora, 0.0),
+            "w2": dense(cfg.decay_lora, C, cfg.decay_lora ** -0.5),
             # in-context learning rate LoRA: a = sigmoid(a0 + (x@a1)@a2)
-            "a0": jnp.zeros((L, C), f32),
-            "a1": dense(next(ks), C, cfg.a_lora, 0.0),
-            "a2": dense(next(ks), cfg.a_lora, C, cfg.a_lora ** -0.5),
+            "a0": j(ini.zeros((L, C))),
+            "a1": dense(C, cfg.a_lora, 0.0),
+            "a2": dense(cfg.a_lora, C, cfg.a_lora ** -0.5),
             # value-residual LoRA (layers > 0): v += (v0_first - v)·σ(v0+(x@v1)@v2)
-            "v0": jnp.zeros((L, C), f32),
-            "v1": dense(next(ks), C, cfg.v_lora, 0.0),
-            "v2": dense(next(ks), cfg.v_lora, C, cfg.v_lora ** -0.5),
+            "v0": j(ini.zeros((L, C))),
+            "v1": dense(C, cfg.v_lora, 0.0),
+            "v2": dense(cfg.v_lora, C, cfg.v_lora ** -0.5),
             # output gate LoRA: g = σ(x@g1)@g2
-            "g1": dense(next(ks), C, cfg.gate_lora, 0.0),
-            "g2": dense(next(ks), cfg.gate_lora, C, cfg.gate_lora ** -0.5),
+            "g1": dense(C, cfg.gate_lora, 0.0),
+            "g2": dense(cfg.gate_lora, C, cfg.gate_lora ** -0.5),
             # key shaping
-            "k_k": jnp.full((L, C), 0.85, f32),
-            "k_a": jnp.ones((L, C), f32),
-            "r_k": jnp.zeros((L, H, N), f32),
+            "k_k": j(ini.full((L, C), 0.85)),
+            "k_a": j(ini.ones((L, C))),
+            "r_k": j(ini.zeros((L, H, N))),
             # post-WKV group norm (ln_x)
-            "ln_x_w": jnp.ones((L, C), f32), "ln_x_b": jnp.zeros((L, C), f32),
+            "ln_x_w": j(ini.ones((L, C))), "ln_x_b": j(ini.zeros((L, C))),
             # channel mix
-            "ffn_x_k": jnp.zeros((L, C), f32),
-            "ffn_k": dense(next(ks), C, cfg.ffn_mult * C),
-            "ffn_v": dense(next(ks), cfg.ffn_mult * C, C),
+            "ffn_x_k": j(ini.zeros((L, C))),
+            "ffn_k": dense(C, cfg.ffn_mult * C),
+            "ffn_v": dense(cfg.ffn_mult * C, C),
         },
     }
     return params

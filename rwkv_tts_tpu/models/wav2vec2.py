@@ -33,46 +33,52 @@ Params = Dict[str, Any]
 OUTPUT_LAYERS = (11, 14, 16)
 
 
-def _linear_init(key, i, o, scale=None):
-    scale = scale if scale is not None else (i ** -0.5)
-    return jax.random.normal(key, (i, o), jnp.float32) * scale
-
-
 def init_params(cfg: Wav2Vec2Config, key: jax.Array) -> Params:
-    ks = iter(jax.random.split(key, 16 + 12 * cfg.num_layers))
+    """Host-side NumPy init (utils/init.py): zero per-shape XLA compiles."""
+    import numpy as np
+
+    from ..utils.init import Initializer
+
+    ini = Initializer(key)
     H = cfg.hidden_size
+
+    def lin(i, o, scale=None):
+        return ini.normal((i, o), scale if scale is not None else i ** -0.5)
+
     convs = []
     in_ch = 1
     for out_ch, k, s in zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides):
         convs.append({
-            "w": jax.random.normal(next(ks), (out_ch, in_ch, k), jnp.float32)
-                 * (in_ch * k) ** -0.5,
-            "ln_w": jnp.ones((out_ch,)), "ln_b": jnp.zeros((out_ch,)),
+            "w": jnp.asarray(ini.normal((out_ch, in_ch, k), (in_ch * k) ** -0.5)),
+            "ln_w": jnp.asarray(ini.ones((out_ch,))),
+            "ln_b": jnp.asarray(ini.zeros((out_ch,))),
         })
         in_ch = out_ch
     layers = []
     for _ in range(cfg.num_layers):
         layers.append({
-            "ln1_w": jnp.ones((H,)), "ln1_b": jnp.zeros((H,)),
-            "q": _linear_init(next(ks), H, H), "q_b": jnp.zeros((H,)),
-            "k": _linear_init(next(ks), H, H), "k_b": jnp.zeros((H,)),
-            "v": _linear_init(next(ks), H, H), "v_b": jnp.zeros((H,)),
-            "o": _linear_init(next(ks), H, H), "o_b": jnp.zeros((H,)),
-            "ln2_w": jnp.ones((H,)), "ln2_b": jnp.zeros((H,)),
-            "fc1": _linear_init(next(ks), H, cfg.ffn_size), "fc1_b": jnp.zeros((cfg.ffn_size,)),
-            "fc2": _linear_init(next(ks), cfg.ffn_size, H), "fc2_b": jnp.zeros((H,)),
+            "ln1_w": ini.ones((H,)), "ln1_b": ini.zeros((H,)),
+            "q": lin(H, H), "q_b": ini.zeros((H,)),
+            "k": lin(H, H), "k_b": ini.zeros((H,)),
+            "v": lin(H, H), "v_b": ini.zeros((H,)),
+            "o": lin(H, H), "o_b": ini.zeros((H,)),
+            "ln2_w": ini.ones((H,)), "ln2_b": ini.zeros((H,)),
+            "fc1": lin(H, cfg.ffn_size), "fc1_b": ini.zeros((cfg.ffn_size,)),
+            "fc2": lin(cfg.ffn_size, H), "fc2_b": ini.zeros((H,)),
         })
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *layers)
     return {
         "convs": convs,
-        "proj_ln_w": jnp.ones((cfg.conv_dims[-1],)),
-        "proj_ln_b": jnp.zeros((cfg.conv_dims[-1],)),
-        "proj_w": _linear_init(next(ks), cfg.conv_dims[-1], H),
-        "proj_b": jnp.zeros((H,)),
-        "pos_conv_w": jax.random.normal(next(ks), (H, H // 16, 128), jnp.float32)
-                      * (H // 16 * 128) ** -0.5,
-        "pos_conv_b": jnp.zeros((H,)),
-        "enc_ln_w": jnp.ones((H,)), "enc_ln_b": jnp.zeros((H,)),
+        "proj_ln_w": jnp.asarray(ini.ones((cfg.conv_dims[-1],))),
+        "proj_ln_b": jnp.asarray(ini.zeros((cfg.conv_dims[-1],))),
+        "proj_w": jnp.asarray(lin(cfg.conv_dims[-1], H)),
+        "proj_b": jnp.asarray(ini.zeros((H,))),
+        "pos_conv_w": jnp.asarray(
+            ini.normal((H, H // 16, 128), (H // 16 * 128) ** -0.5)),
+        "pos_conv_b": jnp.asarray(ini.zeros((H,))),
+        "enc_ln_w": jnp.asarray(ini.ones((H,))),
+        "enc_ln_b": jnp.asarray(ini.zeros((H,))),
         "layers": stacked,
     }
 

@@ -38,6 +38,7 @@ from ..config import EngineConfig, RwkvConfig, TtsArgs
 from ..models import rwkv7
 from ..ops.sampling import filtered_probs, sample_token
 from ..tokenizer import load_tokenizer
+from ..utils.init import raw_threefry_key
 from ..tokenizer.properties import convert_standard_properties_to_tokens
 
 
@@ -268,10 +269,8 @@ class TtsEngine:
 
         if zero_shot:
             ref_globals = [list(r.ref_global_tokens or []) for r in requests]
-            sem_keys = jnp.asarray(
-                [jax.random.key_data(jax.random.PRNGKey(s + C.SEMANTIC_SEED_OFFSET))
-                 for s in seeds], jnp.uint32)
-            sem_keys = jax.vmap(jax.random.wrap_key_data)(sem_keys)
+            sem_keys = jnp.asarray(np.stack(
+                [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
             sem, sem_lens, state = semantic_stage(
                 self.params, state, logits, sem_keys, limits, hard_min,
                 cfg, ecfg.max_semantic_tokens, True,
@@ -285,19 +284,15 @@ class TtsEngine:
             return out
 
         # normal mode: global stage, then TAG_1, then semantic
-        glob_keys = jnp.asarray(
-            [jax.random.key_data(jax.random.PRNGKey(s + C.GLOBAL_SEED_OFFSET))
-             for s in seeds], jnp.uint32)
-        glob_keys = jax.vmap(jax.random.wrap_key_data)(glob_keys)
+        glob_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(s + C.GLOBAL_SEED_OFFSET) for s in seeds]))
         glob, state, logits = global_stage(self.params, state, logits, glob_keys, cfg)
 
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
         logits, state = rwkv7.step(self.params, tag1, state, cfg)
 
-        sem_keys = jnp.asarray(
-            [jax.random.key_data(jax.random.PRNGKey(s + C.SEMANTIC_SEED_OFFSET))
-             for s in seeds], jnp.uint32)
-        sem_keys = jax.vmap(jax.random.wrap_key_data)(sem_keys)
+        sem_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
         sem, sem_lens, state = semantic_stage(
             self.params, state, logits, sem_keys, limits, hard_min,
             cfg, ecfg.max_semantic_tokens, False,

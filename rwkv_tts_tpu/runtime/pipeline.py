@@ -1,0 +1,206 @@
+"""End-to-end TTS pipeline: text → tokens → waveform, plus voice enrollment.
+
+The analog of ``LightweightTtsPipeline`` (src/lightweight_tts_pipeline.rs):
+voice-token resolution priority chain (voice_id → direct tokens → ref audio →
+property tokens, :747-787), batch synthesis, audio decode and save, and the
+enrollment path (extract → store). Per-request stage timing feeds the RTF
+instrumentation the reference reports in every response
+(bin/server.rs:631-676).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .. import constants as C
+from ..audio import io as audio_io
+from ..audio.frontend import load_and_process, zero_mean_unit_variance
+from ..config import (
+    BiCodecConfig,
+    EngineConfig,
+    RwkvConfig,
+    TtsArgs,
+    Wav2Vec2Config,
+)
+from ..models import bicodec, rwkv7, wav2vec2
+from ..utils.rtf import StageTimer
+from .engine import GenerationResult, TtsEngine
+from .voice_store import VoiceStore
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    audio: np.ndarray            # f32 waveform @16 kHz
+    sample_rate: int
+    global_tokens: List[int]
+    semantic_tokens: List[int]
+    timings_ms: Dict[str, float]
+    rtf: float
+
+
+class TtsPipeline:
+    """Owns all three models + the voice store.
+
+    Construction takes parameter pytrees so tests can inject small
+    random-weight models; ``from_checkpoints`` wires the real files.
+    """
+
+    def __init__(self, lm_params, lm_cfg: RwkvConfig,
+                 bicodec_params, bicodec_cfg: BiCodecConfig,
+                 w2v_params=None, w2v_cfg: Optional[Wav2Vec2Config] = None,
+                 voice_store: Optional[VoiceStore] = None,
+                 engine_cfg: EngineConfig = EngineConfig(),
+                 tokenizer=None, use_pallas: Optional[bool] = None,
+                 w2v_output_layers=wav2vec2.OUTPUT_LAYERS):
+        self.engine = TtsEngine(lm_params, lm_cfg, engine_cfg,
+                                tokenizer=tokenizer, use_pallas=use_pallas)
+        self.bicodec_params = bicodec_params
+        self.bicodec_cfg = bicodec_cfg
+        self.w2v_params = w2v_params
+        self.w2v_cfg = w2v_cfg
+        self.w2v_output_layers = w2v_output_layers
+        self.voice_store = voice_store
+
+    @classmethod
+    def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
+                         dtype: str = "bfloat16", **kw):
+        from ..models.convert import load_rwkv7
+        lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
+        bc_cfg = BiCodecConfig()
+        w2v_cfg = Wav2Vec2Config()
+        key = jax.random.PRNGKey(0)
+        # Codec weights import from ONNX via models/convert.py when the
+        # graph files are present; random init otherwise (dev environments).
+        bc_params = bicodec.init_params(bc_cfg, key)
+        w2v_params = wav2vec2.init_params(w2v_cfg, key)
+        return cls(lm_params, lm_cfg, bc_params, bc_cfg, w2v_params, w2v_cfg,
+                   voice_store=VoiceStore(raf_dir), **kw)
+
+    # ------------------------------------------------------------------
+    # voice-token resolution (priority chain, lightweight_tts_pipeline.rs:747-787)
+    # ------------------------------------------------------------------
+
+    def resolve_voice(self, args: TtsArgs) -> TtsArgs:
+        if args.voice_id and self.voice_store is not None:
+            g, s, prompt = self.voice_store.get_voice_tokens(args.voice_id)
+            return dataclasses.replace(
+                args, zero_shot=True, ref_global_tokens=g,
+                ref_semantic_tokens=s,
+                prompt_text=args.prompt_text or prompt,
+                # cloning forces a deterministic seed
+                # (dynamic_batch_manager.rs:435-441)
+                seed=args.seed if args.seed is not None else 0,
+            )
+        if args.ref_global_tokens:
+            return dataclasses.replace(
+                args, zero_shot=True,
+                seed=args.seed if args.seed is not None else 0,
+            )
+        return dataclasses.replace(args, zero_shot=False)
+
+    # ------------------------------------------------------------------
+    # synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize(self, args: TtsArgs) -> SynthesisResult:
+        return self.synthesize_batch([args])[0]
+
+    def synthesize_batch(self, requests: Sequence[TtsArgs]
+                         ) -> List[SynthesisResult]:
+        timer = StageTimer()
+        resolved = [self.resolve_voice(a) for a in requests]
+
+        with timer.stage("generate"):
+            # group by mode, preserve order
+            order = list(range(len(resolved)))
+            normal = [i for i in order if not resolved[i].zero_shot]
+            zshot = [i for i in order if resolved[i].zero_shot]
+            gens: List[Optional[GenerationResult]] = [None] * len(resolved)
+            if normal:
+                for i, g in zip(normal, self.engine.generate_batch(
+                        [resolved[i] for i in normal])):
+                    gens[i] = g
+            if zshot:
+                for i, g in zip(zshot, self.engine.generate_batch(
+                        [resolved[i] for i in zshot])):
+                    gens[i] = g
+
+        with timer.stage("detokenize"):
+            audios = []
+            for g in gens:
+                if g.semantic_tokens:
+                    wav = bicodec.detokenize(
+                        self.bicodec_params, g.global_tokens or [0] * 32,
+                        g.semantic_tokens, self.bicodec_cfg,
+                    )[0]
+                else:
+                    # failed/empty generation → 1 s of silence
+                    # (lightweight_tts_pipeline.rs:828-830)
+                    wav = np.zeros(C.SAMPLE_RATE, np.float32)
+                audios.append(wav)
+
+        total_s = timer.total_seconds()
+        out = []
+        for g, wav in zip(gens, audios):
+            dur = len(wav) / C.SAMPLE_RATE
+            out.append(SynthesisResult(
+                audio=wav, sample_rate=C.SAMPLE_RATE,
+                global_tokens=g.global_tokens,
+                semantic_tokens=g.semantic_tokens,
+                timings_ms=timer.as_ms(),
+                rtf=(total_s / dur) if dur > 0 else 0.0,
+            ))
+        return out
+
+    # ------------------------------------------------------------------
+    # enrollment (voice cloning extraction)
+    # ------------------------------------------------------------------
+
+    def extract_voice_tokens(self, audio_path: str):
+        """ref audio file → (global_tokens, semantic_tokens, duration_s).
+        Chain parity: bin/server.rs:195-276 + ref_audio_utilities.rs:1047-1257."""
+        if self.w2v_params is None:
+            raise RuntimeError("wav2vec2 weights not loaded")
+        pa = load_and_process(audio_path)
+        z = zero_mean_unit_variance(pa.wav)
+        feat = wav2vec2.extract_features(
+            self.w2v_params, z[None, :], self.w2v_cfg,
+            output_layers=self.w2v_output_layers,
+        )
+        sem, glob = bicodec.encode(
+            self.bicodec_params, feat, pa.ref_mel[None], self.bicodec_cfg
+        )
+        sem = [int(x) for x in np.asarray(sem[0])]
+        glob = [int(x) for x in np.asarray(glob[0])]
+        return glob, sem, pa.duration
+
+    def enroll_voice(self, audio_path: str, name: str, prompt_text: str = ""):
+        if self.voice_store is None:
+            raise RuntimeError("no voice store configured")
+        glob, sem, dur = self.extract_voice_tokens(audio_path)
+        return self.voice_store.save(
+            name=name, prompt_text=prompt_text, global_tokens=glob,
+            semantic_tokens=sem, audio_duration=dur,
+            sample_rate=C.SAMPLE_RATE,
+        )
+
+    # ------------------------------------------------------------------
+    # saving
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def save_audio(result: SynthesisResult, path: str) -> None:
+        if path.lower().endswith(".mp3"):
+            blob = audio_io.encode_mp3(result.audio, result.sample_rate)
+        else:
+            blob = audio_io.encode_wav_16bit(result.audio, result.sample_rate)
+        with open(path, "wb") as f:
+            f.write(blob)

@@ -1,0 +1,325 @@
+"""HTTP serving layer: REST API + embedded Web UI.
+
+Route and payload parity with the reference server (bin/server.rs:1445-1451):
+
+  POST /api/tts                  {text, temperature?, top_p?, speed (number
+                                  or class string), voice_id?, seed?, age?,
+                                  gender?, emotion?, pitch?, prompt_text?}
+                                  → {success, message, audio_base64,
+                                     duration_ms, rtf}
+  POST /api/voice-clone/extract  multipart {voice_name, prompt_text,
+                                  audio_file} → {success, message, voice_id}
+  GET  /api/voice-clone/list     → {success, voices: [...]}
+  POST /api/voice-clone/delete   {voice_id} → {success, message}
+  GET  /{*path}                  embedded static UI
+  GET  /metrics                  Prometheus text (new — the reference has
+                                  stats structs but no endpoint, SURVEY.md §5)
+
+Run: ``python -m rwkv_tts_tpu.server.app --port 3000 [--model-path …]``.
+Without a checkpoint on disk it serves with random weights (dev mode) so the
+whole stack stays drivable end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import logging
+import os
+import tempfile
+import time
+import uuid
+
+from aiohttp import web
+
+from .. import constants as C
+from ..config import BatchConfig, BiCodecConfig, EngineConfig, RwkvConfig, TtsArgs, Wav2Vec2Config
+from ..runtime.batching import DynamicBatcher, InferenceTimeout
+from ..runtime.pipeline import TtsPipeline
+from ..runtime.voice_store import VoiceStore
+from ..audio.io import encode_wav_16bit
+
+log = logging.getLogger("rwkv_tts_tpu.server")
+
+STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+_ALLOWED_SPEEDS = {"very_slow", "slow", "medium", "fast", "very_fast"}
+
+
+def coerce_speed(value) -> str:
+    """Accept a class string or a number (server thresholds differ from the
+    property classifier — bin/server.rs:528-554: ≤3.4 / ≤4.0 / ≤4.5 / ≤4.8)."""
+    if value is None:
+        return "medium"
+    if isinstance(value, str):
+        return value if value in _ALLOWED_SPEEDS else "medium"
+    try:
+        x = float(value)
+    except (TypeError, ValueError):
+        return "medium"
+    if x <= 3.4:
+        return "very_slow"
+    if x <= 4.0:
+        return "slow"
+    if x <= 4.5:
+        return "medium"
+    if x <= 4.8:
+        return "fast"
+    return "very_fast"
+
+
+def build_tts_args(payload: dict) -> TtsArgs:
+    return TtsArgs(
+        text=str(payload.get("text", "")),
+        temperature=float(payload.get("temperature") or 1.0),
+        top_p=float(payload.get("top_p") or 0.95),
+        top_k=100,                         # hardcoded like the reference (:556-584)
+        max_tokens=8000,
+        seed=(int(payload["seed"]) if payload.get("seed") is not None else None),
+        voice_id=payload.get("voice_id") or None,
+        prompt_text=str(payload.get("prompt_text") or ""),
+        age=str(payload.get("age") or "youth-adult"),
+        gender=str(payload.get("gender") or "female"),
+        emotion=str(payload.get("emotion") or "NEUTRAL"),
+        pitch=str(payload.get("pitch") or "medium_pitch"),
+        speed=coerce_speed(payload.get("speed")),
+    )
+
+
+# --------------------------------------------------------------------------
+# handlers
+# --------------------------------------------------------------------------
+
+async def handle_tts(request: web.Request) -> web.Response:
+    app = request.app
+    try:
+        payload = await request.json()
+    except Exception:
+        return _err("invalid JSON body", status=400)
+    text = str(payload.get("text", "")).strip()
+    if not text:
+        return _err("text is required", status=400)
+    args = build_tts_args(payload)
+    t0 = time.perf_counter()
+    try:
+        result = await app["batcher"].submit(args)
+    except InferenceTimeout as e:
+        return _err(str(e), status=504)
+    except FileNotFoundError as e:
+        return _err(str(e), status=404)
+    except Exception as e:  # noqa: BLE001
+        log.exception("tts failed")
+        return _err(f"synthesis failed: {e}", status=500)
+    wav = encode_wav_16bit(result.audio, result.sample_rate)
+    dur_ms = int((time.perf_counter() - t0) * 1000)
+    app["metrics"]["tts_requests"] += 1
+    app["metrics"]["tts_audio_seconds"] += len(result.audio) / result.sample_rate
+    return web.json_response({
+        "success": True,
+        "message": "ok",
+        "audio_base64": base64.b64encode(wav).decode(),
+        "duration_ms": dur_ms,
+        "rtf": result.rtf,
+        "timings_ms": result.timings_ms,
+    })
+
+
+async def handle_voice_extract(request: web.Request) -> web.Response:
+    app = request.app
+    reader = await request.multipart()
+    voice_name, prompt_text, tmp_path = "", "", None
+    suffix = ".wav"
+    try:
+        async for part in reader:
+            if part.name == "voice_name":
+                voice_name = (await part.text()).strip()
+            elif part.name == "prompt_text":
+                prompt_text = (await part.text()).strip()
+            elif part.name == "audio_file":
+                fn = (part.filename or "").lower()
+                if fn.endswith(".mp3"):
+                    suffix = ".mp3"
+                fd, tmp_path = tempfile.mkstemp(
+                    prefix=f"voice_{uuid.uuid4().hex[:8]}_", suffix=suffix)
+                with os.fdopen(fd, "wb") as f:
+                    while True:
+                        chunk = await part.read_chunk(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+        if not voice_name:
+            return _err("voice_name is required", status=400)
+        if tmp_path is None:
+            return _err("audio_file is required", status=400)
+        loop = asyncio.get_running_loop()
+        feat = await loop.run_in_executor(
+            None, app["pipeline"].enroll_voice, tmp_path, voice_name, prompt_text)
+        app["metrics"]["voices_extracted"] += 1
+        return web.json_response({
+            "success": True, "message": "voice extracted",
+            "voice_id": feat.id,
+        })
+    except Exception as e:  # noqa: BLE001
+        log.exception("voice extract failed")
+        return _err(f"voice extraction failed: {e}", status=500)
+    finally:
+        if tmp_path and os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
+
+async def handle_voice_list(request: web.Request) -> web.Response:
+    store: VoiceStore = request.app["voice_store"]
+    return web.json_response({"success": True, "voices": store.list()})
+
+
+async def handle_voice_delete(request: web.Request) -> web.Response:
+    store: VoiceStore = request.app["voice_store"]
+    try:
+        payload = await request.json()
+        vid = payload["voice_id"]
+    except Exception:
+        return _err("voice_id is required", status=400)
+    ok = store.delete(vid)
+    return web.json_response({
+        "success": ok,
+        "message": "deleted" if ok else f"voice not found: {vid}",
+    }, status=200 if ok else 404)
+
+
+async def handle_metrics(request: web.Request) -> web.Response:
+    m = dict(request.app["metrics"])
+    m.update({f"batcher_{k}": v for k, v in request.app["batcher"].stats.items()})
+    store = request.app["voice_store"]
+    m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
+    lines = [f"rwkv_tts_{k} {v}" for k, v in sorted(m.items())]
+    return web.Response(text="\n".join(lines) + "\n",
+                        content_type="text/plain")
+
+
+async def handle_index(request: web.Request) -> web.Response:
+    return web.FileResponse(os.path.join(STATIC_DIR, "index.html"))
+
+
+def _err(msg: str, status: int = 500) -> web.Response:
+    return web.json_response({"success": False, "error": msg,
+                              "message": msg}, status=status)
+
+
+# --------------------------------------------------------------------------
+# middlewares (CORS + request logging, bin/server.rs:988-1026)
+# --------------------------------------------------------------------------
+
+@web.middleware
+async def cors_middleware(request, handler):
+    if request.method == "OPTIONS":
+        resp = web.Response()
+    else:
+        resp = await handler(request)
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+    return resp
+
+
+@web.middleware
+async def logging_middleware(request, handler):
+    t0 = time.perf_counter()
+    resp = await handler(request)
+    log.info("%s %s -> %s (%.1f ms)", request.method, request.path,
+             resp.status, (time.perf_counter() - t0) * 1000)
+    return resp
+
+
+# --------------------------------------------------------------------------
+# app factory
+# --------------------------------------------------------------------------
+
+def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
+               ) -> web.Application:
+    app = web.Application(middlewares=[cors_middleware, logging_middleware],
+                          client_max_size=100 * 1024 * 1024)
+    app["pipeline"] = pipeline
+    app["voice_store"] = pipeline.voice_store
+    app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
+    app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
+                      "voices_extracted": 0}
+
+    app.router.add_post("/api/tts", handle_tts)
+    app.router.add_post("/api/voice-clone/extract", handle_voice_extract)
+    app.router.add_get("/api/voice-clone/list", handle_voice_list)
+    app.router.add_post("/api/voice-clone/delete", handle_voice_delete)
+    app.router.add_get("/metrics", handle_metrics)
+    app.router.add_get("/", handle_index)
+    app.router.add_static("/", STATIC_DIR, show_index=False)
+
+    async def on_cleanup(app):
+        await app["batcher"].close()
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def build_dev_pipeline(raf_dir: str = "assets/raf") -> TtsPipeline:
+    """Random-weight pipeline for environments without checkpoints."""
+    import jax
+    from ..models import bicodec, rwkv7, wav2vec2
+    # small dims: dev mode exists to exercise the full serving path, and
+    # startup transfer bandwidth through a remote TPU tunnel is limited
+    lm_cfg = RwkvConfig(n_layer=2, n_embd=256, head_size=64, dtype="float32",
+                        param_dtype="float32")
+    bc_cfg = BiCodecConfig(latent_dim=128, vocoder_dim=128)
+    w2v_cfg = Wav2Vec2Config(num_layers=2, hidden_size=256, num_heads=4,
+                             ffn_size=512, conv_dims=(64,) * 7)
+    key = jax.random.PRNGKey(0)
+    return TtsPipeline(
+        rwkv7.init_params(lm_cfg, key), lm_cfg,
+        bicodec.init_params(bc_cfg, key), bc_cfg,
+        wav2vec2.init_params(w2v_cfg, key), w2v_cfg,
+        voice_store=VoiceStore(raf_dir),
+        engine_cfg=EngineConfig(),
+        w2v_output_layers=(1, 2),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("rwkvtts_server (TPU)")
+    p.add_argument("--port", type=int, default=3000)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
+    p.add_argument("--vocab-path", default=None)
+    p.add_argument("--raf-dir", default="assets/raf")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-timeout", type=float, default=20.0,
+                   help="collect window, ms")
+    p.add_argument("--inference-timeout", type=float, default=120000.0)
+    p.add_argument("--quant-type", choices=["none", "int8"], default="none")
+    p.add_argument("--quant-layers", type=int, default=0)
+    p.add_argument("--token-chunk-size", type=int, default=256)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    log.info("initializing models …")
+    if os.path.exists(args.model_path):
+        pipeline = TtsPipeline.from_checkpoints(args.model_path,
+                                                raf_dir=args.raf_dir)
+        log.info("loaded checkpoint %s", args.model_path)
+    else:
+        log.warning("checkpoint %s not found — serving with random weights "
+                    "(dev mode)", args.model_path)
+        pipeline = build_dev_pipeline(args.raf_dir)
+
+    log.info("models ready; building app")
+    batch_cfg = BatchConfig(
+        max_batch_size=args.batch_size,
+        collect_timeout_ms=args.batch_timeout,
+        inference_timeout_ms=args.inference_timeout,
+    )
+    app = create_app(pipeline, batch_cfg)
+    log.info("serving on http://%s:%d", args.host, args.port)
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Checkpoint-import tests using synthetic files in the official formats."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.models.convert import (
+    infer_config,
+    load_rwkv7,
+    read_onnx_initializers,
+    read_safetensors,
+)
+
+
+def write_safetensors(path, tensors):
+    header = {}
+    blobs = []
+    off = 0
+    for name, arr in tensors.items():
+        raw = arr.astype("<f4").tobytes()
+        header[name] = {
+            "dtype": "F32", "shape": list(arr.shape),
+            "data_offsets": [off, off + len(raw)],
+        }
+        blobs.append(raw)
+        off += len(raw)
+    h = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(h)))
+        f.write(h)
+        f.write(b"".join(blobs))
+
+
+def make_rwkv7_checkpoint(L=2, C=128, H=2, N=64, V=1000,
+                          Dw=32, Da=32, Dv=16, Dg=32):
+    rng = np.random.default_rng(0)
+    t = {
+        "emb.weight": rng.normal(0, 0.01, (V, C)).astype(np.float32),
+        "head.weight": rng.normal(0, 0.01, (V, C)).astype(np.float32),
+        "ln_out.weight": np.ones(C, np.float32),
+        "ln_out.bias": np.zeros(C, np.float32),
+        "blocks.0.ln0.weight": np.ones(C, np.float32),
+        "blocks.0.ln0.bias": np.zeros(C, np.float32),
+    }
+    for i in range(L):
+        p = f"blocks.{i}."
+        t[p + "ln1.weight"] = np.ones(C, np.float32)
+        t[p + "ln1.bias"] = np.zeros(C, np.float32)
+        t[p + "ln2.weight"] = np.ones(C, np.float32)
+        t[p + "ln2.bias"] = np.zeros(C, np.float32)
+        for nm in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g"):
+            t[p + f"att.{nm}"] = rng.normal(0, 0.1, (1, 1, C)).astype(np.float32)
+        for nm in ("receptance", "key", "value", "output"):
+            t[p + f"att.{nm}.weight"] = rng.normal(0, 0.02, (C, C)).astype(np.float32)
+        t[p + "att.w0"] = np.full((1, 1, C), -4.0, np.float32)
+        t[p + "att.w1"] = rng.normal(0, 0.01, (C, Dw)).astype(np.float32)
+        t[p + "att.w2"] = rng.normal(0, 0.01, (Dw, C)).astype(np.float32)
+        t[p + "att.a0"] = np.zeros((1, 1, C), np.float32)
+        t[p + "att.a1"] = rng.normal(0, 0.01, (C, Da)).astype(np.float32)
+        t[p + "att.a2"] = rng.normal(0, 0.01, (Da, C)).astype(np.float32)
+        if i > 0:
+            t[p + "att.v0"] = np.zeros((1, 1, C), np.float32)
+            t[p + "att.v1"] = rng.normal(0, 0.01, (C, Dv)).astype(np.float32)
+            t[p + "att.v2"] = rng.normal(0, 0.01, (Dv, C)).astype(np.float32)
+        t[p + "att.g1"] = rng.normal(0, 0.01, (C, Dg)).astype(np.float32)
+        t[p + "att.g2"] = rng.normal(0, 0.01, (Dg, C)).astype(np.float32)
+        t[p + "att.k_k"] = np.full((1, 1, C), 0.85, np.float32)
+        t[p + "att.k_a"] = np.ones((1, 1, C), np.float32)
+        t[p + "att.r_k"] = rng.normal(0, 0.1, (H, N)).astype(np.float32)
+        t[p + "att.ln_x.weight"] = np.ones(C, np.float32)
+        t[p + "att.ln_x.bias"] = np.zeros(C, np.float32)
+        t[p + "ffn.x_k"] = rng.normal(0, 0.1, (1, 1, C)).astype(np.float32)
+        t[p + "ffn.key.weight"] = rng.normal(0, 0.02, (4 * C, C)).astype(np.float32)
+        t[p + "ffn.value.weight"] = rng.normal(0, 0.02, (C, 4 * C)).astype(np.float32)
+    return t
+
+
+def test_safetensors_roundtrip(tmp_path):
+    p = str(tmp_path / "m.safetensors")
+    t = {"a": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    write_safetensors(p, t)
+    back = read_safetensors(p)
+    np.testing.assert_array_equal(back["a"], t["a"])
+
+
+def test_infer_config_from_shapes(tmp_path):
+    t = make_rwkv7_checkpoint()
+    cfg = infer_config(t)
+    assert cfg.n_layer == 2 and cfg.n_embd == 128
+    assert cfg.n_head == 2 and cfg.head_size == 64
+    assert cfg.vocab_size == 1000 and cfg.padded_vocab_size == 1024
+    assert cfg.decay_lora == 32 and cfg.v_lora == 16 and cfg.gate_lora == 32
+    assert cfg.ffn_mult == 4
+
+
+def test_load_and_run(tmp_path):
+    import jax.numpy as jnp
+    from rwkv_tts_tpu.models import rwkv7
+
+    p = str(tmp_path / "webrwkv.safetensors")
+    write_safetensors(p, make_rwkv7_checkpoint())
+    params, cfg = load_rwkv7(p, dtype="float32")
+    state = rwkv7.init_state(cfg, 1)
+    logits, state = rwkv7.forward(params, jnp.array([[1, 2, 3]]), state, cfg)
+    assert logits.shape == (1, 1024)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # padded vocab rows exist but true-vocab weights are preserved
+    np.testing.assert_allclose(
+        np.asarray(params["emb"][:1000], np.float32),
+        make_rwkv7_checkpoint()["emb.weight"], atol=1e-6,
+    )
+
+
+def _varint(v):
+    out = b""
+    while True:
+        b7 = v & 0x7F
+        v >>= 7
+        out += bytes([b7 | (0x80 if v else 0)])
+        if not v:
+            return out
+
+
+def _field(num, wire, payload):
+    tag = _varint((num << 3) | wire)
+    if wire == 2:
+        return tag + _varint(len(payload)) + payload
+    return tag + payload
+
+
+def test_onnx_initializer_parse(tmp_path):
+    # hand-encode a minimal ModelProto{graph{initializer{...}}}
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    tensor = (
+        _field(1, 0, _varint(3)) + _field(1, 0, _varint(4))   # dims
+        + _field(2, 0, _varint(1))                             # float32
+        + _field(8, 2, b"my.weight")                          # name
+        + _field(9, 2, arr.tobytes())                          # raw_data
+    )
+    ints = np.array([5, -2], np.int64)
+    t2 = (
+        _field(1, 0, _varint(2))
+        + _field(2, 0, _varint(7))                             # int64
+        + _field(8, 2, b"my.bias")
+        + _field(9, 2, ints.tobytes())
+    )
+    graph = _field(5, 2, tensor) + _field(5, 2, t2)
+    model = _field(7, 2, graph)
+    p = str(tmp_path / "toy.onnx")
+    with open(p, "wb") as f:
+        f.write(model)
+    inits = read_onnx_initializers(p)
+    np.testing.assert_array_equal(inits["my.weight"], arr)
+    np.testing.assert_array_equal(inits["my.bias"], ints)

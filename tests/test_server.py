@@ -1,0 +1,183 @@
+"""End-to-end HTTP API tests (tiny random-weight models, aiohttp TestClient).
+
+No pytest-asyncio in this environment: each test drives its own event loop.
+"""
+
+import asyncio
+import base64
+import io
+import json
+
+import jax
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from rwkv_tts_tpu.audio.io import encode_wav_16bit, read_wav
+from rwkv_tts_tpu.config import (
+    BatchConfig,
+    BiCodecConfig,
+    EngineConfig,
+    RwkvConfig,
+    TtsArgs,
+    Wav2Vec2Config,
+)
+from rwkv_tts_tpu.models import bicodec, rwkv7, wav2vec2
+from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+from rwkv_tts_tpu.runtime.voice_store import VoiceStore
+from rwkv_tts_tpu.server.app import coerce_speed, create_app
+
+
+def tiny_pipeline(tmpdir) -> TtsPipeline:
+    lm_cfg = RwkvConfig(
+        n_layer=2, n_embd=128, head_size=64, vocab_size=77923,
+        padded_vocab_size=78080, decay_lora=32, a_lora=32, v_lora=16,
+        gate_lora=32, dtype="float32", param_dtype="float32",
+    )
+    bc_cfg = BiCodecConfig(latent_dim=64, vocoder_dim=64, feat_dim=32)
+    w2v_cfg = Wav2Vec2Config(num_layers=2, hidden_size=32, num_heads=2,
+                             ffn_size=64, conv_dims=(16,) * 7)
+    key = jax.random.PRNGKey(0)
+    return TtsPipeline(
+        rwkv7.init_params(lm_cfg, key), lm_cfg,
+        bicodec.init_params(bc_cfg, key), bc_cfg,
+        wav2vec2.init_params(w2v_cfg, key), w2v_cfg,
+        voice_store=VoiceStore(str(tmpdir)),
+        engine_cfg=EngineConfig(prefill_buckets=(32, 64, 128),
+                                max_semantic_tokens=16),
+        use_pallas=False,
+        w2v_output_layers=(1, 2),
+    )
+
+
+def run_client(tmpdir, coro_fn):
+    async def runner():
+        app = create_app(tiny_pipeline(tmpdir),
+                         BatchConfig(max_batch_size=4, collect_timeout_ms=5,
+                                     inference_timeout_ms=120000))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await coro_fn(client)
+        finally:
+            await client.close()
+    return asyncio.run(runner())
+
+
+def test_tts_endpoint(tmp_path):
+    async def go(client):
+        r = await client.post("/api/tts", json={
+            "text": "hello world", "seed": 42, "speed": 4.2,
+        })
+        assert r.status == 200
+        j = await r.json()
+        assert j["success"] is True
+        assert j["rtf"] > 0
+        wav, sr, ch = read_wav(base64.b64decode(j["audio_base64"]))
+        assert sr == 16000 and ch == 1
+        assert len(wav) > 0
+        return j
+    j = run_client(tmp_path, go)
+    assert "timings_ms" in j
+
+
+def test_tts_determinism_over_http(tmp_path):
+    async def go(client):
+        outs = []
+        for _ in range(2):
+            r = await client.post("/api/tts", json={"text": "abc", "seed": 7})
+            outs.append((await r.json())["audio_base64"])
+        assert outs[0] == outs[1]
+    run_client(tmp_path, go)
+
+
+def test_tts_missing_text(tmp_path):
+    async def go(client):
+        r = await client.post("/api/tts", json={"seed": 1})
+        assert r.status == 400
+        j = await r.json()
+        assert j["success"] is False
+        r = await client.post("/api/tts", data=b"{not json")
+        assert r.status == 400
+    run_client(tmp_path, go)
+
+
+def test_voice_clone_lifecycle(tmp_path):
+    """extract → list → tts with voice_id → delete, full loop over HTTP."""
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(0, 0.2, 16000 * 2)).astype(np.float32)
+    wav_bytes = encode_wav_16bit(wav, 16000)
+
+    async def go(client):
+        # extract
+        from aiohttp import FormData
+        fd = FormData()
+        fd.add_field("voice_name", "pytest voice")
+        fd.add_field("prompt_text", "two seconds of noise")
+        fd.add_field("audio_file", io.BytesIO(wav_bytes),
+                     filename="ref.wav", content_type="audio/wav")
+        r = await client.post("/api/voice-clone/extract", data=fd)
+        j = await r.json()
+        assert r.status == 200 and j["success"], j
+        vid = j["voice_id"]
+
+        # list
+        r = await client.get("/api/voice-clone/list")
+        j = await r.json()
+        assert any(v["id"] == vid for v in j["voices"])
+
+        # synthesize with the cloned voice (zero-shot path)
+        r = await client.post("/api/tts", json={"text": "clone", "voice_id": vid})
+        j = await r.json()
+        assert r.status == 200 and j["success"], j
+
+        # unknown voice id → 404
+        r = await client.post("/api/tts", json={"text": "x", "voice_id": "nope"})
+        assert r.status == 404
+
+        # delete
+        r = await client.post("/api/voice-clone/delete",
+                              json={"voice_id": vid})
+        assert (await r.json())["success"]
+        r = await client.post("/api/voice-clone/delete",
+                              json={"voice_id": vid})
+        assert r.status == 404
+    run_client(tmp_path, go)
+
+
+def test_concurrent_requests_batched(tmp_path):
+    async def go(client):
+        rs = await asyncio.gather(*[
+            client.post("/api/tts", json={"text": f"req {i}", "seed": i})
+            for i in range(4)
+        ])
+        for r in rs:
+            assert r.status == 200
+            assert (await r.json())["success"]
+        m = await (await client.get("/metrics")).text()
+        assert "rwkv_tts_batcher_batches" in m
+        assert "rwkv_tts_tts_requests 4" in m
+    run_client(tmp_path, go)
+
+
+def test_metrics_and_ui(tmp_path):
+    async def go(client):
+        r = await client.get("/metrics")
+        assert r.status == 200
+        r = await client.get("/")
+        assert r.status == 200
+        body = await r.text()
+        assert "/api/tts" in body          # UI wired to the API
+    run_client(tmp_path, go)
+
+
+def test_coerce_speed():
+    # thresholds from bin/server.rs:528-554 (differ from classify_speed!)
+    assert coerce_speed(3.4) == "very_slow"
+    assert coerce_speed(4.0) == "slow"
+    assert coerce_speed(4.5) == "medium"
+    assert coerce_speed(4.8) == "fast"
+    assert coerce_speed(5.0) == "very_fast"
+    assert coerce_speed("fast") == "fast"
+    assert coerce_speed("bogus") == "medium"
+    assert coerce_speed(None) == "medium"
