@@ -1,0 +1,395 @@
+"""Continuous batching: slot-level admission over one persistent decode loop.
+
+The reference's "dynamic batching" collects requests into batches but then
+runs each request *sequentially* inside the batch
+(src/dynamic_batch_manager.rs:419-421 — "顺序处理" to avoid GPU contention).
+Here the decode really is batched: a single jitted program advances all
+active slots one token per step, and requests are admitted into / retired
+from slots *between* device dispatches — the utilization model the
+reference's stubbed streaming module gestures at (src/streaming_inference.rs)
+but never implements.
+
+Design:
+  * per-slot stage machine on device: 0 = idle, 1 = global stage,
+    2 = semantic stage; stage transitions (TAG_1 injection after the 32nd
+    global token, normal_mode_inference.rs:303) happen via a per-slot
+    "feed override" so they compile into the same step program;
+  * both stage samplers run each step (top-k 20 and top-k 80 are static
+    shapes) and the per-slot stage selects between them — the cost of the
+    spare sampler is tiny next to the LM step;
+  * ``decode_block``: a lax.scan over K unified steps — ONE device dispatch
+    per K tokens per slot, with per-slot early-idle short-circuiting inside;
+  * admission: masked prefill (models/rwkv7.forward with lengths) for the
+    incoming requests, then scatter of their states into the live batch
+    state between blocks;
+  * RNG: identical fold-in discipline to the static engine (per-slot keys,
+    folded by per-slot stage step), so a request's token sequence is
+    bit-identical whether it ran through engine.py or here — tested.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import EngineConfig, RwkvConfig, TtsArgs
+from ..models import rwkv7
+from ..utils.init import raw_threefry_key
+from .engine import (
+    GenerationResult,
+    TtsEngine,
+    _fold_keys,
+    _mask_global,
+    _mask_semantic,
+    _sample_batch,
+)
+
+IDLE, GLOBAL, SEMANTIC = 0, 1, 2
+NO_EMIT = -1
+FINISHED = -2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block"))
+def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
+    """Advance every active slot up to ``block`` unified steps.
+
+    slots: dict of per-slot device arrays (stage, counters, keys, …).
+    Returns (state, logits, slots, emits [block, B]) where emits holds the
+    raw emitted semantic/global token, NO_EMIT for idle/override steps and
+    FINISHED on the step a slot retires.
+    """
+    gk, sk = C.GLOBAL_SAMPLING, C.SEMANTIC_SAMPLING
+    V = cfg.padded_vocab_size
+    ids = jnp.arange(V)
+
+    def step(carry, _):
+        state, logits, s = carry
+        stage = s["stage"]
+        active = stage != IDLE
+        override = s["override"]
+        has_ov = override >= 0
+
+        # --- sampling (both stage samplers; select per slot) --------------
+        gkeys = jax.vmap(jax.random.fold_in)(s["gkey"], s["n_glob"])
+        skeys = jax.vmap(jax.random.fold_in)(s["skey"], s["n_step"])
+
+        glogits = _mask_global(logits)
+        tok_g = _sample_batch(glogits, gkeys, gk["temperature"], gk["top_p"],
+                              gk["top_k"])
+
+        slogits = _mask_semantic(logits)
+        forbid_eos = s["n_step"] < s["hard_min"]
+        slogits = jnp.where(
+            forbid_eos[:, None] & (ids == C.TTS_EOS_TOKEN)[None, :],
+            -jnp.inf, slogits)
+        tok_s = _sample_batch(slogits, skeys, sk["temperature"], sk["top_p"],
+                              sk["top_k"])
+
+        # zero-shot EOS-window gate + resample (zero_shot_inference.rs:219-309)
+        ratio = s["win"].sum(axis=1) / jnp.maximum(s["nwin"], 1)
+        allow_eos = (s["nwin"] >= C.ZS_EOS_WINDOW) & \
+                    (ratio >= C.ZS_EOS_RATIO_THRESHOLD)
+        need_rs = s["zs"] & (tok_s == C.TTS_EOS_TOKEN) & (~allow_eos)
+        no_eos = jnp.where((ids == C.TTS_EOS_TOKEN)[None, :], -jnp.inf, slogits)
+        skeys2 = jax.vmap(jax.random.fold_in)(s["skey"],
+                                              s["n_step"] + (1 << 20))
+        tok_s2 = _sample_batch(no_eos, skeys2, sk["temperature"], sk["top_p"],
+                               sk["top_k"])
+        tok_s = jnp.where(need_rs, tok_s2, tok_s)
+
+        in_glob = active & (stage == GLOBAL) & (~has_ov)
+        in_sem = active & (stage == SEMANTIC) & (~has_ov)
+
+        win = jnp.where(
+            (in_sem & s["zs"])[:, None],
+            jnp.concatenate(
+                [s["win"][:, 1:], (tok_s != C.TTS_EOS_TOKEN)[:, None]], axis=1),
+            s["win"])
+        nwin = jnp.where(in_sem & s["zs"],
+                         jnp.minimum(s["nwin"] + 1, C.ZS_EOS_WINDOW), s["nwin"])
+
+        is_eos = tok_s == C.TTS_EOS_TOKEN
+        hit_limit = s["n_step"] + 1 >= s["limit"]
+        retires = in_sem & (is_eos | hit_limit)
+        sem_emit = in_sem & (~is_eos)
+
+        # --- feed selection ------------------------------------------------
+        feed = jnp.where(has_ov, jnp.maximum(override, 0), 0)
+        feed = jnp.where(in_glob, tok_g + C.GLOBAL_TOKEN_OFFSET, feed)
+        feed = jnp.where(sem_emit, tok_s, feed)
+
+        # --- emits ----------------------------------------------------------
+        emit = jnp.full_like(stage, NO_EMIT)
+        emit = jnp.where(in_glob, tok_g, emit)
+        emit = jnp.where(sem_emit, tok_s, emit)
+        emit = jnp.where(retires & is_eos, FINISHED, emit)
+        # a slot retiring on limit still emits its last token; mark retire
+        # via stage going idle (host reads stage snapshots per block)
+
+        # --- counters / stage transitions ----------------------------------
+        n_glob = jnp.where(in_glob, s["n_glob"] + 1, s["n_glob"])
+        n_step = jnp.where(in_sem, s["n_step"] + 1, s["n_step"])
+        # after the 32nd global token was fed, next step feeds TAG_1
+        new_override = jnp.where(
+            in_glob & (n_glob >= C.GLOBAL_TOKENS_SIZE),
+            jnp.int32(C.TTS_TAG_1), jnp.int32(-1))
+        # override fired this step → switch to semantic
+        stage = jnp.where(active & has_ov & (stage == GLOBAL),
+                          jnp.int32(SEMANTIC), stage)
+        stage = jnp.where(retires, jnp.int32(IDLE), stage)
+        override = jnp.where(has_ov, jnp.int32(-1), new_override)
+
+        new_logits, new_state = rwkv7.step(params, feed, state, cfg)
+        # idle slots keep their logits/state untouched (cheap: they computed
+        # anyway; correctness only needs active slots)
+        s2 = dict(s, stage=stage, override=override, n_glob=n_glob,
+                  n_step=n_step, win=win, nwin=nwin)
+        return (new_state, new_logits, s2), emit
+
+    (state, logits, slots), emits = jax.lax.scan(
+        step, (state, logits, slots), None, length=block)
+    return state, logits, slots, emits
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _insert_slot(state, logits, new_state, new_logits, slot):
+    state = jax.tree_util.tree_map(
+        lambda full, one: full.at[:, slot].set(one[:, 0]), state, new_state)
+    logits = logits.at[slot].set(new_logits[0])
+    return state, logits
+
+
+@dataclasses.dataclass
+class _Live:
+    request: TtsArgs
+    result_cb: Callable
+    chunk_cb: Optional[Callable]
+    global_tokens: List[int]
+    semantic_tokens: List[int]
+    prefill_tokens: int
+    zero_shot: bool
+    t_start: float
+
+
+class ContinuousEngine:
+    """Host-side slot manager around :func:`decode_block`.
+
+    Submit requests from any thread; a single driver thread owns the device.
+    ``chunk_cb`` (optional) receives (request, new_semantic_tokens) as they
+    are produced — the hook streaming audio decode attaches to.
+    """
+
+    def __init__(self, params, cfg: RwkvConfig,
+                 engine_cfg: EngineConfig = EngineConfig(),
+                 tokenizer=None, use_pallas: Optional[bool] = None,
+                 block: int = 32, slots: Optional[int] = None):
+        self.inner = TtsEngine(params, cfg, engine_cfg, tokenizer=tokenizer,
+                               use_pallas=use_pallas)
+        self.params = params
+        self.cfg = cfg
+        self.engine_cfg = engine_cfg
+        self.block = block
+        self.B = slots or engine_cfg.batch_size
+        self._queue: "queue.Queue" = queue.Queue()
+        self._live: Dict[int, _Live] = {}
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self._reset_device_state()
+
+    # ------------------------------------------------------------------
+
+    def _reset_device_state(self):
+        B = self.B
+        self.state = rwkv7.init_state(self.cfg, B)
+        self.logits = jnp.zeros((B, self.cfg.padded_vocab_size), jnp.float32)
+        self.slots = {
+            "stage": jnp.zeros((B,), jnp.int32),
+            "override": jnp.full((B,), -1, jnp.int32),
+            "n_glob": jnp.zeros((B,), jnp.int32),
+            "n_step": jnp.zeros((B,), jnp.int32),
+            "limit": jnp.zeros((B,), jnp.int32),
+            "hard_min": jnp.zeros((B,), jnp.int32),
+            "zs": jnp.zeros((B,), jnp.bool_),
+            "win": jnp.zeros((B, C.ZS_EOS_WINDOW), jnp.bool_),
+            "nwin": jnp.zeros((B,), jnp.int32),
+            "gkey": jnp.zeros((B, 2), jnp.uint32),
+            "skey": jnp.zeros((B, 2), jnp.uint32),
+        }
+
+    # -- public API -----------------------------------------------------
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="continuous-decode")
+            self._thread.start()
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    def submit(self, args: TtsArgs, result_cb: Callable,
+               chunk_cb: Optional[Callable] = None):
+        """Non-blocking; result_cb(GenerationResult) fires on completion."""
+        self._queue.put((args, result_cb, chunk_cb))
+        self._wake.set()
+        self.start()
+
+    def generate(self, args: TtsArgs, timeout: float = 600.0
+                 ) -> GenerationResult:
+        """Blocking convenience wrapper."""
+        done = threading.Event()
+        box: List[GenerationResult] = []
+
+        def cb(res):
+            box.append(res)
+            done.set()
+
+        self.submit(args, cb)
+        if not done.wait(timeout):
+            raise TimeoutError("continuous generation timed out")
+        return box[0]
+
+    # -- driver loop -----------------------------------------------------
+
+    def _free_slots(self) -> List[int]:
+        stages = np.asarray(self.slots["stage"])
+        with self._lock:
+            return [i for i in range(self.B)
+                    if stages[i] == IDLE and i not in self._live]
+
+    def _admit(self):
+        free = self._free_slots()
+        incoming = []
+        while free and not self._queue.empty():
+            try:
+                incoming.append((free.pop(0), self._queue.get_nowait()))
+            except queue.Empty:
+                break
+        if not incoming:
+            return
+        for slot, (args, result_cb, chunk_cb) in incoming:
+            resolved = args
+            prompt, text_ids = self.inner.build_prompt(resolved)
+            T = self.inner._bucket(len(prompt))
+            toks = np.zeros((1, T), np.int32)
+            toks[0, : len(prompt)] = prompt
+            st1 = rwkv7.init_state(self.cfg, 1)
+            lg1, st1 = rwkv7.forward(
+                self.params, jnp.asarray(toks), st1, self.cfg,
+                use_pallas=self.inner.use_pallas,
+                lengths=jnp.asarray([len(prompt)], jnp.int32))
+            self.state, self.logits = _insert_slot(
+                self.state, self.logits, st1, lg1, slot)
+
+            seed = resolved.seed if resolved.seed is not None else \
+                int.from_bytes(__import__("os").urandom(4), "little")
+            zs = bool(resolved.zero_shot)
+            limit = min(resolved.max_tokens, C.MAX_SEMANTIC_TOKENS,
+                        self.engine_cfg.max_semantic_tokens)
+            if zs:
+                tlen = len(text_ids)
+                min_len = min(max(tlen // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
+                est = int(np.ceil(tlen * C.ZS_HARD_MIN_FACTOR))
+                hard_min = min(int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC),
+                               max(min_len, est))
+            else:
+                hard_min = 0
+
+            s = self.slots
+            upd = {
+                "stage": SEMANTIC if zs else GLOBAL,
+                "override": -1, "n_glob": 0, "n_step": 0,
+                "limit": limit, "hard_min": hard_min, "zs": zs,
+                "nwin": 0,
+            }
+            for k, v in upd.items():
+                s[k] = s[k].at[slot].set(v)
+            s["win"] = s["win"].at[slot].set(False)
+            s["gkey"] = s["gkey"].at[slot].set(
+                raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET))
+            s["skey"] = s["skey"].at[slot].set(
+                raw_threefry_key(seed + C.SEMANTIC_SEED_OFFSET))
+
+            ref_g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
+                     for t in (resolved.ref_global_tokens or [])] if zs else []
+            with self._lock:
+                self._live[slot] = _Live(
+                    request=resolved, result_cb=result_cb, chunk_cb=chunk_cb,
+                    global_tokens=list(ref_g), semantic_tokens=[],
+                    prefill_tokens=len(prompt), zero_shot=zs,
+                    t_start=time.perf_counter(),
+                )
+
+    def _retire(self, slot: int):
+        with self._lock:
+            live = self._live.pop(slot, None)
+        if live is None:
+            return
+        res = GenerationResult(
+            global_tokens=live.global_tokens,
+            semantic_tokens=live.semantic_tokens,
+            prefill_tokens=live.prefill_tokens,
+            decode_steps=len(live.semantic_tokens)
+            + (0 if live.zero_shot else C.GLOBAL_TOKENS_SIZE),
+        )
+        try:
+            live.result_cb(res)
+        except Exception:  # noqa: BLE001 — callbacks must not kill the loop
+            import logging
+            logging.getLogger(__name__).exception("result callback failed")
+
+    def _run(self):
+        while not self._stop:
+            self._admit()
+            with self._lock:
+                any_live = bool(self._live)
+            if not any_live:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            self.state, self.logits, self.slots, emits = decode_block(
+                self.params, self.state, self.logits, self.slots,
+                self.cfg, self.block)
+            emits_np = np.asarray(emits)          # [block, B]
+            stages_np = np.asarray(self.slots["stage"])
+
+            with self._lock:
+                live_slots = list(self._live.items())
+            for slot, live in live_slots:
+                col = emits_np[:, slot]
+                new_sem = []
+                for e in col:
+                    if e == NO_EMIT or e == FINISHED:
+                        continue
+                    if not live.zero_shot and \
+                            len(live.global_tokens) < C.GLOBAL_TOKENS_SIZE:
+                        live.global_tokens.append(int(e))
+                    else:
+                        new_sem.append(int(e))
+                if new_sem:
+                    live.semantic_tokens.extend(new_sem)
+                    if live.chunk_cb is not None:
+                        try:
+                            live.chunk_cb(live.request, list(new_sem))
+                        except Exception:  # noqa: BLE001
+                            import logging
+                            logging.getLogger(__name__).exception(
+                                "chunk callback failed")
+                if stages_np[slot] == IDLE:
+                    self._retire(slot)

@@ -1,0 +1,157 @@
+"""Streaming synthesis: incremental BiCodec vocoding over a growing semantic
+prefix.
+
+The reference never solved this — its streaming module is a simulation that
+sleeps and emits random logits (src/streaming_inference.rs:332-377,
+SURVEY.md "north star"). Here:
+
+  * the continuous engine delivers semantic tokens in blocks as they decode;
+  * every ``chunk_tokens`` new tokens we vocode a window of
+    ``context_tokens + new`` latents and emit only the new samples — the
+    vocoder's receptive field (prenet + dilated res stacks, ~10 latents) is
+    far smaller than the context, so emitted audio is identical to what a
+    full-sequence decode would produce at those offsets (tested);
+  * windows are padded to a fixed bucket so XLA compiles one program.
+
+First-audio latency therefore ≈ prefill + chunk_tokens/50 s of decode + one
+vocoder window — independent of utterance length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import BiCodecConfig
+from ..models import bicodec
+
+
+@dataclasses.dataclass
+class StreamChunk:
+    seq: int
+    audio: np.ndarray        # f32 samples @16 kHz (possibly empty)
+    final: bool
+
+
+class StreamingVocoder:
+    """Incremental tokens→audio for one utterance."""
+
+    def __init__(self, params, cfg: BiCodecConfig, global_tokens: List[int],
+                 chunk_tokens: int = 32, context_tokens: int = 16,
+                 lookahead_tokens: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.global_tokens = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
+                              for t in (global_tokens or [0] * 32)]
+        self.chunk = chunk_tokens
+        self.context = context_tokens
+        # the vocoder's convs are centered (SAME), so output near a chunk's
+        # right edge depends on future latents; hold back `lookahead` tokens
+        # until their right context exists
+        self.lookahead = lookahead_tokens
+        self.window_bucket = context_tokens + chunk_tokens + lookahead_tokens
+        self._tokens: List[int] = []
+        self._emitted = 0        # tokens already vocoded+emitted
+
+    def push(self, new_tokens: List[int], flush: bool = False
+             ) -> np.ndarray:
+        """Add tokens; returns newly available audio samples (may be empty).
+        ``flush`` forces vocoding of any remainder (end of stream)."""
+        self._tokens.extend(int(t) for t in new_tokens)
+        out = []
+        while len(self._tokens) - self._emitted >= self.chunk + self.lookahead:
+            out.append(self._vocode_next(self.chunk, flush=False))
+        if flush and len(self._tokens) > self._emitted:
+            out.append(self._vocode_next(len(self._tokens) - self._emitted,
+                                         flush=True))
+        if not out:
+            return np.zeros(0, np.float32)
+        return np.concatenate(out)
+
+    def _vocode_next(self, n_emit: int, flush: bool) -> np.ndarray:
+        end = self._emitted + n_emit + (0 if flush else self.lookahead)
+        start = max(0, self._emitted - self.context)
+        if flush:
+            # the right edge must stay pad-free (token-0 padding would leak
+            # its codebook embedding into the final samples, unlike the
+            # conv's own zero padding) — absorb the bucket remainder by
+            # pulling extra left context instead
+            short = (-(end - start)) % self.window_bucket
+            start -= min(short, start)
+        ctx = self._emitted - start
+        window = self._tokens[start:end]
+        pad = (-len(window)) % self.window_bucket
+        sem = np.asarray(window + [0] * pad, np.int32)[None]
+        g = np.asarray(self.global_tokens, np.int32)[None]
+        wav = bicodec.decode(self.params, jnp.asarray(g), jnp.asarray(sem),
+                             self.cfg)
+        hop = C.LATENT_HOP_LENGTH
+        audio = np.asarray(wav[0, ctx * hop: (ctx + n_emit) * hop], np.float32)
+        self._emitted += n_emit
+        return audio
+
+
+def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
+                      args, chunk_tokens: int = 32,
+                      timeout: float = 600.0) -> Iterator[StreamChunk]:
+    """Generator yielding audio chunks for one request.
+
+    For normal-mode requests the speaker (global) tokens only exist once the
+    global stage finishes, so vocoding starts at the first semantic chunk
+    (≈ 32 global steps after prefill). Zero-shot requests vocode from the
+    first block.
+    """
+    q: "queue.Queue" = queue.Queue()
+    done = threading.Event()
+    box = {}
+
+    def chunk_cb(req, toks):
+        q.put(list(toks))
+
+    def result_cb(res):
+        box["res"] = res
+        done.set()
+        q.put(None)
+
+    continuous_engine.submit(args, result_cb, chunk_cb=chunk_cb)
+
+    vocoder: Optional[StreamingVocoder] = None
+    seq = 0
+    import time as _time
+    deadline = _time.monotonic() + timeout
+    while True:
+        try:
+            item = q.get(timeout=max(0.0, deadline - _time.monotonic()))
+        except queue.Empty:
+            raise TimeoutError("streaming synthesis timed out")
+        if item is None:
+            res = box["res"]
+            if vocoder is None:
+                vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
+                                           res.global_tokens, chunk_tokens)
+            audio = vocoder.push([], flush=True)
+            yield StreamChunk(seq=seq, audio=audio, final=True)
+            return
+        if vocoder is None:
+            # global tokens are final once semantic tokens start arriving
+            live_globals = _current_globals(continuous_engine, args)
+            vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
+                                       live_globals, chunk_tokens)
+        audio = vocoder.push(item)
+        if audio.size:
+            yield StreamChunk(seq=seq, audio=audio, final=False)
+            seq += 1
+
+
+def _current_globals(engine, args) -> List[int]:
+    with engine._lock:
+        for live in engine._live.values():
+            if live.request is args:
+                return list(live.global_tokens)
+    return list(args.ref_global_tokens or [0] * 32)

@@ -7,6 +7,11 @@ Route and payload parity with the reference server (bin/server.rs:1445-1451):
                                   gender?, emotion?, pitch?, prompt_text?}
                                   → {success, message, audio_base64,
                                      duration_ms, rtf}
+  POST /api/tts/stream           same body as /api/tts; responds with
+                                  chunked JSON lines {seq, audio_base64
+                                  (raw s16le PCM), final} as audio becomes
+                                  available (true streaming — the
+                                  reference's streaming module is a stub)
   POST /api/voice-clone/extract  multipart {voice_name, prompt_text,
                                   audio_file} → {success, message, voice_id}
   GET  /api/voice-clone/list     → {success, voices: [...]}
@@ -25,6 +30,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import base64
+import json
 import logging
 import os
 import tempfile
@@ -123,6 +129,86 @@ async def handle_tts(request: web.Request) -> web.Response:
         "rtf": result.rtf,
         "timings_ms": result.timings_ms,
     })
+
+
+def _get_continuous(app):
+    """Lazily build the continuous slot engine sharing the pipeline's LM."""
+    if app.get("continuous") is None:
+        from ..runtime.continuous import ContinuousEngine
+        pipe: TtsPipeline = app["pipeline"]
+        eng = pipe.engine
+        app["continuous"] = ContinuousEngine(
+            eng.params, eng.cfg, eng.engine_cfg, tokenizer=eng.tokenizer,
+            use_pallas=eng.use_pallas, block=16,
+            slots=eng.engine_cfg.batch_size)
+    return app["continuous"]
+
+
+async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
+    """Chunked streaming synthesis over the continuous batcher."""
+    import numpy as np
+    from ..runtime.streaming import stream_synthesize
+
+    app = request.app
+    try:
+        payload = await request.json()
+    except Exception:
+        return _err("invalid JSON body", status=400)
+    text = str(payload.get("text", "")).strip()
+    if not text:
+        return _err("text is required", status=400)
+    args = app["pipeline"].resolve_voice(build_tts_args(payload))
+    cont = _get_continuous(app)
+    pipe: TtsPipeline = app["pipeline"]
+
+    resp = web.StreamResponse(headers={
+        "Content-Type": "application/x-ndjson",
+        "Cache-Control": "no-cache",
+    })
+    await resp.prepare(request)
+    loop = asyncio.get_running_loop()
+    aq: asyncio.Queue = asyncio.Queue()
+
+    def producer():
+        try:
+            for chunk in stream_synthesize(
+                    cont, pipe.bicodec_params, pipe.bicodec_cfg, args):
+                loop.call_soon_threadsafe(aq.put_nowait, chunk)
+        except Exception as e:  # noqa: BLE001
+            loop.call_soon_threadsafe(aq.put_nowait, e)
+        loop.call_soon_threadsafe(aq.put_nowait, None)
+
+    import threading
+    threading.Thread(target=producer, daemon=True).start()
+    t0 = time.perf_counter()
+    first_chunk_ms = None
+    try:
+        while True:
+            item = await aq.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                await resp.write(json.dumps(
+                    {"error": str(item), "final": True}).encode() + b"\n")
+                break
+            pcm = np.clip(item.audio, -1.0, 1.0)
+            pcm16 = (pcm * 32767.0).astype("<i2").tobytes()
+            if first_chunk_ms is None and len(pcm16):
+                first_chunk_ms = (time.perf_counter() - t0) * 1000.0
+            await resp.write(json.dumps({
+                "seq": item.seq,
+                "audio_base64": base64.b64encode(pcm16).decode(),
+                "sample_rate": C.SAMPLE_RATE,
+                "final": item.final,
+                "first_chunk_ms": round(first_chunk_ms, 1)
+                if item.final and first_chunk_ms else None,
+            }).encode() + b"\n")
+            if item.final:
+                break
+    finally:
+        await resp.write_eof()
+    app["metrics"]["tts_stream_requests"] =         app["metrics"].get("tts_stream_requests", 0) + 1
+    return resp
 
 
 async def handle_voice_extract(request: web.Request) -> web.Response:
@@ -244,8 +330,10 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
     app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
                       "voices_extracted": 0}
+    app["continuous"] = None
 
     app.router.add_post("/api/tts", handle_tts)
+    app.router.add_post("/api/tts/stream", handle_tts_stream)
     app.router.add_post("/api/voice-clone/extract", handle_voice_extract)
     app.router.add_get("/api/voice-clone/list", handle_voice_list)
     app.router.add_post("/api/voice-clone/delete", handle_voice_delete)
@@ -255,6 +343,8 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
 
     async def on_cleanup(app):
         await app["batcher"].close()
+        if app.get("continuous") is not None:
+            app["continuous"].stop()
     app.on_cleanup.append(on_cleanup)
     return app
 

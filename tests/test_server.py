@@ -44,7 +44,7 @@ def tiny_pipeline(tmpdir) -> TtsPipeline:
         wav2vec2.init_params(w2v_cfg, key), w2v_cfg,
         voice_store=VoiceStore(str(tmpdir)),
         engine_cfg=EngineConfig(prefill_buckets=(32, 64, 128),
-                                max_semantic_tokens=16),
+                                max_semantic_tokens=16, batch_size=2),
         use_pallas=False,
         w2v_output_layers=(1, 2),
     )
@@ -181,3 +181,36 @@ def test_coerce_speed():
     assert coerce_speed("fast") == "fast"
     assert coerce_speed("bogus") == "medium"
     assert coerce_speed(None) == "medium"
+
+
+def test_streaming_endpoint(tmp_path):
+    async def go(client):
+        import base64 as b64
+        import aiohttp
+        r = await client.post("/api/tts/stream",
+                              json={"text": "stream over http", "seed": 2},
+                              timeout=aiohttp.ClientTimeout(total=900))
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            line = line.strip()
+            if line:
+                chunks.append(json.loads(line))
+        assert chunks, "no stream chunks received"
+        assert chunks[-1]["final"] is True
+        pcm = b"".join(b64.b64decode(c["audio_base64"]) for c in chunks)
+        assert len(pcm) % 2 == 0 and len(pcm) > 0
+        # content equals the non-streaming endpoint's audio for same seed
+        r2 = await client.post("/api/tts", json={"text": "stream over http",
+                                                 "seed": 2})
+        j2 = await r2.json()
+        wav, sr, ch = read_wav(b64.b64decode(j2["audio_base64"]))
+        import numpy as np
+        stream_wav = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+        assert abs(len(stream_wav) - len(wav)) == 0
+        # both are int16 renderings of the same float audio modulo the
+        # batch path's dynamic gain; correlation must be ~1
+        c = np.corrcoef(stream_wav, wav)[0, 1]
+        assert c > 0.99, c
+
+    run_client(tmp_path, go)
