@@ -1,0 +1,117 @@
+"""Command-line interface: offline synthesis, voice enrollment, library ops.
+
+The reference is server-only; this CLI exposes the same pipeline without
+HTTP for batch/offline jobs:
+
+  python -m rwkv_tts_tpu.cli synth "text to speak" -o out.wav [--seed 42] …
+  python -m rwkv_tts_tpu.cli extract ref.wav --name "my voice" [--prompt …]
+  python -m rwkv_tts_tpu.cli voices [--raf-dir assets/raf]
+  python -m rwkv_tts_tpu.cli delete <voice_id>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+from .config import TtsArgs
+
+
+def _build_pipeline(args):
+    from .runtime.pipeline import TtsPipeline
+    if os.path.exists(args.model_path):
+        return TtsPipeline.from_checkpoints(
+            args.model_path, raf_dir=args.raf_dir,
+            quant_type=args.quant_type)
+    logging.warning("checkpoint %s not found — random weights (dev mode)",
+                    args.model_path)
+    from .server.app import build_dev_pipeline
+    return build_dev_pipeline(args.raf_dir)
+
+
+def cmd_synth(args) -> int:
+    pipe = _build_pipeline(args)
+    req = TtsArgs(
+        text=args.text, seed=args.seed, voice_id=args.voice_id,
+        max_tokens=args.max_tokens,
+        age=args.age, gender=args.gender, emotion=args.emotion,
+        pitch=args.pitch, speed=args.speed,
+    )
+    res = pipe.synthesize(req)
+    pipe.save_audio(res, args.output)
+    print(json.dumps({
+        "output": args.output,
+        "seconds": round(len(res.audio) / res.sample_rate, 3),
+        "rtf": round(res.rtf, 4),
+        "semantic_tokens": len(res.semantic_tokens),
+        "timings_ms": res.timings_ms,
+    }))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    pipe = _build_pipeline(args)
+    feat = pipe.enroll_voice(args.audio, args.name, args.prompt)
+    print(json.dumps({"voice_id": feat.id, "name": feat.name,
+                      "duration": feat.audio_duration,
+                      "semantic_tokens": len(feat.semantic_tokens)}))
+    return 0
+
+
+def cmd_voices(args) -> int:
+    from .runtime.voice_store import VoiceStore
+    print(json.dumps(VoiceStore(args.raf_dir).list(), ensure_ascii=False,
+                     indent=2))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from .runtime.voice_store import VoiceStore
+    ok = VoiceStore(args.raf_dir).delete(args.voice_id)
+    print(json.dumps({"deleted": ok}))
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("rwkv-tts-tpu")
+    p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
+    p.add_argument("--raf-dir", default="assets/raf")
+    p.add_argument("--quant-type", choices=["none", "int8"], default="none")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="synthesize text to an audio file")
+    s.add_argument("text")
+    s.add_argument("-o", "--output", default="out.wav")
+    s.add_argument("--seed", type=int, default=None)
+    s.add_argument("--voice-id", default=None)
+    s.add_argument("--max-tokens", type=int, default=8000)
+    s.add_argument("--age", default="youth-adult")
+    s.add_argument("--gender", default="female")
+    s.add_argument("--emotion", default="NEUTRAL")
+    s.add_argument("--pitch", default="medium_pitch")
+    s.add_argument("--speed", default="medium")
+    s.set_defaults(fn=cmd_synth)
+
+    e = sub.add_parser("extract", help="enroll a voice from reference audio")
+    e.add_argument("audio")
+    e.add_argument("--name", required=True)
+    e.add_argument("--prompt", default="")
+    e.set_defaults(fn=cmd_extract)
+
+    v = sub.add_parser("voices", help="list the voice library")
+    v.set_defaults(fn=cmd_voices)
+
+    d = sub.add_parser("delete", help="delete a voice")
+    d.add_argument("voice_id")
+    d.set_defaults(fn=cmd_delete)
+
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

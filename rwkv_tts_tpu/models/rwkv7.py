@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RwkvConfig
+from ..ops.quant import qmatmul
 from ..ops.wkv7 import wkv7_scan, wkv7_pallas, wkv7_single
 
 Params = Dict[str, Any]
@@ -173,13 +174,13 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
     xa = x + xx * lp["x_a"].astype(cdt)
     xg = x + xx * lp["x_g"].astype(cdt)
 
-    r = xr @ lp["w_r"].astype(cdt)
+    r = qmatmul(xr, lp["w_r"])
     # decay in f32: soft-clamped log-log decay ≤ -0.5
     w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
     w_lora = w_lora @ lp["w2"].astype(jnp.float32)
     w = -jax.nn.softplus(-(lp["w0"] + w_lora)) - 0.5
-    k = xk @ lp["w_k"].astype(cdt)
-    v = xv @ lp["w_v"].astype(cdt)
+    k = qmatmul(xk, lp["w_k"])
+    v = qmatmul(xv, lp["w_v"])
 
     v_res_gate = jax.nn.sigmoid(
         lp["v0"]
@@ -227,7 +228,7 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
         axis=-1, keepdims=True
     )
     y = y.astype(jnp.float32) + (rk * hv(v.astype(jnp.float32))).reshape(B, T, C)
-    out = (y.astype(cdt) * g) @ lp["w_o"].astype(cdt)
+    out = qmatmul(y.astype(cdt) * g, lp["w_o"])
 
     if last_idx is None:
         new_shift = x[:, -1, :].astype(jnp.float32)
@@ -245,8 +246,8 @@ def _channel_mix(lp, x, shift_x, mask=None, last_idx=None):
     cdt = x.dtype
     xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
     xk = x + (xprev - x) * lp["ffn_x_k"].astype(cdt)
-    h = jnp.square(jax.nn.relu(xk @ lp["ffn_k"].astype(cdt)))
-    out = h @ lp["ffn_v"].astype(cdt)
+    h = jnp.square(jax.nn.relu(qmatmul(xk, lp["ffn_k"])))
+    out = qmatmul(h, lp["ffn_v"])
     if last_idx is None:
         new_shift = x[:, -1, :].astype(jnp.float32)
     else:
@@ -319,7 +320,7 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
             x = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)[:, 0]
         else:
             x = x[:, -1, :]
-    logits = (x @ params["head"].astype(cdt)).astype(jnp.float32)
+    logits = qmatmul(x, params["head"]).astype(jnp.float32)
     new_state = {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
     return logits, new_state
 
@@ -354,11 +355,11 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
         xa = h + xx * lp["x_a"].astype(cdt)
         xg = h + xx * lp["x_g"].astype(cdt)
 
-        r = xr @ lp["w_r"].astype(cdt)
+        r = qmatmul(xr, lp["w_r"])
         w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
         w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(jnp.float32))) - 0.5
-        k = xk @ lp["w_k"].astype(cdt)
-        v = xv @ lp["w_v"].astype(cdt)
+        k = qmatmul(xk, lp["w_k"])
+        v = qmatmul(xv, lp["w_v"])
         v_res_gate = jax.nn.sigmoid(
             lp["v0"]
             + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
@@ -392,13 +393,14 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
             axis=-1, keepdims=True
         )
         y = y.astype(jnp.float32) + (rk * hv(v)).reshape(B, C)
-        att = (y.astype(cdt) * g) @ lp["w_o"].astype(cdt)
+        att = qmatmul(y.astype(cdt) * g, lp["w_o"])
         x = x + att
         new_att_x = h[:, :].astype(jnp.float32)
 
         h2 = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         xk2 = h2 + (ffn_x.astype(cdt) - h2) * lp["ffn_x_k"].astype(cdt)
-        ffn = jnp.square(jax.nn.relu(xk2 @ lp["ffn_k"].astype(cdt))) @ lp["ffn_v"].astype(cdt)
+        ffn = qmatmul(jnp.square(jax.nn.relu(qmatmul(xk2, lp["ffn_k"]))),
+                      lp["ffn_v"])
         x = x + ffn
         new_ffn_x = h2.astype(jnp.float32)
 
@@ -411,5 +413,5 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
         (bp, state["att_x"], state["ffn_x"], state["wkv"]),
     )
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
-    logits = (x @ params["head"].astype(cdt)).astype(jnp.float32)
+    logits = qmatmul(x, params["head"]).astype(jnp.float32)
     return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}

@@ -112,3 +112,75 @@ def sample_logits(
 ) -> jax.Array:
     """Full sampler: logits [..., V] → token ids [...]."""
     return sample_token(filtered_probs(logits, temperature, top_p, top_k), key)
+
+
+# --------------------------------------------------------------------------
+# Strategy sampler + penalties (parity with the reference's strategy-enum
+# sampler, src/sampler_manager.rs:16-42 strategies, :229-292 penalties).
+# On-device: token occurrence counts ride along the decode loop as a [V]
+# vector instead of a host-side HashMap.
+# --------------------------------------------------------------------------
+
+import dataclasses as _dataclasses
+from typing import Optional as _Optional
+
+
+@_dataclasses.dataclass(frozen=True)
+class SamplingStrategy:
+    """greedy | top_k | top_p | temperature | mixed
+    (sampler_manager.rs:16-42; default Mixed{1.0, k=50, p=0.9})."""
+
+    kind: str = "mixed"
+    temperature: float = 1.0
+    top_k: _Optional[int] = 50
+    top_p: _Optional[float] = 0.9
+
+
+def apply_penalties(logits: jax.Array, token_counts: jax.Array,
+                    repetition_penalty: float = 1.0,
+                    frequency_penalty: float = 0.0,
+                    presence_penalty: float = 0.0) -> jax.Array:
+    """Repetition / frequency / presence penalties over occurrence counts.
+
+    Matches the reference semantics (sampler_manager.rs:245-292): repetition
+    divides positive logits by penalty once per occurrence (i.e. penalty^count),
+    frequency subtracts penalty·count, presence subtracts once if seen.
+    token_counts: [..., V] int — counts of each id in the generated prefix.
+    """
+    logits = logits.astype(jnp.float32)
+    counts = token_counts.astype(jnp.float32)
+    if repetition_penalty != 1.0:
+        factor = jnp.power(jnp.float32(repetition_penalty), counts)
+        logits = jnp.where(logits > 0, logits / factor, logits * factor)
+    if frequency_penalty != 0.0:
+        logits = logits - frequency_penalty * counts
+    if presence_penalty != 0.0:
+        logits = logits - presence_penalty * (counts > 0)
+    return logits
+
+
+def sample_with_strategy(logits: jax.Array, key: jax.Array,
+                         strategy: SamplingStrategy) -> jax.Array:
+    """Dispatch over the strategy enum. Greedy ignores the key."""
+    kind = strategy.kind
+    if kind == "greedy":
+        return jnp.argmax(logits, axis=-1)
+    if kind == "top_k":
+        return sample_logits(logits, key, 1.0, 1.0, int(strategy.top_k or 0))
+    if kind == "top_p":
+        return sample_logits(logits, key, 1.0, float(strategy.top_p or 1.0), 0)
+    if kind == "temperature":
+        # the strategy sampler scales LOGITS by 1/T (unlike the TTS
+        # sampler's probability exponent)
+        t = max(float(strategy.temperature), 1e-6)
+        return sample_token(jax.nn.softmax(logits.astype(jnp.float32) / t,
+                                           axis=-1), key)
+    if kind == "mixed":
+        t = max(float(strategy.temperature), 1e-6)
+        scaled = logits.astype(jnp.float32) / t
+        return sample_logits(
+            scaled, key, 1.0,
+            float(strategy.top_p) if strategy.top_p is not None else 1.0,
+            int(strategy.top_k) if strategy.top_k is not None else 0,
+        )
+    raise ValueError(f"unknown sampling strategy: {kind}")

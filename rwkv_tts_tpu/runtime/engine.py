@@ -46,21 +46,27 @@ from ..tokenizer.properties import convert_standard_properties_to_tokens
 # jitted stage programs
 # --------------------------------------------------------------------------
 
+# Both sampling domains are PREFIXES of the unified vocab (semantic ids in
+# [0, 8192], global ids in [0, 4096)), so the sampler never needs the full
+# 78k logits row: slice first, sample over the small domain, and the sampled
+# index IS the raw token id. This cuts the per-token top-k/cumsum work ~10×
+# — it dominated the decode loop at large batch.
+SEMANTIC_SLICE = 8320          # 65 × 128 ≥ 8193, lane-aligned
+
+
 def _mask_semantic(logits):
-    """Semantic-domain mask: ids > EOS and the three tags → -inf
-    (normal_mode_inference.rs:332-350)."""
-    V = logits.shape[-1]
-    ids = jnp.arange(V)
-    bad = (ids > C.TTS_EOS_TOKEN) | (ids == C.TTS_TAG_0) | (ids == C.TTS_TAG_1) | (ids == C.TTS_TAG_2)
-    return jnp.where(bad[None, :], -jnp.inf, logits)
+    """Semantic-domain mask over a sliced row: ids > EOS and the three tags
+    → -inf (normal_mode_inference.rs:332-350)."""
+    s = logits[..., :SEMANTIC_SLICE]
+    ids = jnp.arange(SEMANTIC_SLICE)
+    bad = (ids > C.TTS_EOS_TOKEN) | (ids == C.TTS_TAG_0) |           (ids == C.TTS_TAG_1) | (ids == C.TTS_TAG_2)
+    return jnp.where(bad[None, :], -jnp.inf, s)
 
 
 def _mask_global(logits):
-    """Global-domain mask: only ids < 4096 are sampleable
+    """Global-domain slice: only ids < 4096 are sampleable
     (normal_mode_inference.rs:236-244)."""
-    V = logits.shape[-1]
-    ids = jnp.arange(V)
-    return jnp.where((ids < C.GLOBAL_VOCAB)[None, :], logits, -jnp.inf)
+    return logits[..., :C.GLOBAL_VOCAB]
 
 
 def _fold_keys(base_keys, i):
@@ -220,7 +226,43 @@ class TtsEngine:
         for b in self.engine_cfg.prefill_buckets:
             if n <= b:
                 return b
-        return ((n + 255) // 256) * 256
+        return self.engine_cfg.prefill_buckets[-1]
+
+    def prefill(self, prompts, state):
+        """Chunked masked prefill of variable-length prompts.
+
+        Prompts longer than the largest bucket are consumed in bucket-sized
+        chunks with the recurrent state carried across calls — the
+        token_chunk_size mechanism of the reference
+        (RnnInput::new(batches, chunk), normal_mode_inference.rs:63; O(1)
+        memory in sequence length by construction).
+        """
+        cfg = self.cfg
+        B = len(prompts)
+        max_bucket = self.engine_cfg.prefill_buckets[-1]
+        remaining = [list(p) for p in prompts]
+        logits = None
+        while True:
+            chunk = [r[:max_bucket] for r in remaining]
+            remaining = [r[max_bucket:] for r in remaining]
+            lengths = np.array([len(c) for c in chunk], np.int32)
+            T = self._bucket(int(max(lengths.max(), 1)))
+            tok_mat = np.zeros((B, T), np.int32)
+            for i, c in enumerate(chunk):
+                tok_mat[i, : len(c)] = c
+            new_logits, state = rwkv7.forward(
+                self.params, jnp.asarray(tok_mat), state, cfg,
+                use_pallas=self.use_pallas, lengths=jnp.asarray(lengths),
+            )
+            # keep each slot's logits from the chunk containing its last
+            # real token (zero-length chunks leave state AND logits alone)
+            if logits is None:
+                logits = new_logits
+            else:
+                logits = jnp.where((lengths > 0)[:, None], new_logits, logits)
+            if not any(remaining):
+                break
+        return logits, state
 
     # -- batched generation ---------------------------------------------------
 
@@ -235,17 +277,9 @@ class TtsEngine:
         cfg, ecfg = self.cfg, self.engine_cfg
 
         prompts, texts = zip(*(self.build_prompt(r) for r in requests))
-        lengths = np.array([len(p) for p in prompts], np.int32)
-        T = self._bucket(int(lengths.max()))
-        tok_mat = np.zeros((B, T), np.int32)
-        for i, p in enumerate(prompts):
-            tok_mat[i, : len(p)] = p
-
+        prompt_lens = [len(p) for p in prompts]
         state = rwkv7.init_state(cfg, B)
-        logits, state = rwkv7.forward(
-            self.params, jnp.asarray(tok_mat), state, cfg,
-            use_pallas=self.use_pallas, lengths=jnp.asarray(lengths),
-        )
+        logits, state = self.prefill(prompts, state)
 
         seeds = [r.seed if r.seed is not None else
                  int.from_bytes(os.urandom(4), "little") for r in requests]
@@ -280,7 +314,7 @@ class TtsEngine:
             for i, r in enumerate(requests):
                 toks = [int(t) for t in sem_np[i, : len_np[i]]]
                 g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1) for t in ref_globals[i]]
-                out.append(GenerationResult(g, toks, int(lengths[i]), len(toks)))
+                out.append(GenerationResult(g, toks, prompt_lens[i], len(toks)))
             return out
 
         # normal mode: global stage, then TAG_1, then semantic
@@ -303,7 +337,7 @@ class TtsEngine:
         for i in range(B):
             toks = [int(t) for t in sem_np[i, : len_np[i]]]
             out.append(GenerationResult(
-                [int(t) for t in glob_np[i]], toks, int(lengths[i]),
+                [int(t) for t in glob_np[i]], toks, prompt_lens[i],
                 C.GLOBAL_TOKENS_SIZE + len(toks),
             ))
         return out

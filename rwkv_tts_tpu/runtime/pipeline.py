@@ -71,9 +71,14 @@ class TtsPipeline:
 
     @classmethod
     def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
-                         dtype: str = "bfloat16", **kw):
+                         dtype: str = "bfloat16", quant_type: str = "none",
+                         quant_layers: int = -1, **kw):
         from ..models.convert import load_rwkv7
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
+        if quant_type == "int8":
+            from ..ops.quant import quantize_rwkv_params
+            lm_params = quantize_rwkv_params(lm_params,
+                                             quant_layers=quant_layers)
         bc_cfg = BiCodecConfig()
         w2v_cfg = Wav2Vec2Config()
         key = jax.random.PRNGKey(0)

@@ -273,6 +273,33 @@ async def handle_voice_delete(request: web.Request) -> web.Response:
     }, status=200 if ok else 404)
 
 
+async def handle_trace(request: web.Request) -> web.Response:
+    """On-demand device profiling: POST /debug/trace {"seconds": 3} captures
+    a jax.profiler trace (TensorBoard format) and returns its directory.
+    (The reference has only hand-rolled stopwatch logging — SURVEY.md §5
+    notes "no sampling profiler"; this closes that gap.)"""
+    import jax
+
+    try:
+        payload = await request.json()
+    except Exception:
+        payload = {}
+    seconds = float(payload.get("seconds", 3.0))
+    seconds = min(max(seconds, 0.5), 60.0)
+    out_dir = payload.get("dir") or os.path.join(
+        tempfile.gettempdir(), f"rwkv_tts_trace_{int(time.time())}")
+    loop = asyncio.get_running_loop()
+
+    def capture():
+        jax.profiler.start_trace(out_dir)
+        time.sleep(seconds)
+        jax.profiler.stop_trace()
+
+    await loop.run_in_executor(None, capture)
+    return web.json_response({"success": True, "trace_dir": out_dir,
+                              "seconds": seconds})
+
+
 async def handle_metrics(request: web.Request) -> web.Response:
     m = dict(request.app["metrics"])
     m.update({f"batcher_{k}": v for k, v in request.app["batcher"].stats.items()})
@@ -338,6 +365,7 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app.router.add_get("/api/voice-clone/list", handle_voice_list)
     app.router.add_post("/api/voice-clone/delete", handle_voice_delete)
     app.router.add_get("/metrics", handle_metrics)
+    app.router.add_post("/debug/trace", handle_trace)
     app.router.add_get("/", handle_index)
     app.router.add_static("/", STATIC_DIR, show_index=False)
 
@@ -385,6 +413,8 @@ def main(argv=None):
     p.add_argument("--quant-type", choices=["none", "int8"], default="none")
     p.add_argument("--quant-layers", type=int, default=0)
     p.add_argument("--token-chunk-size", type=int, default=256)
+    p.add_argument("--no-download", action="store_true",
+                   help="skip the HF model auto-download check")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -392,8 +422,10 @@ def main(argv=None):
 
     log.info("initializing models …")
     if os.path.exists(args.model_path):
-        pipeline = TtsPipeline.from_checkpoints(args.model_path,
-                                                raf_dir=args.raf_dir)
+        pipeline = TtsPipeline.from_checkpoints(
+            args.model_path, raf_dir=args.raf_dir,
+            quant_type=args.quant_type,
+            quant_layers=args.quant_layers if args.quant_layers else -1)
         log.info("loaded checkpoint %s", args.model_path)
     else:
         log.warning("checkpoint %s not found — serving with random weights "

@@ -45,7 +45,7 @@ class RwkvTokenizer:
         Mapping of token id -> byte sequence.
     """
 
-    def __init__(self, id_to_bytes: Dict[int, bytes]):
+    def __init__(self, id_to_bytes: Dict[int, bytes], native: bool = True):
         self._id_to_bytes = dict(id_to_bytes)
         self._root = _TrieNode()
         # Ascending id order: later (higher) ids overwrite on duplicates.
@@ -61,6 +61,15 @@ class RwkvTokenizer:
                     node.children[b] = nxt
                 node = nxt
             node.token_id = tid
+        # optional native (C++) trie for the hot encode loop; the Python
+        # trie above stays as fallback and decode source
+        self._native = None
+        if native:
+            try:
+                from ..utils.native import NativeTrie
+                self._native = NativeTrie(self._id_to_bytes)
+            except Exception:  # noqa: BLE001 — toolchain absent etc.
+                self._native = None
 
     # -- constructors -------------------------------------------------------
 
@@ -114,6 +123,11 @@ class RwkvTokenizer:
         return self.encode_bytes(text.encode("utf-8"))
 
     def encode_bytes(self, data: bytes) -> List[int]:
+        if self._native is not None:
+            return self._native.encode_bytes(data)
+        return self._encode_bytes_py(data)
+
+    def _encode_bytes_py(self, data: bytes) -> List[int]:
         out: List[int] = []
         i, n = 0, len(data)
         root = self._root

@@ -103,3 +103,24 @@ def test_zero_shot_hard_min_blocks_eos(engine):
 def test_max_tokens_cap(engine):
     res = engine.generate(TtsArgs(text="cap test", seed=11, max_tokens=5))
     assert len(res.semantic_tokens) <= 5
+
+
+def test_long_prompt_chunked_prefill(engine):
+    """Prompts longer than the largest bucket are consumed in chunks with
+    carried state; result must equal what a single wide-bucket pass gives."""
+    from rwkv_tts_tpu.config import EngineConfig
+    from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+    long_text = "many words " * 40            # prompt ≈ 90+ tokens
+    small = TtsEngine(engine.params, CFG,
+                      EngineConfig(prefill_buckets=(16, 32),
+                                   max_semantic_tokens=8),
+                      use_pallas=False)
+    wide = TtsEngine(engine.params, CFG,
+                     EngineConfig(prefill_buckets=(256,),
+                                  max_semantic_tokens=8),
+                     use_pallas=False)
+    a = small.generate(TtsArgs(text=long_text, seed=4, max_tokens=8))
+    b = wide.generate(TtsArgs(text=long_text, seed=4, max_tokens=8))
+    assert a.global_tokens == b.global_tokens
+    assert a.semantic_tokens == b.semantic_tokens

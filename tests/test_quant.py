@@ -1,0 +1,79 @@
+"""Int8 weight quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tts_tpu.config import RwkvConfig
+from rwkv_tts_tpu.models import rwkv7
+from rwkv_tts_tpu.ops.quant import (
+    dequantize_tensor,
+    qmatmul,
+    quantize_rwkv_params,
+    quantize_tensor,
+)
+
+CFG = RwkvConfig(
+    n_layer=2, n_embd=128, head_size=64, vocab_size=1000,
+    padded_vocab_size=1024, decay_lora=32, a_lora=32, v_lora=16,
+    gate_lora=32, dtype="float32", param_dtype="float32",
+)
+
+
+def test_quantize_roundtrip_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 256, 128)) * 0.1
+    q = quantize_tensor(w)
+    assert q["q"].dtype == jnp.int8
+    assert q["s"].shape == (4, 1, 128)
+    back = dequantize_tensor(q)
+    err = jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w))
+    assert float(err) < 1.2 / 127
+
+
+def test_qmatmul_matches_dequant():
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 64))
+    q = quantize_tensor(w)
+    y_q = qmatmul(x, q)
+    y_ref = x @ dequantize_tensor(q)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+    # plain weights pass through
+    np.testing.assert_allclose(np.asarray(qmatmul(x, w)), np.asarray(x @ w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_forward_close_to_fp():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_rwkv_params(params)
+    tokens = jnp.array([[5, 17, 300, 42, 7]])
+    state = rwkv7.init_state(CFG, 1)
+    logits_fp, st_fp = rwkv7.forward(params, tokens, state, CFG)
+    logits_q, st_q = rwkv7.forward(qparams, tokens, state, CFG)
+    assert bool(jnp.all(jnp.isfinite(logits_q)))
+    # int8 weight-only quant: logits track fp closely in rank
+    a, b = np.asarray(logits_fp[0]), np.asarray(logits_q[0])
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    # step path too
+    lq, _ = rwkv7.step(qparams, jnp.array([3]), st_q, CFG)
+    assert bool(jnp.all(jnp.isfinite(lq)))
+
+
+def test_quant_layers_zero_is_identity():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    out = quantize_rwkv_params(params, quant_layers=0)
+    assert out is params
+
+
+def test_quant_memory_halved():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params)
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(t))
+    dense_fp = nbytes({k: params["blocks"][k]
+                       for k in ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")})
+    dense_q = nbytes({k: q["blocks"][k]
+                      for k in ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")})
+    assert dense_q < dense_fp * 0.3     # f32 → int8 + small scales

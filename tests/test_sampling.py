@@ -113,3 +113,37 @@ def test_batched_shapes():
     toks = sample_logits(logits, jax.random.PRNGKey(0), 1.0, 0.95, 20)
     assert toks.shape == (8,)
     assert all(0 <= int(t) < 4096 for t in toks)
+
+
+def test_apply_penalties_semantics():
+    import jax.numpy as jnp
+    from rwkv_tts_tpu.ops.sampling import apply_penalties
+    logits = np.array([2.0, -1.0, 0.5, 3.0], np.float32)
+    counts = np.array([2, 1, 0, 0], np.int32)
+    out = np.asarray(apply_penalties(jnp.asarray(logits), jnp.asarray(counts),
+                                     repetition_penalty=2.0))
+    # positive logit with 2 occurrences: /2^2 ; negative: *2^1 ; untouched rest
+    np.testing.assert_allclose(out, [0.5, -2.0, 0.5, 3.0])
+    out = np.asarray(apply_penalties(jnp.asarray(logits), jnp.asarray(counts),
+                                     frequency_penalty=0.5))
+    np.testing.assert_allclose(out, [1.0, -1.5, 0.5, 3.0])
+    out = np.asarray(apply_penalties(jnp.asarray(logits), jnp.asarray(counts),
+                                     presence_penalty=0.25))
+    np.testing.assert_allclose(out, [1.75, -1.25, 0.5, 3.0])
+
+
+def test_sampling_strategies():
+    import jax
+    from rwkv_tts_tpu.ops.sampling import SamplingStrategy, sample_with_strategy
+    logits = np.random.default_rng(0).normal(0, 2, 512).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    assert int(sample_with_strategy(logits, key, SamplingStrategy("greedy"))) \
+        == int(np.argmax(logits))
+    t1 = int(sample_with_strategy(logits, key, SamplingStrategy("top_k", top_k=1)))
+    assert t1 == int(np.argmax(logits))
+    for kind in ("top_p", "temperature", "mixed"):
+        tok = int(sample_with_strategy(logits, key, SamplingStrategy(kind)))
+        assert 0 <= tok < 512
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_with_strategy(logits, key, SamplingStrategy("bogus"))
