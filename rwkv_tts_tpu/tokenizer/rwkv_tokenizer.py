@@ -198,3 +198,40 @@ def load_tokenizer(path: str | None = None) -> RwkvTokenizer:
         tok = RwkvTokenizer.from_file(path)
         _cached[path] = tok
     return tok
+
+
+def normalize_text(text: str) -> str:
+    """Whitespace cleanup ahead of encoding (parity with the reference's
+    FeatureExtractor::preprocess_text, src/feature_extractor.rs:59-75):
+    trim, newlines/tabs → spaces, collapse runs of spaces."""
+    out = text.strip().replace("\n", " ").replace("\t", " ")
+    while "  " in out:
+        out = out.replace("  ", " ")
+    return out
+
+
+class CachedEncoder:
+    """Text→tokens LRU cache keyed by the raw text (parity with the
+    reference's FeatureExtractor cache, src/feature_extractor.rs:35-56).
+    Thread-safe via functools.lru_cache's internal lock."""
+
+    def __init__(self, tokenizer: RwkvTokenizer, maxsize: int = 1024,
+                 normalize: bool = True):
+        import functools
+
+        self._tok = tokenizer
+        self._normalize = normalize
+
+        @functools.lru_cache(maxsize=maxsize)
+        def _encode(text: str):
+            if normalize:
+                text = normalize_text(text)
+            return tuple(tokenizer.encode(text))
+
+        self._encode = _encode
+
+    def encode(self, text: str):
+        return list(self._encode(text))
+
+    def cache_info(self):
+        return self._encode.cache_info()

@@ -99,3 +99,18 @@ def test_canonical_vocab_full_byte_coverage():
 def test_default_loader_prefers_canonical():
     t = load_tokenizer()
     assert t.decode(t.encode("🎤")) == "🎤"
+
+
+def test_normalize_text():
+    from rwkv_tts_tpu.tokenizer.rwkv_tokenizer import normalize_text
+    assert normalize_text("  a\tb\n\nc   d  ") == "a b c d"
+
+
+def test_cached_encoder(tok):
+    from rwkv_tts_tpu.tokenizer.rwkv_tokenizer import CachedEncoder
+    ce = CachedEncoder(tok)
+    a = ce.encode("hello   world\n")
+    b = ce.encode("hello   world\n")
+    assert a == b == tok.encode("hello world")
+    info = ce.cache_info()
+    assert info.hits >= 1
