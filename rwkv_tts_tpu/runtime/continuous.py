@@ -45,6 +45,7 @@ from ..config import EngineConfig, RwkvConfig, TtsArgs
 from ..models import rwkv7
 from ..utils.init import raw_threefry_key
 from .engine import (
+    SEMANTIC_SLICE,
     GenerationResult,
     TtsEngine,
     _fold_keys,
@@ -68,8 +69,9 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
     FINISHED on the step a slot retires.
     """
     gk, sk = C.GLOBAL_SAMPLING, C.SEMANTIC_SAMPLING
-    V = cfg.padded_vocab_size
-    ids = jnp.arange(V)
+    # _mask_semantic slices the logits to the semantic-domain prefix; the
+    # EOS masks below must live in that sliced coordinate space
+    ids = jnp.arange(SEMANTIC_SLICE)
 
     def step(carry, _):
         state, logits, s = carry
@@ -178,6 +180,7 @@ class _Live:
     prefill_tokens: int
     zero_shot: bool
     t_start: float
+    admit_seq: int = 0        # dispatch count at admission (pipelining guard)
 
 
 class ContinuousEngine:
@@ -204,6 +207,7 @@ class ContinuousEngine:
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
+        self._block_seq = 0        # decode_block dispatches so far
         self._thread: Optional[threading.Thread] = None
         self._reset_device_state()
 
@@ -262,6 +266,8 @@ class ContinuousEngine:
         self.submit(args, cb)
         if not done.wait(timeout):
             raise TimeoutError("continuous generation timed out")
+        if isinstance(box[0], Exception):
+            raise box[0]
         return box[0]
 
     # -- driver loop -----------------------------------------------------
@@ -273,6 +279,10 @@ class ContinuousEngine:
                     if stages[i] == IDLE and i not in self._live]
 
     def _admit(self):
+        if self._queue.empty():
+            # fast path: no device sync (reading slot stages would block on
+            # the in-flight decode block and break the dispatch pipeline)
+            return
         free = self._free_slots()
         incoming = []
         while free and not self._queue.empty():
@@ -333,6 +343,7 @@ class ContinuousEngine:
                     global_tokens=list(ref_g), semantic_tokens=[],
                     prefill_tokens=len(prompt), zero_shot=zs,
                     t_start=time.perf_counter(),
+                    admit_seq=self._block_seq,
                 )
 
     def _retire(self, slot: int):
@@ -353,43 +364,88 @@ class ContinuousEngine:
             import logging
             logging.getLogger(__name__).exception("result callback failed")
 
-    def _run(self):
+    def _run_loop(self):
+        # Software pipelining: block N+1 is dispatched (async, device-side)
+        # BEFORE block N's emits are pulled to host, so device execution and
+        # host post-processing (token routing, streaming vocoder hand-off)
+        # overlap. The per-slot stage machine retires slots on device, so
+        # correctness never depends on the host seeing a block "in time";
+        # admission just runs one block later, using the pre-dispatch stage
+        # snapshot (idle slots stay idle, so the free-list is conservative).
+        pending = None      # (emits_dev, stage_snapshot_dev)
         while not self._stop:
             self._admit()
             with self._lock:
                 any_live = bool(self._live)
-            if not any_live:
+            if not any_live and pending is None:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
 
-            self.state, self.logits, self.slots, emits = decode_block(
-                self.params, self.state, self.logits, self.slots,
-                self.cfg, self.block)
-            emits_np = np.asarray(emits)          # [block, B]
-            stages_np = np.asarray(self.slots["stage"])
+            if any_live:
+                self.state, self.logits, self.slots, emits = decode_block(
+                    self.params, self.state, self.logits, self.slots,
+                    self.cfg, self.block)
+                self._block_seq += 1
+                nxt = (emits, self.slots["stage"], self._block_seq)
+            else:
+                nxt = None
 
+            if pending is not None:
+                self._process_block(*pending)
+            pending = nxt
+
+    def _run(self):
+        try:
+            self._run_loop()
+        except Exception as e:  # noqa: BLE001 — fail live requests, don't hang
+            import logging
+            logging.getLogger(__name__).exception("decode loop crashed")
             with self._lock:
-                live_slots = list(self._live.items())
-            for slot, live in live_slots:
-                col = emits_np[:, slot]
-                new_sem = []
-                for e in col:
-                    if e == NO_EMIT or e == FINISHED:
-                        continue
-                    if not live.zero_shot and \
-                            len(live.global_tokens) < C.GLOBAL_TOKENS_SIZE:
-                        live.global_tokens.append(int(e))
-                    else:
-                        new_sem.append(int(e))
-                if new_sem:
-                    live.semantic_tokens.extend(new_sem)
-                    if live.chunk_cb is not None:
-                        try:
-                            live.chunk_cb(live.request, list(new_sem))
-                        except Exception:  # noqa: BLE001
-                            import logging
-                            logging.getLogger(__name__).exception(
-                                "chunk callback failed")
-                if stages_np[slot] == IDLE:
-                    self._retire(slot)
+                live = list(self._live.items())
+                self._live.clear()
+            for _, l in live:
+                try:
+                    l.result_cb(e)
+                except Exception:  # noqa: BLE001
+                    pass
+            while not self._queue.empty():
+                try:
+                    _, cb, _ = self._queue.get_nowait()
+                    cb(e)
+                except Exception:  # noqa: BLE001
+                    break
+
+    def _process_block(self, emits, stages, seq):
+        emits_np = np.asarray(emits)          # [block, B]
+        stages_np = np.asarray(stages)
+
+        with self._lock:
+            live_slots = list(self._live.items())
+        for slot, live in live_slots:
+            if live.admit_seq >= seq:
+                # this block was dispatched before the slot's current
+                # occupant was admitted — its emits/stages belong to the
+                # previous occupant (or idle); skip
+                continue
+            col = emits_np[:, slot]
+            new_sem = []
+            for e in col:
+                if e == NO_EMIT or e == FINISHED:
+                    continue
+                if not live.zero_shot and \
+                        len(live.global_tokens) < C.GLOBAL_TOKENS_SIZE:
+                    live.global_tokens.append(int(e))
+                else:
+                    new_sem.append(int(e))
+            if new_sem:
+                live.semantic_tokens.extend(new_sem)
+                if live.chunk_cb is not None:
+                    try:
+                        live.chunk_cb(live.request, list(new_sem))
+                    except Exception:  # noqa: BLE001
+                        import logging
+                        logging.getLogger(__name__).exception(
+                            "chunk callback failed")
+            if stages_np[slot] == IDLE:
+                self._retire(slot)
