@@ -281,3 +281,60 @@ def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
             if arr is not None:
                 out[name] = arr
     return out
+
+
+# --------------------------------------------------------------------------
+# Native checkpoint format (.npz): save/load any parameter pytree, including
+# int8-quantized trees and bf16 leaves. Serving analog of the reference's
+# local model files — lets a server persist its post-load (possibly
+# quantized) weights and restart without re-importing/re-quantizing.
+# --------------------------------------------------------------------------
+
+def save_checkpoint(params, path: str) -> None:
+    import jax
+    import ml_dtypes
+
+    leaves: list = []
+
+    def enc(x):
+        arr = np.asarray(x)
+        idx = len(leaves)
+        if arr.dtype == ml_dtypes.bfloat16:
+            leaves.append(arr.view(np.uint16))
+            dt = "bfloat16"
+        else:
+            leaves.append(arr)
+            dt = str(arr.dtype)
+        return {"__leaf__": idx, "dtype": dt}
+
+    structure = jax.tree_util.tree_map(enc, params)
+    manifest = np.frombuffer(json.dumps(structure).encode("utf-8"), np.uint8)
+    arrays = {f"a{i}": a for i, a in enumerate(leaves)}
+    tmp = path + ".tmp"
+    np.savez(tmp, __manifest__=manifest, **arrays)
+    # np.savez appends .npz to names without it
+    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    import os as _os
+    _os.replace(src, path)
+
+
+def load_checkpoint(path: str):
+    import jax
+    import ml_dtypes
+
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["__manifest__"]).decode("utf-8"))
+
+        def dec(node):
+            if isinstance(node, dict) and "__leaf__" in node:
+                arr = z[f"a{node['__leaf__']}"]
+                if node["dtype"] == "bfloat16":
+                    arr = arr.view(ml_dtypes.bfloat16)
+                return jax.device_put(arr)
+            if isinstance(node, dict):
+                return {k: dec(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [dec(v) for v in node]
+            raise ValueError(f"unexpected manifest node: {type(node)}")
+
+        return dec(manifest)

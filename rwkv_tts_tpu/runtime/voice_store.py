@@ -202,3 +202,78 @@ class VoiceStore:
                 continue
         with open(self._meta_path, "w", encoding="utf-8") as f:
             json.dump({"voices": voices}, f, ensure_ascii=False, indent=2)
+
+
+# --------------------------------------------------------------------------
+# Compact binary voice format (.raf) — analog of the reference's older
+# bincode-based store (src/voice_feature.rs:103-158). The JSON format above
+# is the interchange format; this one is for dense libraries (token arrays
+# as raw int32) and round-trips through the same VoiceFeature.
+# --------------------------------------------------------------------------
+
+_RAF_MAGIC = b"RAFB"
+_RAF_VERSION = 2
+
+
+def save_binary(feature: VoiceFeature, path: str) -> None:
+    import struct as _struct
+
+    import numpy as _np
+
+    def _s(x: str) -> bytes:
+        b = x.encode("utf-8")
+        return _struct.pack("<I", len(b)) + b
+
+    g = _np.asarray(feature.global_tokens, _np.int32)
+    s = _np.asarray(feature.semantic_tokens, _np.int32)
+    payload = (
+        _s(feature.id) + _s(feature.name) + _s(feature.prompt_text)
+        + _s(feature.created_at)
+        + _struct.pack("<fI", feature.audio_duration, feature.sample_rate)
+        + _struct.pack("<I", g.size) + g.tobytes()
+        + _struct.pack("<I", s.size) + s.tobytes()
+    )
+    digest = hashlib.sha256(payload).digest()
+    with open(path, "wb") as f:
+        f.write(_RAF_MAGIC + _struct.pack("<I", _RAF_VERSION) + digest + payload)
+
+
+def load_binary(path: str) -> VoiceFeature:
+    import struct as _struct
+
+    import numpy as _np
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:4] != _RAF_MAGIC:
+        raise ValueError("not a binary .raf file")
+    (version,) = _struct.unpack_from("<I", blob, 4)
+    if version != _RAF_VERSION:
+        raise ValueError(f"unsupported .raf version {version}")
+    digest, payload = blob[8:40], blob[40:]
+    if hashlib.sha256(payload).digest() != digest:
+        raise ChecksumError(f"binary voice file corrupted: {path}")
+
+    pos = 0
+
+    def _s():
+        nonlocal pos
+        (n,) = _struct.unpack_from("<I", payload, pos)
+        pos += 4
+        out = payload[pos:pos + n].decode("utf-8")
+        pos += n
+        return out
+
+    vid, name, prompt, created = _s(), _s(), _s(), _s()
+    duration, sr = _struct.unpack_from("<fI", payload, pos)
+    pos += 8
+    (ng,) = _struct.unpack_from("<I", payload, pos); pos += 4
+    g = _np.frombuffer(payload, _np.int32, ng, pos).tolist(); pos += 4 * ng
+    (ns,) = _struct.unpack_from("<I", payload, pos); pos += 4
+    s = _np.frombuffer(payload, _np.int32, ns, pos).tolist()
+    feat = VoiceFeature(id=vid, name=name, prompt_text=prompt,
+                        created_at=created, global_tokens=g,
+                        semantic_tokens=s, audio_duration=duration,
+                        sample_rate=sr)
+    feat.checksum = compute_checksum(feat)
+    return feat

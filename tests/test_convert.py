@@ -154,3 +154,35 @@ def test_onnx_initializer_parse(tmp_path):
     inits = read_onnx_initializers(p)
     np.testing.assert_array_equal(inits["my.weight"], arr)
     np.testing.assert_array_equal(inits["my.bias"], ints)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from rwkv_tts_tpu.config import RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.models.convert import load_checkpoint, save_checkpoint
+    from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
+
+    cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=500,
+                     padded_vocab_size=512, decay_lora=16, a_lora=16,
+                     v_lora=8, gate_lora=16, dtype="bfloat16",
+                     param_dtype="bfloat16")
+    params = quantize_rwkv_params(rwkv7.init_params(cfg, jax.random.PRNGKey(0)))
+    p = str(tmp_path / "model.ckpt.npz")
+    save_checkpoint(params, p)
+    back = load_checkpoint(p)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        w = flat_b[jax.tree_util.keystr(k)]
+        assert v.dtype == w.dtype, k
+        np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                      np.asarray(w, np.float32))
+    # loaded tree actually runs
+    st = rwkv7.init_state(cfg, 1)
+    logits, _ = rwkv7.forward(back, jnp.array([[1, 2, 3]]), st, cfg)
+    assert logits.shape == (1, 512)

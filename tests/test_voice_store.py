@@ -96,3 +96,25 @@ def test_cache_stats(tmp_path):
     store.load(feat.id)          # hit (cached by save)
     s = store.stats()
     assert s["cache_hits"] >= 1
+
+
+def test_binary_raf_roundtrip(tmp_path):
+    from rwkv_tts_tpu.runtime.voice_store import load_binary, save_binary
+    feat = VoiceFeature(
+        id="voice_x", name="二进制", prompt_text="binary prompt",
+        created_at="2026-08-16T00:00:00.000000000Z",
+        global_tokens=list(range(32)), semantic_tokens=[1, 5, 8191],
+        audio_duration=2.5, sample_rate=16000,
+    )
+    p = str(tmp_path / "v.raf")
+    save_binary(feat, p)
+    back = load_binary(p)
+    assert back.global_tokens == feat.global_tokens
+    assert back.semantic_tokens == feat.semantic_tokens
+    assert back.name == feat.name and back.prompt_text == feat.prompt_text
+    # corruption detected
+    blob = bytearray(open(p, "rb").read())
+    blob[60] ^= 0xFF
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ChecksumError):
+        load_binary(p)
