@@ -158,3 +158,120 @@ def wkv7_single(r, w, k, v, a, b, state):
     y = jnp.einsum("bhij,bhj->bhi", state, r,
                    precision=jax.lax.Precision.HIGHEST)
     return y, state
+
+
+# --------------------------------------------------------------------------
+# Packed-heads kernel: all H heads of one batch element share a single
+# [N, H·N] state block, so the lane dimension is H·N (≥128 — full VPU/MXU
+# width; the per-head kernel above only fills 64 of 128 lanes). The
+# cross-head terms (S·a, sa·b, v·kᵀ, S·r) become small MXU matmuls against
+# block-diagonal selectors built as elementwise products with a constant
+# head-one-hot matrix. Grid: (B, T/block) with the state in a VMEM scratch
+# carried across the sequential T-blocks.
+# --------------------------------------------------------------------------
+
+def _wkv7_packed_kernel(r_ref, d_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+                        hot_ref, y_ref, s_out_ref, s_scratch):
+    T = r_ref.shape[1]
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        s_scratch[:] = s0_ref[0]
+
+    hot = hot_ref[:]                       # [H·N, H] head one-hot
+
+    def body(t, _):
+        r_t = r_ref[0, t, :]               # [H·N]
+        d_t = d_ref[0, t, :]
+        k_t = k_ref[0, t, :]
+        a_t = a_ref[0, t, :]
+        b_t = b_ref[0, t, :]
+        s = s_scratch[:]                   # [N, H·N]
+
+        # sa[:, h] = Σ_j S[:, h·N+j?] … via block-diagonal selector:
+        # (a_t ⊙ hot) is [H·N, H] with head h's a in its own column
+        sa = jnp.dot(s, a_t[:, None] * hot,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)      # [N, H]
+        # expand back to lanes: sa_exp[i, h·N+j] = sa[i, h]
+        sa_exp = jnp.dot(sa, hot.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # [N, H·N]
+        # v arrives pre-transposed as [N, H] (in-kernel reshapes across the
+        # lane dim are unsupported by Mosaic); expand over lanes
+        v_cols = v_ref[0, t, :, :]         # [N, H]
+        v_exp = jnp.dot(v_cols, hot.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)   # [N, H·N]
+
+        s = s * d_t[None, :] + sa_exp * b_t[None, :] + v_exp * k_t[None, :]
+        s_scratch[:] = s
+
+        y = jnp.dot(s, r_t[:, None] * hot,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)       # [N, H]
+        y_ref[0, t, :, :] = y              # [N, H] layout; host transposes
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        s_out_ref[0] = s_scratch[:]
+
+
+@functools.partial(jax.jit, static_argnames=("t_block", "interpret"))
+def wkv7_pallas_packed(r, w, k, v, a, b, state, t_block: int = 64,
+                       interpret=False):
+    """Packed-heads Pallas WKV-7; same semantics as :func:`wkv7_scan`.
+
+    Layout: sequence tensors flatten to [B, T, H·N] (head-major lanes); the
+    state flattens to [B, N, H·N] where column h·N+j is (head h, key j) and
+    row i is the value channel. Requires T divisible by t_block (callers
+    pad; prefill buckets already are)."""
+    B, T, H, N = r.shape
+    f32 = jnp.float32
+    HN = H * N
+    if T % t_block:
+        t_block = T                      # degenerate: single block
+    n_tb = T // t_block
+
+    decay = jnp.exp(-jnp.exp(w.astype(f32)))   # hoisted out of the kernel
+
+    def flat_seq(x):  # [B, T, H, N] -> [B, T, H·N]
+        return x.astype(f32).reshape(B, T, HN)
+
+    v_nh = jnp.moveaxis(v.astype(f32), 2, 3)                   # [B, T, N, H]
+    # state [B, H, N, N] (value-major rows) -> [B, N, H·N]
+    s0 = jnp.moveaxis(state.astype(f32), 1, 2).reshape(B, N, HN)
+
+    hot = (jnp.repeat(jnp.eye(H, dtype=f32), N, axis=0))       # [H·N, H]
+
+    seq_spec = pl.BlockSpec((1, t_block, HN), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    nh_spec = pl.BlockSpec((1, t_block, N, H), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, N, HN), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    hot_spec = pl.BlockSpec((HN, H), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    y, s_out = pl.pallas_call(
+        _wkv7_packed_kernel,
+        grid=(B, n_tb),
+        in_specs=[seq_spec, seq_spec, seq_spec, nh_spec, seq_spec, seq_spec,
+                  state_spec, hot_spec],
+        out_specs=[nh_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, N, H), f32),
+            jax.ShapeDtypeStruct((B, N, HN), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, HN), f32)],
+        interpret=interpret,
+    )(
+        flat_seq(r), flat_seq(decay), flat_seq(k), v_nh,
+        flat_seq(a), flat_seq(b), s0, hot,
+    )
+    y = jnp.moveaxis(y, 2, 3)                                   # [B, T, H, N]
+    s_out = jnp.moveaxis(s_out.reshape(B, N, H, N), 2, 1)
+    return y, s_out

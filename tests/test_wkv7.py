@@ -91,3 +91,13 @@ def test_decay_bounds():
     w = jnp.full((1, 1, 1, 64), -0.5)
     d = np.exp(-np.exp(np.array(w)))
     assert float(d.max()) <= np.exp(-np.exp(-0.5)) + 1e-7
+
+
+def test_packed_kernel_matches_scan():
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_pallas_packed
+    inputs = _rand_inputs(B=2, T=32, H=4, N=64, seed=9)
+    y_ref, s_ref = wkv7_scan(*map(jnp.asarray, inputs))
+    y, s = wkv7_pallas_packed(*map(jnp.asarray, inputs), t_block=16,
+                              interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.array(y), np.array(y_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.array(s), np.array(s_ref), rtol=1e-4, atol=1e-4)
