@@ -17,6 +17,7 @@ the latency-oriented detail. Random weights in the flagship shape class
 values.
 """
 
+import dataclasses
 import json
 import time
 
@@ -31,11 +32,14 @@ from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
 from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
 
 CFG = RwkvConfig(n_layer=24, n_embd=1024, head_size=64)
+# serving config: bf16-stored WKV state halves the decode loop's dominant
+# memory traffic (state is still computed in f32)
+CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
 PREFILL_LEN = 64            # typical prompt: props + tags + ~50 text tokens
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 
-def serving_run(params, batch, decode_steps, on_tpu):
+def serving_run(params, batch, decode_steps, on_tpu, cfg=CFG):
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
         jnp.int32,
@@ -49,14 +53,14 @@ def serving_run(params, batch, decode_steps, on_tpu):
     hard_min = jnp.full((batch,), decode_steps, jnp.int32)
 
     def run():
-        state = rwkv7.init_state(CFG, batch)
+        state = rwkv7.init_state(cfg, batch)
         logits, state = rwkv7.forward(
-            params, tokens, state, CFG, use_pallas=on_tpu, lengths=lengths
+            params, tokens, state, cfg, use_pallas=on_tpu, lengths=lengths
         )
-        glob, state, logits = global_stage(params, state, logits, keys, CFG)
+        glob, state, logits = global_stage(params, state, logits, keys, cfg)
         sem, sem_lens, state = semantic_stage(
             params, state, logits, keys, limits, hard_min,
-            CFG, decode_steps, False,
+            cfg, decode_steps, False,
         )
         return sem, sem_lens
 
@@ -79,7 +83,8 @@ def main():
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
     qparams = quantize_rwkv_params(params)
 
-    xrt_serving, wall64 = serving_run(qparams, 64, DECODE_STEPS, on_tpu)
+    xrt_serving, wall64 = serving_run(qparams, 64, DECODE_STEPS, on_tpu,
+                                      cfg=CFG_SERVING)
     xrt_b8, wall8 = serving_run(params, 8, DECODE_STEPS, on_tpu)
 
     print(json.dumps({
@@ -89,7 +94,7 @@ def main():
         "vs_baseline": round(xrt_serving / 3.33, 3),
         "detail": {
             "backend": jax.default_backend(),
-            "config": "batch=64 int8 (serving)",
+            "config": "batch=64 int8 bf16-state (serving)",
             "prefill_len": PREFILL_LEN,
             "decode_steps": DECODE_STEPS,
             "wall_s_batch64": round(wall64, 3),

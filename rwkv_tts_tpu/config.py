@@ -36,6 +36,11 @@ class RwkvConfig:
     gate_lora: int = 128
     dtype: str = "bfloat16"                  # activation / weight compute dtype
     param_dtype: str = "bfloat16"            # storage dtype for dense weights
+    # storage dtype of the carried WKV state. The recurrence always COMPUTES
+    # in f32; "bfloat16" halves the dominant decode-loop memory traffic
+    # ([L,B,H,N,N] read+write per token) for ~12% faster serving at a small
+    # precision cost (token sequences diverge from the f32 engines).
+    state_dtype: str = "float32"
     ln_eps: float = 1e-5
     group_norm_eps: float = 64e-5            # ln_x eps (RWKV-7 convention)
 

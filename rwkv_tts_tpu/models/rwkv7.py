@@ -116,7 +116,7 @@ def init_state(cfg: RwkvConfig, batch: int) -> State:
     return {
         "att_x": jnp.zeros((L, batch, C), jnp.float32),
         "ffn_x": jnp.zeros((L, batch, C), jnp.float32),
-        "wkv": jnp.zeros((L, batch, H, N, N), jnp.float32),
+        "wkv": jnp.zeros((L, batch, H, N, N), jnp.dtype(cfg.state_dtype)),
     }
 
 
@@ -311,8 +311,10 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
     (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
         layer_body,
         (x, v_first0, jnp.int32(0)),
-        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+        (bp, state["att_x"], state["ffn_x"],
+         state["wkv"].astype(jnp.float32)),
     )
+    wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
 
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     if last_only:
@@ -410,8 +412,10 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
     (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
         layer_body,
         (x, v_first0, jnp.int32(0)),
-        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+        (bp, state["att_x"], state["ffn_x"],
+         state["wkv"].astype(jnp.float32)),
     )
+    wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     logits = qmatmul(x, params["head"]).astype(jnp.float32)
     return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}

@@ -129,3 +129,23 @@ def test_zero_length_slot_untouched(params):
     for k in state:
         np.testing.assert_array_equal(np.array(new_state[k][:, 1]),
                                       np.array(state[k][:, 1]), err_msg=k)
+
+
+def test_bf16_state_dtype_runs():
+    """Opt-in bf16 WKV state: runs, keeps dtype through steps, stays close
+    to the f32 path over a short horizon."""
+    import dataclasses
+    cfg16 = dataclasses.replace(CFG, state_dtype="bfloat16")
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    toks = jnp.array([[5, 9, 250, 3, 77]])
+    s32 = rwkv7.init_state(CFG, 1)
+    s16 = rwkv7.init_state(cfg16, 1)
+    assert s16["wkv"].dtype == jnp.bfloat16
+    l32, s32 = rwkv7.forward(params, toks, s32, CFG)
+    l16, s16 = rwkv7.forward(params, toks, s16, cfg16)
+    assert s16["wkv"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                               rtol=0.1, atol=0.25)
+    l16b, s16 = rwkv7.step(params, jnp.array([4]), s16, cfg16)
+    assert s16["wkv"].dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(l16b)))
