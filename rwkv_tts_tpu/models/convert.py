@@ -338,3 +338,81 @@ def load_checkpoint(path: str):
             raise ValueError(f"unexpected manifest node: {type(node)}")
 
         return dec(manifest)
+
+
+# --------------------------------------------------------------------------
+# wav2vec2 weight import: HF-style state dict → models/wav2vec2.py pytree.
+# The reference consumes an ONNX export of facebook/wav2vec2-large-xlsr-53;
+# read_onnx_initializers / a HF safetensors file both yield name->array maps
+# this function understands (HF names; ONNX exports typically keep them in
+# the initializer names).
+# --------------------------------------------------------------------------
+
+def load_wav2vec2_weights(tensors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    """Map a wav2vec2 (stable-layer-norm) checkpoint into our pytree.
+
+    Accepts HF parameter names with or without the leading
+    ``wav2vec2.``/``model.`` prefix. Torch Linear weights ([out, in]) are
+    transposed; conv weights keep [out, in, k].
+    """
+    def get(*names):
+        for n in names:
+            for prefix in ("", "wav2vec2.", "model.", "model.wav2vec2."):
+                if prefix + n in tensors:
+                    return np.asarray(tensors[prefix + n], np.float32)
+        raise KeyError(f"missing wav2vec2 tensor: {names[0]}")
+
+    tr = np.transpose
+    convs = []
+    for i in range(len(cfg.conv_dims)):
+        base = f"feature_extractor.conv_layers.{i}"
+        convs.append({
+            "w": get(f"{base}.conv.weight"),
+            "ln_w": get(f"{base}.layer_norm.weight"),
+            "ln_b": get(f"{base}.layer_norm.bias"),
+        })
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"encoder.layers.{i}"
+        layers.append({
+            "ln1_w": get(f"{b}.layer_norm.weight"),
+            "ln1_b": get(f"{b}.layer_norm.bias"),
+            "q": tr(get(f"{b}.attention.q_proj.weight")),
+            "q_b": get(f"{b}.attention.q_proj.bias"),
+            "k": tr(get(f"{b}.attention.k_proj.weight")),
+            "k_b": get(f"{b}.attention.k_proj.bias"),
+            "v": tr(get(f"{b}.attention.v_proj.weight")),
+            "v_b": get(f"{b}.attention.v_proj.bias"),
+            "o": tr(get(f"{b}.attention.out_proj.weight")),
+            "o_b": get(f"{b}.attention.out_proj.bias"),
+            "ln2_w": get(f"{b}.final_layer_norm.weight"),
+            "ln2_b": get(f"{b}.final_layer_norm.bias"),
+            "fc1": tr(get(f"{b}.feed_forward.intermediate_dense.weight")),
+            "fc1_b": get(f"{b}.feed_forward.intermediate_dense.bias"),
+            "fc2": tr(get(f"{b}.feed_forward.output_dense.weight")),
+            "fc2_b": get(f"{b}.feed_forward.output_dense.bias"),
+        })
+    import jax
+    import jax.numpy as jnp
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.asarray(np.stack(xs)),
+                                     *layers)
+    # positional conv may be stored weight-normalized (weight_g/weight_v)
+    try:
+        pos_w = get("encoder.pos_conv_embed.conv.weight")
+    except KeyError:
+        g = get("encoder.pos_conv_embed.conv.weight_g")
+        v = get("encoder.pos_conv_embed.conv.weight_v")
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True)) + 1e-12
+        pos_w = v / norm * g
+    return {
+        "convs": [{k: jnp.asarray(v) for k, v in c.items()} for c in convs],
+        "proj_ln_w": jnp.asarray(get("feature_projection.layer_norm.weight")),
+        "proj_ln_b": jnp.asarray(get("feature_projection.layer_norm.bias")),
+        "proj_w": jnp.asarray(tr(get("feature_projection.projection.weight"))),
+        "proj_b": jnp.asarray(get("feature_projection.projection.bias")),
+        "pos_conv_w": jnp.asarray(pos_w),
+        "pos_conv_b": jnp.asarray(get("encoder.pos_conv_embed.conv.bias")),
+        "enc_ln_w": jnp.asarray(get("encoder.layer_norm.weight")),
+        "enc_ln_b": jnp.asarray(get("encoder.layer_norm.bias")),
+        "layers": stacked,
+    }

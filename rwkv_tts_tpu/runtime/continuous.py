@@ -235,6 +235,7 @@ class ContinuousEngine:
 
     def start(self):
         if self._thread is None:
+            self._stop = False
             self._thread = threading.Thread(target=self._run, daemon=True,
                                             name="continuous-decode")
             self._thread.start()
@@ -248,7 +249,11 @@ class ContinuousEngine:
 
     def submit(self, args: TtsArgs, result_cb: Callable,
                chunk_cb: Optional[Callable] = None):
-        """Non-blocking; result_cb(GenerationResult) fires on completion."""
+        """Non-blocking; result_cb(GenerationResult) fires on completion.
+
+        Voice-id resolution happens UPSTREAM (TtsPipeline.resolve_voice):
+        args must already carry ref_global_tokens for zero-shot requests —
+        this engine has no voice store."""
         self._queue.put((args, result_cb, chunk_cb))
         self._wake.set()
         self.start()

@@ -186,3 +186,60 @@ def test_native_checkpoint_roundtrip(tmp_path):
     st = rwkv7.init_state(cfg, 1)
     logits, _ = rwkv7.forward(back, jnp.array([[1, 2, 3]]), st, cfg)
     assert logits.shape == (1, 512)
+
+
+def test_wav2vec2_weight_mapping(tmp_path):
+    import jax
+    from rwkv_tts_tpu.config import Wav2Vec2Config
+    from rwkv_tts_tpu.models import wav2vec2
+    from rwkv_tts_tpu.models.convert import load_wav2vec2_weights
+
+    cfg = Wav2Vec2Config(num_layers=2, hidden_size=32, num_heads=2,
+                         ffn_size=64, conv_dims=(16,) * 7)
+    rng = np.random.default_rng(0)
+    t = {}
+    in_ch = 1
+    for i, (oc, k) in enumerate(zip(cfg.conv_dims, cfg.conv_kernels)):
+        t[f"wav2vec2.feature_extractor.conv_layers.{i}.conv.weight"] = \
+            rng.normal(0, 0.1, (oc, in_ch, k)).astype(np.float32)
+        t[f"wav2vec2.feature_extractor.conv_layers.{i}.layer_norm.weight"] = \
+            np.ones(oc, np.float32)
+        t[f"wav2vec2.feature_extractor.conv_layers.{i}.layer_norm.bias"] = \
+            np.zeros(oc, np.float32)
+        in_ch = oc
+    H = cfg.hidden_size
+    t["wav2vec2.feature_projection.layer_norm.weight"] = np.ones(16, np.float32)
+    t["wav2vec2.feature_projection.layer_norm.bias"] = np.zeros(16, np.float32)
+    t["wav2vec2.feature_projection.projection.weight"] = \
+        rng.normal(0, 0.1, (H, 16)).astype(np.float32)
+    t["wav2vec2.feature_projection.projection.bias"] = np.zeros(H, np.float32)
+    # weight-normalized positional conv (the HF storage form)
+    t["wav2vec2.encoder.pos_conv_embed.conv.weight_g"] = \
+        np.ones((1, 1, 128), np.float32)
+    t["wav2vec2.encoder.pos_conv_embed.conv.weight_v"] = \
+        rng.normal(0, 0.1, (H, H // 16, 128)).astype(np.float32)
+    t["wav2vec2.encoder.pos_conv_embed.conv.bias"] = np.zeros(H, np.float32)
+    t["wav2vec2.encoder.layer_norm.weight"] = np.ones(H, np.float32)
+    t["wav2vec2.encoder.layer_norm.bias"] = np.zeros(H, np.float32)
+    for i in range(cfg.num_layers):
+        b = f"wav2vec2.encoder.layers.{i}"
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            t[f"{b}.attention.{nm}.weight"] = rng.normal(0, 0.1, (H, H)).astype(np.float32)
+            t[f"{b}.attention.{nm}.bias"] = np.zeros(H, np.float32)
+        t[f"{b}.layer_norm.weight"] = np.ones(H, np.float32)
+        t[f"{b}.layer_norm.bias"] = np.zeros(H, np.float32)
+        t[f"{b}.final_layer_norm.weight"] = np.ones(H, np.float32)
+        t[f"{b}.final_layer_norm.bias"] = np.zeros(H, np.float32)
+        t[f"{b}.feed_forward.intermediate_dense.weight"] = \
+            rng.normal(0, 0.1, (cfg.ffn_size, H)).astype(np.float32)
+        t[f"{b}.feed_forward.intermediate_dense.bias"] = np.zeros(cfg.ffn_size, np.float32)
+        t[f"{b}.feed_forward.output_dense.weight"] = \
+            rng.normal(0, 0.1, (H, cfg.ffn_size)).astype(np.float32)
+        t[f"{b}.feed_forward.output_dense.bias"] = np.zeros(H, np.float32)
+
+    params = load_wav2vec2_weights(t, cfg)
+    import jax.numpy as jnp
+    wav = jnp.zeros((1, 16000)) + 0.01
+    feats = wav2vec2.extract_features(params, wav, cfg, output_layers=(1, 2))
+    assert feats.shape[0] == 1 and feats.shape[2] == H
+    assert bool(jnp.all(jnp.isfinite(feats)))
