@@ -78,6 +78,42 @@ def serving_run(params, batch, decode_steps, on_tpu, cfg=CFG):
     return audio_sec / wall, wall
 
 
+def first_chunk_latency(params, on_tpu, cfg=CFG_SERVING, batch=8):
+    """Time-to-first-audio for a normal-mode request at the latency batch:
+    prefill + 32 global steps + TAG_1 + 40 semantic steps (one 32-token
+    vocoder chunk + 8-token lookahead) + one windowed BiCodec decode."""
+    from rwkv_tts_tpu.config import BiCodecConfig
+    from rwkv_tts_tpu.models import bicodec
+
+    bc_cfg = BiCodecConfig(latent_dim=256, vocoder_dim=256)
+    bc_params = bicodec.init_params(bc_cfg, jax.random.PRNGKey(1))
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
+        jnp.int32)
+    lengths = jnp.full((batch,), PREFILL_LEN, jnp.int32)
+    keys = jnp.asarray(
+        np.stack([np.array([0, s], np.uint32) for s in range(batch)]))
+    limits = jnp.full((batch,), 40, jnp.int32)
+    hard_min = limits
+    g_toks = jnp.zeros((1, 32), jnp.int32)
+    sem_win = jnp.zeros((1, 56), jnp.int32)
+
+    def run():
+        state = rwkv7.init_state(cfg, batch)
+        logits, state = rwkv7.forward(params, tokens, state, cfg,
+                                      use_pallas=on_tpu, lengths=lengths)
+        glob, state, logits = global_stage(params, state, logits, keys, cfg)
+        sem, sem_lens, state = semantic_stage(
+            params, state, logits, keys, limits, hard_min, cfg, 40, False)
+        wav = bicodec.decode(bc_params, g_toks, sem_win, bc_cfg)
+        return wav
+
+    run().block_until_ready()           # compile
+    t0 = time.perf_counter()
+    run().block_until_ready()
+    return (time.perf_counter() - t0) * 1000.0
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
@@ -86,6 +122,7 @@ def main():
     xrt_serving, wall64 = serving_run(qparams, 64, DECODE_STEPS, on_tpu,
                                       cfg=CFG_SERVING)
     xrt_b8, wall8 = serving_run(params, 8, DECODE_STEPS, on_tpu)
+    first_chunk_ms = first_chunk_latency(qparams, on_tpu)
 
     print(json.dumps({
         "metric": "synthesis_xrt_per_chip",
@@ -101,6 +138,7 @@ def main():
             "rtf_serving": round(1.0 / xrt_serving, 5),
             "xrt_batch8_bf16": round(xrt_b8, 3),
             "rtf_batch8_bf16": round(1.0 / xrt_b8, 5),
+            "first_chunk_ms_batch8": round(first_chunk_ms, 1),
         },
     }))
 
