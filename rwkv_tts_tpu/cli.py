@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser("rwkv-tts-tpu")
     p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
     p.add_argument("--raf-dir", default="assets/raf")
-    p.add_argument("--quant-type", choices=["none", "int8"], default="none")
+    p.add_argument("--quant-type", choices=["none", "int8", "nf4"], default="none")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("synth", help="synthesize text to an audio file")

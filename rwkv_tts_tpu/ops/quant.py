@@ -49,16 +49,19 @@ def is_quantized(leaf) -> bool:
 
 
 def qmatmul(x: jax.Array, w) -> jax.Array:
-    """x [..., I] @ w — w may be a plain array or a quantized leaf."""
+    """x [..., I] @ w — w may be a plain array, an int8 leaf, or an NF4 leaf."""
     if is_quantized(w):
         y = jnp.matmul(x, w["q"].astype(x.dtype),
                        preferred_element_type=jnp.float32)
         return (y * w["s"].astype(jnp.float32)[..., 0, :]).astype(x.dtype)
+    if is_nf4(w):
+        return (x @ dequantize_tensor_nf4(w, x.dtype)).astype(x.dtype)
     return x @ w.astype(x.dtype)
 
 
 def quantize_rwkv_params(params: Dict[str, Any], quant_layers: int = -1,
-                         quantize_head: bool = True) -> Dict[str, Any]:
+                         quantize_head: bool = True,
+                         kind: str = "int8") -> Dict[str, Any]:
     """Quantize the dense projections of a models/rwkv7.py pytree.
 
     quant_layers: 0 disables, any other value quantizes every block. (The
@@ -69,11 +72,66 @@ def quantize_rwkv_params(params: Dict[str, Any], quant_layers: int = -1,
     """
     if quant_layers == 0:
         return params
+    qt = quantize_tensor if kind == "int8" else quantize_tensor_nf4
     out = dict(params)
     blocks = dict(params["blocks"])
     for k in DENSE_KEYS:
-        blocks[k] = quantize_tensor(blocks[k])
+        blocks[k] = qt(blocks[k])
     out["blocks"] = blocks
     if quantize_head:
-        out["head"] = quantize_tensor(params["head"])
+        out["head"] = qt(params["head"])
     return out
+
+
+# --------------------------------------------------------------------------
+# NF4 (4-bit NormalFloat) weight quantization — the reference's
+# ``--quant-type nf4`` analog (web-rwkv Quant::NF4). 16-level codebook of
+# standard-normal quantiles, per-(input-block, output-channel) absmax
+# scales, two codes packed per byte → 4× smaller than f32 (plus scales).
+# Dequantization is a 16-entry table lookup folded into the matmul input.
+# (The reference's SF4 variant is a web-rwkv-internal float4 format; NF4
+# covers the same memory/quality point.)
+# --------------------------------------------------------------------------
+
+NF4_BLOCK = 64
+
+# Normal-quantile codebook (QLoRA convention), ascending, includes 0.
+NF4_CODE = jnp.asarray([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], jnp.float32)
+
+
+def quantize_tensor_nf4(w: jax.Array) -> Dict[str, jax.Array]:
+    """[..., I, O] float → {"q4": uint8 [..., I/2, O], "s": f32 scales
+    [..., I/NF4_BLOCK, 1, O]}. I must be divisible by NF4_BLOCK."""
+    wf = w.astype(jnp.float32)
+    *lead, I, O = wf.shape
+    assert I % NF4_BLOCK == 0, f"input dim {I} not divisible by {NF4_BLOCK}"
+    blocks = wf.reshape(*lead, I // NF4_BLOCK, NF4_BLOCK, O)
+    scale = jnp.maximum(jnp.max(jnp.abs(blocks), axis=-2, keepdims=True), 1e-8)
+    norm = blocks / scale                                  # [-1, 1]
+    idx = jnp.argmin(jnp.abs(norm[..., None] - NF4_CODE), axis=-1)
+    idx = idx.reshape(*lead, I, O).astype(jnp.uint8)
+    hi, lo = idx[..., 0::2, :], idx[..., 1::2, :]
+    return {"q4": (hi << 4) | lo, "s": scale}
+
+
+def dequantize_tensor_nf4(t: Dict[str, jax.Array],
+                          dtype=jnp.float32) -> jax.Array:
+    q4, scale = t["q4"], t["s"]
+    hi = (q4 >> 4).astype(jnp.int32)
+    lo = (q4 & 0xF).astype(jnp.int32)
+    *lead, I2, O = q4.shape
+    # interleave: [.., I2, 2, O] -> rows hi0, lo0, hi1, lo1, …
+    idx = jnp.stack([hi, lo], axis=-2).reshape(*lead, 2 * I2, O)
+    vals = NF4_CODE[idx]
+    blocks = vals.reshape(*lead, scale.shape[-3], NF4_BLOCK, O) * scale
+    return blocks.reshape(*lead, 2 * I2, O).astype(dtype)
+
+
+def is_nf4(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4", "s"}

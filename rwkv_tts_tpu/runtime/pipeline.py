@@ -75,10 +75,11 @@ class TtsPipeline:
                          quant_layers: int = -1, **kw):
         from ..models.convert import load_rwkv7
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
-        if quant_type == "int8":
+        if quant_type in ("int8", "nf4"):
             from ..ops.quant import quantize_rwkv_params
             lm_params = quantize_rwkv_params(lm_params,
-                                             quant_layers=quant_layers)
+                                             quant_layers=quant_layers,
+                                             kind=quant_type)
         bc_cfg = BiCodecConfig()
         w2v_cfg = Wav2Vec2Config()
         key = jax.random.PRNGKey(0)

@@ -77,3 +77,41 @@ def test_quant_memory_halved():
     dense_q = nbytes({k: q["blocks"][k]
                       for k in ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")})
     assert dense_q < dense_fp * 0.3     # f32 → int8 + small scales
+
+
+def test_nf4_roundtrip_error():
+    from rwkv_tts_tpu.ops.quant import dequantize_tensor_nf4, quantize_tensor_nf4
+    w = jax.random.normal(jax.random.PRNGKey(5), (2, 128, 64)) * 0.1
+    q = quantize_tensor_nf4(w)
+    assert q["q4"].dtype == jnp.uint8
+    assert q["q4"].shape == (2, 64, 64)          # two codes per byte
+    back = dequantize_tensor_nf4(q)
+    err = float(jnp.sqrt(jnp.mean((back - w) ** 2)) / jnp.std(w))
+    assert err < 0.12, err                        # ~4-bit relative error
+
+
+def test_nf4_forward_close_to_fp():
+    from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_rwkv_params(params, kind="nf4")
+    tokens = jnp.array([[5, 17, 300, 42, 7]])
+    state = rwkv7.init_state(CFG, 1)
+    lf, _ = rwkv7.forward(params, tokens, state, CFG)
+    lq, _ = rwkv7.forward(qparams, tokens, state, CFG)
+    corr = np.corrcoef(np.asarray(lf[0]), np.asarray(lq[0]))[0, 1]
+    # random init is worst-case for NF4 (its codebook assumes the normal
+    # distribution of trained weights); 0.9 still proves the math is right
+    assert corr > 0.9, corr
+
+
+def test_nf4_memory_quartered():
+    from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params, kind="nf4")
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(t))
+    keys = ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")
+    fp = nbytes({k: params["blocks"][k] for k in keys})
+    nf = nbytes({k: q["blocks"][k] for k in keys})
+    assert nf < fp * 0.16
