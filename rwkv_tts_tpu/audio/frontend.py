@@ -12,7 +12,6 @@ src/ref_audio_utilities.rs:115-222, and the chain in ``tokenize`` :1047-1257):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax

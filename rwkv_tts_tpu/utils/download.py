@@ -15,7 +15,7 @@ import os
 import shutil
 import urllib.error
 import urllib.request
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 log = logging.getLogger(__name__)
 
