@@ -293,11 +293,23 @@ def x_stride(up) -> int:
 # convenience host wrappers
 # --------------------------------------------------------------------------
 
+DETOKENIZE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _detok_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
 def detokenize(params, global_tokens, semantic_tokens, cfg,
-               bucket: int = 64):
-    """Host wrapper: pads the semantic sequence up to a multiple of
-    ``bucket`` (bounding XLA recompiles), decodes, trims to S·320 samples
-    (parity: detokenizer resize + run, 参考/C/tts/sparktts.cpp:221-276)."""
+               bucket=DETOKENIZE_BUCKETS):
+    """Host wrapper: pads the semantic sequence up to an exponential bucket
+    (≤ 6 compiled shapes for the 2048-token range, vs one per 64-multiple),
+    decodes, trims to S·320 samples (parity: detokenizer resize + run,
+    参考/C/tts/sparktts.cpp:221-276). ``bucket`` may be an int (fixed
+    multiple) or a sequence of bucket sizes."""
     import numpy as np
     g = jnp.asarray(global_tokens, jnp.int32)[None] \
         if jnp.asarray(global_tokens).ndim == 1 else jnp.asarray(global_tokens, jnp.int32)
@@ -307,8 +319,11 @@ def detokenize(params, global_tokens, semantic_tokens, cfg,
     S = s.shape[1]
     if S == 0:
         return np.zeros((s.shape[0], 0), np.float32)
-    pad = (-S) % bucket
-    s_pad = np.pad(s, ((0, 0), (0, pad)))
+    if isinstance(bucket, int):
+        padded = S + ((-S) % bucket)
+    else:
+        padded = _detok_bucket(S, tuple(bucket))
+    s_pad = np.pad(s, ((0, 0), (0, padded - S)))
     wav = decode(params, g, jnp.asarray(s_pad), cfg)
     hop = 320
     return np.asarray(wav[:, : S * hop], np.float32)

@@ -71,7 +71,7 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
     gk, sk = C.GLOBAL_SAMPLING, C.SEMANTIC_SAMPLING
     # _mask_semantic slices the logits to the semantic-domain prefix; the
     # EOS masks below must live in that sliced coordinate space
-    ids = jnp.arange(SEMANTIC_SLICE)
+    ids = jnp.arange(min(SEMANTIC_SLICE, cfg.padded_vocab_size))
 
     def step(carry, _):
         state, logits, s = carry

@@ -55,9 +55,11 @@ SEMANTIC_SLICE = 8320          # 65 × 128 ≥ 8193, lane-aligned
 
 def _mask_semantic(logits):
     """Semantic-domain mask over a sliced row: ids > EOS and the three tags
-    → -inf (normal_mode_inference.rs:332-350)."""
-    s = logits[..., :SEMANTIC_SLICE]
-    ids = jnp.arange(SEMANTIC_SLICE)
+    → -inf (normal_mode_inference.rs:332-350). Handles toy vocabs smaller
+    than the slice (tests) by clamping the slice width."""
+    width = min(SEMANTIC_SLICE, logits.shape[-1])
+    s = logits[..., :width]
+    ids = jnp.arange(width)
     bad = (ids > C.TTS_EOS_TOKEN) | (ids == C.TTS_TAG_0) |           (ids == C.TTS_TAG_1) | (ids == C.TTS_TAG_2)
     return jnp.where(bad[None, :], -jnp.inf, s)
 
@@ -65,7 +67,7 @@ def _mask_semantic(logits):
 def _mask_global(logits):
     """Global-domain slice: only ids < 4096 are sampleable
     (normal_mode_inference.rs:236-244)."""
-    return logits[..., :C.GLOBAL_VOCAB]
+    return logits[..., :min(C.GLOBAL_VOCAB, logits.shape[-1])]
 
 
 def _fold_keys(base_keys, i):

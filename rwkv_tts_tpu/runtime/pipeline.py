@@ -210,3 +210,57 @@ class TtsPipeline:
             blob = audio_io.encode_wav_16bit(result.audio, result.sample_rate)
         with open(path, "wb") as f:
             f.write(blob)
+
+
+# ---------------------------------------------------------------------------
+# warmup: precompile the serving-path programs before traffic arrives
+# ---------------------------------------------------------------------------
+
+def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
+                     zero_shot_too: bool = True) -> Dict[str, float]:
+    """Compile the hot programs up front (first-request latency otherwise
+    pays for prefill-bucket + stage + vocoder compiles). Returns per-program
+    wall seconds. The reference has no analog — its wgpu pipelines compile
+    lazily per shape too, it just never addressed it."""
+    import jax.numpy as jnp
+
+    from .engine import global_stage, semantic_stage
+
+    eng = self.engine
+    cfg, ecfg = eng.cfg, eng.engine_cfg
+    out: Dict[str, float] = {}
+    B = 1
+    buckets = prefill_buckets or ecfg.prefill_buckets[:2]
+    for T in buckets:
+        t0 = time.perf_counter()
+        st = rwkv7.init_state(cfg, B)
+        lg, st = rwkv7.forward(
+            self.engine.params, jnp.zeros((B, T), jnp.int32), st, cfg,
+            use_pallas=eng.use_pallas,
+            lengths=jnp.full((B,), T, jnp.int32))
+        lg.block_until_ready()
+        out[f"prefill_{T}"] = round(time.perf_counter() - t0, 2)
+    keys = jnp.zeros((B, 2), jnp.uint32)
+    limits = jnp.ones((B,), jnp.int32)
+    t0 = time.perf_counter()
+    _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg)
+    lg2.block_until_ready()
+    out["global_stage"] = round(time.perf_counter() - t0, 2)
+    modes = (False, True) if zero_shot_too else (False,)
+    for zs in modes:
+        t0 = time.perf_counter()
+        sem, lens, _ = semantic_stage(
+            eng.params, st2, lg2, keys, limits, jnp.zeros((B,), jnp.int32),
+            cfg, ecfg.max_semantic_tokens, zs)
+        sem.block_until_ready()
+        out[f"semantic_{'zs' if zs else 'normal'}"] = \
+            round(time.perf_counter() - t0, 2)
+    for S in detok_buckets:
+        t0 = time.perf_counter()
+        bicodec.detokenize(self.bicodec_params, [0] * 32, [0] * S,
+                           self.bicodec_cfg, bucket=(S,))
+        out[f"detokenize_{S}"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+TtsPipeline.warmup = _warmup_pipeline

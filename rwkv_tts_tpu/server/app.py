@@ -415,6 +415,8 @@ def main(argv=None):
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--no-download", action="store_true",
                    help="skip the HF model auto-download check")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile serving programs before accepting traffic")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -438,6 +440,10 @@ def main(argv=None):
         collect_timeout_ms=args.batch_timeout,
         inference_timeout_ms=args.inference_timeout,
     )
+    if args.warmup:
+        log.info("warming up compiled programs …")
+        times = pipeline.warmup()
+        log.info("warmup done: %s", times)
     app = create_app(pipeline, batch_cfg)
     log.info("serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)

@@ -87,3 +87,35 @@ def test_global_tokens_change_output(bc_params):
     w1 = np.asarray(bicodec.decode(bc_params, g1, s, BC_CFG))
     w2 = np.asarray(bicodec.decode(bc_params, g2, s, BC_CFG))
     assert float(np.max(np.abs(w1 - w2))) > 1e-6
+
+
+def test_detokenize_exponential_buckets(bc_params):
+    from rwkv_tts_tpu.models.bicodec import _detok_bucket
+    assert _detok_bucket(1, (64, 128)) == 64
+    assert _detok_bucket(64, (64, 128)) == 64
+    assert _detok_bucket(65, (64, 128)) == 128
+    assert _detok_bucket(300, (64, 128)) == 384   # beyond last: round up
+    g, s = list(range(32)), list(range(100))
+    wav = bicodec.detokenize(bc_params, g, s, BC_CFG)
+    assert wav.shape == (1, 100 * 320)
+
+
+def test_pipeline_warmup_smoke(bc_params):
+    import jax
+    from rwkv_tts_tpu.config import EngineConfig, RwkvConfig, Wav2Vec2Config
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+
+    lm_cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=1000,
+                        padded_vocab_size=1024, decay_lora=16, a_lora=16,
+                        v_lora=8, gate_lora=16, dtype="float32",
+                        param_dtype="float32")
+    pipe = TtsPipeline(
+        rwkv7.init_params(lm_cfg, jax.random.PRNGKey(0)), lm_cfg,
+        bc_params, BC_CFG, voice_store=None,
+        engine_cfg=EngineConfig(prefill_buckets=(16, 32),
+                                max_semantic_tokens=8),
+        use_pallas=False)
+    times = pipe.warmup(detok_buckets=(64,))
+    assert "prefill_16" in times and "semantic_normal" in times \
+        and "detokenize_64" in times
