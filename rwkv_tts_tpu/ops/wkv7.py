@@ -133,11 +133,12 @@ def wkv7_pallas(r, w, k, v, a, b, state, interpret=False):
 
 
 def wkv7(r, w, k, v, a, b, state, use_pallas: bool | None = None):
-    """Dispatch to the Pallas kernel on TPU, the scan oracle elsewhere."""
+    """Dispatch to the packed Pallas kernel on TPU, the scan oracle
+    elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return wkv7_pallas(r, w, k, v, a, b, state)
+        return wkv7_pallas_packed(r, w, k, v, a, b, state)
     return wkv7_scan(r, w, k, v, a, b, state)
 
 

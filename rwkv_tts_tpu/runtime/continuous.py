@@ -300,14 +300,10 @@ class ContinuousEngine:
         for slot, (args, result_cb, chunk_cb) in incoming:
             resolved = args
             prompt, text_ids = self.inner.build_prompt(resolved)
-            T = self.inner._bucket(len(prompt))
-            toks = np.zeros((1, T), np.int32)
-            toks[0, : len(prompt)] = prompt
+            # chunked masked prefill (handles prompts beyond the largest
+            # bucket; engine.prefill carries state across chunks)
             st1 = rwkv7.init_state(self.cfg, 1)
-            lg1, st1 = rwkv7.forward(
-                self.params, jnp.asarray(toks), st1, self.cfg,
-                use_pallas=self.inner.use_pallas,
-                lengths=jnp.asarray([len(prompt)], jnp.int32))
+            lg1, st1 = self.inner.prefill([prompt], st1)
             self.state, self.logits = _insert_slot(
                 self.state, self.logits, st1, lg1, slot)
 

@@ -98,3 +98,13 @@ def test_chunk_callbacks_stream_all_tokens(cont):
     # streaming delivered in multiple partial chunks for a 16-token output
     # with block=8 (at least 2)
     assert len(chunks) >= 1
+
+
+def test_long_prompt_admission(params, static_engine, cont):
+    """Prompts longer than the largest prefill bucket must admit via chunked
+    prefill (previously would crash the decode thread)."""
+    args = TtsArgs(text="long " * 60, seed=21, max_tokens=10)   # > 64-bucket
+    want = static_engine.generate(args)
+    got = cont.generate(args)
+    assert got.global_tokens == want.global_tokens
+    assert got.semantic_tokens == want.semantic_tokens
