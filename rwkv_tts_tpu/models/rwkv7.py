@@ -327,13 +327,18 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
     return logits, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
-         ) -> Tuple[jax.Array, State]:
+@functools.partial(jax.jit, static_argnames=("cfg", "head_slice"))
+def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
+         head_slice: int | None = None) -> Tuple[jax.Array, State]:
     """Single-token decode step: token [B] → logits [B, V].
 
     Specializes T=1: no intra-chunk scan, WKV via the fused jnp path
     (wkv7_single) so XLA folds the whole step into one program.
+
+    ``head_slice``: compute only the first N logits. During TTS generation
+    every sampleable id lives in the vocab prefix (< 8320), so slicing the
+    78k-wide head matmul ~9× cuts its weight traffic and shrinks the decode
+    loop carry.
     """
     cdt = jnp.dtype(cfg.dtype)
     B = token.shape[0]
@@ -417,5 +422,12 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig
     )
     wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
-    logits = qmatmul(x, params["head"]).astype(jnp.float32)
+    head = params["head"]
+    if head_slice is not None:
+        if isinstance(head, dict):    # quantized leaf {"q"/"q4", "s"}
+            head = {k: (v[..., :head_slice] if k != "s"
+                        else v[..., :head_slice]) for k, v in head.items()}
+        else:
+            head = head[:, :head_slice]
+    logits = qmatmul(x, head).astype(jnp.float32)
     return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}

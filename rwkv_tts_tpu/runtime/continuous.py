@@ -150,7 +150,9 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
         stage = jnp.where(retires, jnp.int32(IDLE), stage)
         override = jnp.where(has_ov, jnp.int32(-1), new_override)
 
-        new_logits, new_state = rwkv7.step(params, feed, state, cfg)
+        new_logits, new_state = rwkv7.step(
+            params, feed, state, cfg,
+            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size))
         # idle slots keep their logits/state untouched (cheap: they computed
         # anyway; correctness only needs active slots)
         s2 = dict(s, stage=stage, override=override, n_glob=n_glob,
@@ -216,7 +218,8 @@ class ContinuousEngine:
     def _reset_device_state(self):
         B = self.B
         self.state = rwkv7.init_state(self.cfg, B)
-        self.logits = jnp.zeros((B, self.cfg.padded_vocab_size), jnp.float32)
+        self.logits = jnp.zeros(
+            (B, min(SEMANTIC_SLICE, self.cfg.padded_vocab_size)), jnp.float32)
         self.slots = {
             "stage": jnp.zeros((B,), jnp.int32),
             "override": jnp.full((B,), -1, jnp.int32),
@@ -304,6 +307,7 @@ class ContinuousEngine:
             # bucket; engine.prefill carries state across chunks)
             st1 = rwkv7.init_state(self.cfg, 1)
             lg1, st1 = self.inner.prefill([prompt], st1)
+            lg1 = lg1[..., : self.logits.shape[-1]]
             self.state, self.logits = _insert_slot(
                 self.state, self.logits, st1, lg1, slot)
 

@@ -90,16 +90,20 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig):
     """
     gk = C.GLOBAL_SAMPLING
 
+    hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+
     def body(carry, i):
         state, logits = carry
         keys = _fold_keys(base_keys, i)
         tok = _sample_batch(_mask_global(logits), keys,
                             gk["temperature"], gk["top_p"], gk["top_k"])
-        logits, state = rwkv7.step(params, tok + C.GLOBAL_TOKEN_OFFSET, state, cfg)
+        logits, state = rwkv7.step(params, tok + C.GLOBAL_TOKEN_OFFSET,
+                                   state, cfg, head_slice=hs)
         return (state, logits), tok
 
     (state, logits), toks = jax.lax.scan(
-        body, (state, first_logits), jnp.arange(C.GLOBAL_TOKENS_SIZE)
+        body, (state, first_logits[..., :hs]),
+        jnp.arange(C.GLOBAL_TOKENS_SIZE)
     )
     return jnp.moveaxis(toks, 0, 1), state, logits
 
@@ -168,10 +172,14 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         # feed the raw token back (semantic domain uses raw ids,
         # normal_mode_inference.rs:389-390); done slots feed a harmless 0
         feed = jnp.where(emit, tok, 0)
-        logits, state = rwkv7.step(params, feed, state, cfg)
+        logits, state = rwkv7.step(params, feed, state, cfg,
+                                   head_slice=min(SEMANTIC_SLICE,
+                                                  cfg.padded_vocab_size))
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
-    carry = (state, first_logits, buf0, done0, len0, win0, nwin0, jnp.int32(0))
+    hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+    carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
+             jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
     return buf, lens, state
 
