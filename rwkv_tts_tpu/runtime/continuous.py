@@ -300,16 +300,23 @@ class ContinuousEngine:
                 break
         if not incoming:
             return
-        for slot, (args, result_cb, chunk_cb) in incoming:
+        # one batched chunked prefill for the whole admission burst (ragged
+        # lengths are handled by the masked prefill), then per-slot scatter
+        prompts, texts = [], []
+        for _, (args, _, _) in incoming:
+            p, t = self.inner.build_prompt(args)
+            prompts.append(p)
+            texts.append(t)
+        stb = rwkv7.init_state(self.cfg, len(prompts))
+        lgb, stb = self.inner.prefill(prompts, stb)
+        lgb = lgb[..., : self.logits.shape[-1]]
+
+        for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
             resolved = args
-            prompt, text_ids = self.inner.build_prompt(resolved)
-            # chunked masked prefill (handles prompts beyond the largest
-            # bucket; engine.prefill carries state across chunks)
-            st1 = rwkv7.init_state(self.cfg, 1)
-            lg1, st1 = self.inner.prefill([prompt], st1)
-            lg1 = lg1[..., : self.logits.shape[-1]]
+            prompt, text_ids = prompts[j], texts[j]
+            st1 = jax.tree_util.tree_map(lambda x: x[:, j:j + 1], stb)
             self.state, self.logits = _insert_slot(
-                self.state, self.logits, st1, lg1, slot)
+                self.state, self.logits, st1, lgb[j:j + 1], slot)
 
             seed = resolved.seed if resolved.seed is not None else \
                 int.from_bytes(__import__("os").urandom(4), "little")
