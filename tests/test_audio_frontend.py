@@ -178,3 +178,22 @@ def test_wav_24bit_and_float():
 def test_wav_reject_garbage():
     with pytest.raises(aio.AudioDecodeError):
         aio.read_wav(b"not a wav file at all, sorry")
+
+
+def test_mel_jnp_backend_matches_numpy():
+    import jax.numpy as jnp
+    wav = np.random.default_rng(7).normal(0, 0.3, 32000).astype(np.float32)
+    m_np = mel_spectrogram(wav, xp=np)
+    m_jnp = np.asarray(mel_spectrogram(wav, xp=jnp))
+    np.testing.assert_allclose(m_jnp, m_np, rtol=1e-3, atol=1e-4)
+
+
+def test_mp3_gated_without_ffmpeg(tmp_path, monkeypatch):
+    """MP3 support requires ffmpeg; without it the error is explicit."""
+    monkeypatch.setattr(aio, "_ffmpeg", lambda: None)
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\xff\xfb\x90\x00" * 10)
+    with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
+        aio.read_mp3_file(str(p))
+    with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
+        aio.encode_mp3(np.zeros(100, np.float32))
