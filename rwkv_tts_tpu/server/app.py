@@ -106,7 +106,10 @@ async def handle_tts(request: web.Request) -> web.Response:
     text = str(payload.get("text", "")).strip()
     if not text:
         return _err("text is required", status=400)
-    args = build_tts_args(payload)
+    try:
+        args = build_tts_args(payload)
+    except (TypeError, ValueError) as e:
+        return _err(f"invalid parameter: {e}", status=400)
     t0 = time.perf_counter()
     try:
         result = await app["batcher"].submit(args)
@@ -157,7 +160,12 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     text = str(payload.get("text", "")).strip()
     if not text:
         return _err("text is required", status=400)
-    args = app["pipeline"].resolve_voice(build_tts_args(payload))
+    try:
+        args = app["pipeline"].resolve_voice(build_tts_args(payload))
+    except (TypeError, ValueError) as e:
+        return _err(f"invalid parameter: {e}", status=400)
+    except FileNotFoundError as e:
+        return _err(str(e), status=404)
     cont = _get_continuous(app)
     pipe: TtsPipeline = app["pipeline"]
 
@@ -300,6 +308,19 @@ async def handle_trace(request: web.Request) -> web.Response:
                               "seconds": seconds})
 
 
+async def handle_healthz(request: web.Request) -> web.Response:
+    app = request.app
+    return web.json_response({
+        "status": "ok",
+        "uptime_s": round(time.monotonic() - app["t_start"], 1),
+        "model": {
+            "n_layer": app["pipeline"].engine.cfg.n_layer,
+            "n_embd": app["pipeline"].engine.cfg.n_embd,
+            "vocab": app["pipeline"].engine.cfg.vocab_size,
+        },
+    })
+
+
 async def handle_metrics(request: web.Request) -> web.Response:
     m = dict(request.app["metrics"])
     m.update({f"batcher_{k}": v for k, v in request.app["batcher"].stats.items()})
@@ -357,6 +378,7 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
     app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
                       "voices_extracted": 0}
+    app["t_start"] = time.monotonic()
     app["continuous"] = None
 
     app.router.add_post("/api/tts", handle_tts)
@@ -364,6 +386,7 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app.router.add_post("/api/voice-clone/extract", handle_voice_extract)
     app.router.add_get("/api/voice-clone/list", handle_voice_list)
     app.router.add_post("/api/voice-clone/delete", handle_voice_delete)
+    app.router.add_get("/healthz", handle_healthz)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_post("/debug/trace", handle_trace)
     app.router.add_get("/", handle_index)

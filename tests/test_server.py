@@ -214,3 +214,19 @@ def test_streaming_endpoint(tmp_path):
         assert c > 0.99, c
 
     run_client(tmp_path, go)
+
+
+def test_bad_parameter_types_and_healthz(tmp_path):
+    async def go(client):
+        r = await client.post("/api/tts", json={"text": "x",
+                                                "temperature": "abc"})
+        assert r.status == 400
+        j = await r.json()
+        assert "invalid parameter" in j["error"]
+        r = await client.post("/api/tts", json={"text": "x", "seed": "zzz"})
+        assert r.status == 400
+        r = await client.get("/healthz")
+        j = await r.json()
+        assert r.status == 200 and j["status"] == "ok"
+        assert j["model"]["n_layer"] == 2
+    run_client(tmp_path, go)
