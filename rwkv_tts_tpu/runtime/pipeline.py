@@ -72,9 +72,12 @@ class TtsPipeline:
     @classmethod
     def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
                          dtype: str = "bfloat16", quant_type: str = "none",
-                         quant_layers: int = -1, **kw):
+                         quant_layers: int = -1, vocab_path: str = None, **kw):
         from ..models.convert import load_rwkv7
+        from ..tokenizer import load_tokenizer
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
+        if vocab_path:
+            kw.setdefault("tokenizer", load_tokenizer(vocab_path))
         if quant_type in ("int8", "nf4"):
             from ..ops.quant import quantize_rwkv_params
             lm_params = quantize_rwkv_params(lm_params,

@@ -450,7 +450,8 @@ def main(argv=None):
         pipeline = TtsPipeline.from_checkpoints(
             args.model_path, raf_dir=args.raf_dir,
             quant_type=args.quant_type,
-            quant_layers=args.quant_layers if args.quant_layers else -1)
+            quant_layers=args.quant_layers if args.quant_layers else -1,
+            vocab_path=args.vocab_path)
         log.info("loaded checkpoint %s", args.model_path)
     else:
         log.warning("checkpoint %s not found — serving with random weights "
