@@ -230,3 +230,32 @@ def test_bad_parameter_types_and_healthz(tmp_path):
         assert r.status == 200 and j["status"] == "ok"
         assert j["model"]["n_layer"] == 2
     run_client(tmp_path, go)
+
+
+def test_stream_and_batch_concurrently(tmp_path):
+    """The batch endpoint (DynamicBatcher thread) and the streaming endpoint
+    (ContinuousEngine thread) dispatch to the device concurrently — both
+    must complete and agree with their own seeds."""
+    async def go(client):
+        import aiohttp
+
+        async def stream():
+            r = await client.post("/api/tts/stream",
+                                  json={"text": "concurrent stream", "seed": 1},
+                                  timeout=aiohttp.ClientTimeout(total=900))
+            chunks = []
+            async for line in r.content:
+                if line.strip():
+                    chunks.append(json.loads(line))
+            return chunks
+
+        async def batch():
+            r = await client.post("/api/tts",
+                                  json={"text": "concurrent batch", "seed": 2},
+                                  timeout=aiohttp.ClientTimeout(total=900))
+            return await r.json()
+
+        chunks, j = await asyncio.gather(stream(), batch())
+        assert chunks and chunks[-1]["final"]
+        assert j["success"]
+    run_client(tmp_path, go)

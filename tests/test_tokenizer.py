@@ -114,3 +114,19 @@ def test_cached_encoder(tok):
     assert a == b == tok.encode("hello world")
     info = ce.cache_info()
     assert info.hits >= 1
+
+
+def test_fuzz_unicode_roundtrip():
+    """Random unicode from many planes must roundtrip through the default
+    (canonical) tokenizer."""
+    import random
+    rng = random.Random(0)
+    t = load_tokenizer()
+    ranges = [(0x20, 0x7E), (0xA0, 0x2FF), (0x4E00, 0x9FFF),
+              (0x3040, 0x30FF), (0x1F300, 0x1F64F)]
+    for _ in range(30):
+        n = rng.randint(1, 80)
+        text = "".join(
+            chr(rng.randint(*ranges[rng.randrange(len(ranges))]))
+            for _ in range(n))
+        assert t.decode(t.encode(text)) == text, repr(text[:40])
