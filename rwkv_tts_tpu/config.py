@@ -75,6 +75,15 @@ class EngineConfig:
     use_pallas: bool = True                  # pallas WKV kernel vs lax.scan
     decode_block: int = 16                   # tokens decoded per jit dispatch
 
+    def with_token_chunk(self, n: int) -> "EngineConfig":
+        """Map the reference's --token-chunk-size (bin/server.rs:1263-1268)
+        onto the prefill-bucket ladder: the largest bucket — the per-dispatch
+        prompt chunk — becomes ``n``; smaller buckets are kept to limit
+        padding waste on short prompts."""
+        n = max(16, int(n))
+        buckets = tuple(b for b in self.prefill_buckets if b < n) + (n,)
+        return dataclasses.replace(self, prefill_buckets=buckets)
+
 
 @dataclasses.dataclass(frozen=True)
 class BatchConfig:

@@ -209,6 +209,12 @@ class TtsEngine:
         self.cfg = cfg
         self.engine_cfg = engine_cfg
         self.tokenizer = tokenizer or load_tokenizer()
+        # Text→ids LRU cache on the live path (the reference built one in
+        # src/feature_extractor.rs:35-56 but left it off the live path).
+        # normalize=False: the live prompt contract is the raw text
+        # (process_text is the identity, lightweight_tts_pipeline.rs:149-151).
+        from ..tokenizer.rwkv_tokenizer import CachedEncoder
+        self.encoder = CachedEncoder(self.tokenizer, normalize=False)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -219,7 +225,7 @@ class TtsEngine:
         """Returns (prompt_ids, text_ids). Zero-shot prompts embed the
         reference global tokens; ref semantic tokens are intentionally NOT
         prefilled (cross-lingual cloning, zero_shot_inference.rs:86-91)."""
-        text_ids = self.tokenizer.encode(args.text)
+        text_ids = self.encoder.encode(args.text)
         props = convert_standard_properties_to_tokens(
             args.age, args.gender, args.emotion, args.pitch, args.speed
         )
@@ -332,7 +338,11 @@ class TtsEngine:
         glob, state, logits = global_stage(self.params, state, logits, glob_keys, cfg)
 
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
-        logits, state = rwkv7.step(self.params, tag1, state, cfg)
+        # the next stage samples from the semantic prefix only — skip the
+        # full-vocab head matmul on the TAG_1 step as well
+        logits, state = rwkv7.step(
+            self.params, tag1, state, cfg,
+            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size))
 
         sem_keys = jnp.asarray(np.stack(
             [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))

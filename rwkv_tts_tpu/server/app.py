@@ -400,7 +400,8 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     return app
 
 
-def build_dev_pipeline(raf_dir: str = "assets/raf") -> TtsPipeline:
+def build_dev_pipeline(raf_dir: str = "assets/raf",
+                       engine_cfg: EngineConfig = EngineConfig()) -> TtsPipeline:
     """Random-weight pipeline for environments without checkpoints."""
     import jax
     from ..models import bicodec, rwkv7, wav2vec2
@@ -417,9 +418,35 @@ def build_dev_pipeline(raf_dir: str = "assets/raf") -> TtsPipeline:
         bicodec.init_params(bc_cfg, key), bc_cfg,
         wav2vec2.init_params(w2v_cfg, key), w2v_cfg,
         voice_store=VoiceStore(raf_dir),
-        engine_cfg=EngineConfig(),
+        engine_cfg=engine_cfg,
         w2v_output_layers=(1, 2),
     )
+
+
+def build_pipeline_from_args(args) -> TtsPipeline:
+    """Startup model resolution (parity: bin/server.rs:1306-1351): verify /
+    auto-download the model files unless --no-download, then load the
+    checkpoint, honoring --token-chunk-size via the prefill-bucket ladder."""
+    if not args.no_download:
+        from ..utils.download import ensure_models
+        model_dir = os.path.dirname(args.model_path) or "assets/model"
+        ensure_models(model_dir)
+    else:
+        log.info("--no-download: skipping model verification/auto-download")
+
+    engine_cfg = EngineConfig().with_token_chunk(args.token_chunk_size)
+    if os.path.exists(args.model_path):
+        pipeline = TtsPipeline.from_checkpoints(
+            args.model_path, raf_dir=args.raf_dir,
+            quant_type=args.quant_type,
+            quant_layers=args.quant_layers if args.quant_layers else -1,
+            vocab_path=args.vocab_path, engine_cfg=engine_cfg)
+        log.info("loaded checkpoint %s", args.model_path)
+    else:
+        log.warning("checkpoint %s not found — serving with random weights "
+                    "(dev mode)", args.model_path)
+        pipeline = build_dev_pipeline(args.raf_dir, engine_cfg=engine_cfg)
+    return pipeline
 
 
 def main(argv=None):
@@ -446,17 +473,7 @@ def main(argv=None):
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
 
     log.info("initializing models …")
-    if os.path.exists(args.model_path):
-        pipeline = TtsPipeline.from_checkpoints(
-            args.model_path, raf_dir=args.raf_dir,
-            quant_type=args.quant_type,
-            quant_layers=args.quant_layers if args.quant_layers else -1,
-            vocab_path=args.vocab_path)
-        log.info("loaded checkpoint %s", args.model_path)
-    else:
-        log.warning("checkpoint %s not found — serving with random weights "
-                    "(dev mode)", args.model_path)
-        pipeline = build_dev_pipeline(args.raf_dir)
+    pipeline = build_pipeline_from_args(args)
 
     log.info("models ready; building app")
     batch_cfg = BatchConfig(

@@ -35,6 +35,12 @@ REQUESTS = {
     "zero_shot": TtsArgs(text="clone fixture", seed=3, zero_shot=True,
                          max_tokens=16, ref_global_tokens=list(range(32)),
                          ref_semantic_tokens=[1, 2, 3]),
+    # long enough that the 12-step EOS window fills and the acceptance /
+    # masked-resample branches of the gate are exercised
+    # (zero_shot_inference.rs:219-309)
+    "zero_shot_window": TtsArgs(text="w", seed=11, zero_shot=True,
+                                max_tokens=48,
+                                ref_global_tokens=[5] * 32),
 }
 
 
@@ -55,10 +61,16 @@ def compute(engine):
 
 def test_golden_tokens(engine):
     got = compute(engine)
-    if os.environ.get("REGEN_GOLDENS") == "1" or not os.path.exists(GOLDEN_PATH):
+    if os.environ.get("REGEN_GOLDENS") == "1":
         with open(GOLDEN_PATH, "w") as f:
             json.dump(got, f, indent=1)
-        pytest.skip("goldens (re)generated")
+        pytest.skip("goldens regenerated")
+    # a missing fixture file is a FAILURE, not an excuse to regenerate:
+    # otherwise a fresh checkout silently loses the regression gate
+    assert os.path.exists(GOLDEN_PATH), (
+        "goldens.json missing — restore it from git, or regenerate "
+        "intentionally with REGEN_GOLDENS=1"
+    )
     with open(GOLDEN_PATH) as f:
         want = json.load(f)
     assert set(got) == set(want)

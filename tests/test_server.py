@@ -259,3 +259,40 @@ def test_stream_and_batch_concurrently(tmp_path):
         assert chunks and chunks[-1]["final"]
         assert j["success"]
     run_client(tmp_path, go)
+
+
+def test_with_token_chunk_shapes_prefill_buckets():
+    # --token-chunk-size parity (bin/server.rs:1263-1268): the flag sets the
+    # largest per-dispatch prompt chunk
+    e = EngineConfig().with_token_chunk(256)
+    assert e.prefill_buckets == (64, 128, 256)
+    e = EngineConfig().with_token_chunk(100)
+    assert e.prefill_buckets == (64, 100)
+    e = EngineConfig().with_token_chunk(4096)
+    assert e.prefill_buckets[-1] == 4096
+    assert EngineConfig().with_token_chunk(1).prefill_buckets == (16,)
+
+
+def test_build_pipeline_honors_flags(tmp_path, monkeypatch):
+    import argparse
+
+    from rwkv_tts_tpu.server import app as appmod
+
+    calls = []
+    monkeypatch.setattr("rwkv_tts_tpu.utils.download.ensure_models",
+                        lambda model_dir, **kw: calls.append(model_dir) or [])
+
+    def ns(**kw):
+        base = dict(model_path=str(tmp_path / "absent.safetensors"),
+                    raf_dir=str(tmp_path), vocab_path=None, quant_type="none",
+                    quant_layers=0, token_chunk_size=96, no_download=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    pipe = appmod.build_pipeline_from_args(ns())
+    assert calls == [str(tmp_path)]          # download check ran
+    assert pipe.engine.engine_cfg.prefill_buckets[-1] == 96
+
+    calls.clear()
+    appmod.build_pipeline_from_args(ns(no_download=True, token_chunk_size=40))
+    assert calls == []                        # --no-download gates the check
