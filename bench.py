@@ -85,7 +85,7 @@ def first_chunk_latency(params, on_tpu, cfg=CFG_SERVING, batch=8):
     from rwkv_tts_tpu.config import BiCodecConfig
     from rwkv_tts_tpu.models import bicodec
 
-    bc_cfg = BiCodecConfig(latent_dim=256, vocoder_dim=256)
+    bc_cfg = BiCodecConfig()        # FULL-size vocoder (VERDICT r1 weak #3)
     bc_params = bicodec.init_params(bc_cfg, jax.random.PRNGKey(1))
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
@@ -96,7 +96,9 @@ def first_chunk_latency(params, on_tpu, cfg=CFG_SERVING, batch=8):
     limits = jnp.full((batch,), 40, jnp.int32)
     hard_min = limits
     g_toks = jnp.zeros((1, 32), jnp.int32)
-    sem_win = jnp.zeros((1, 56), jnp.int32)
+    # first vocoder window: 32-token chunk + receptive-field lookahead
+    win = 32 + bicodec.receptive_latents(bc_cfg)
+    sem_win = jnp.zeros((1, win), jnp.int32)
 
     def run():
         state = rwkv7.init_state(cfg, batch)

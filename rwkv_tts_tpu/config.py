@@ -151,7 +151,8 @@ class Wav2Vec2Config:
 
 @dataclasses.dataclass(frozen=True)
 class BiCodecConfig:
-    """BiCodec tokenizer/detokenizer (SparkTTS architecture).
+    """BiCodec tokenizer/detokenizer (the SparkTTS BiCodec component
+    graph; defaults are the published model's dims).
 
     Graph parity targets (ref src/ref_audio_utilities.rs:1047-1297 and
     参考/C/tts/sparktts.cpp:155-276):
@@ -162,13 +163,63 @@ class BiCodecConfig:
     mel_bins: int = 128
     ref_mel_frames: int = 301
     feat_dim: int = 1024
+    # semantic encoder: Vocos/ConvNeXt backbone + ratio-1 sampling stages
+    encoder_dim: int = 384
+    encoder_inter_dim: int = 2048
+    encoder_layers: int = 12
+    encoder_out: int = 1024
+    encoder_ratios: Tuple[int, ...] = (1, 1)
+    # factorized VQ (semantic tokens)
     semantic_codebook: int = 8192
-    global_codebook: int = 4096
+    codebook_dim: int = 8
+    vq_l2_norm: bool = True
+    # speaker branch: ECAPA-TDNN → perceiver resampler → FSQ
+    spk_channels: int = 512
+    spk_out_dim: int = 1024
+    spk_latent_dim: int = 128
     num_global_tokens: int = 32
-    latent_dim: int = 1024
-    vocoder_dim: int = 1024
-    upsample_rates: Tuple[int, ...] = (5, 4, 4, 4)   # ∏ = 320 = hop
+    fsq_levels: Tuple[int, ...] = (4, 4, 4, 4, 4, 4)   # ∏ = 4096
+    perceiver_depth: int = 2
+    perceiver_heads: int = 8
+    perceiver_dim_head: int = 64
+    # prenet (AdaLN-conditioned Vocos decoder)
+    prenet_dim: int = 384
+    prenet_inter_dim: int = 2048
+    prenet_layers: int = 12
+    prenet_ratios: Tuple[int, ...] = (1, 1)
+    # wave generator (DAC-style)
+    dec_channels: int = 1536
+    dec_rates: Tuple[int, ...] = (8, 5, 4, 2)          # ∏ = 320 = hop
+    dec_kernels: Tuple[int, ...] = (16, 11, 8, 4)
     dtype: str = "float32"
+
+    @property
+    def global_codebook(self) -> int:
+        out = 1
+        for lv in self.fsq_levels:
+            out *= lv
+        return out
+
+    @property
+    def hop(self) -> int:
+        out = 1
+        for r in self.dec_rates:
+            out *= r
+        return out
+
+    @classmethod
+    def tiny(cls, **overrides) -> "BiCodecConfig":
+        """Small-dims config for CPU tests / dev serving: same topology,
+        ~100× fewer parameters."""
+        kw = dict(
+            encoder_dim=32, encoder_inter_dim=64, encoder_layers=2,
+            encoder_out=64, spk_channels=32, spk_out_dim=64,
+            spk_latent_dim=16, perceiver_depth=1, perceiver_heads=2,
+            perceiver_dim_head=8, prenet_dim=32, prenet_inter_dim=64,
+            prenet_layers=2, dec_channels=64,
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,4 +1,4 @@
-"""BiCodec speech codec (SparkTTS architecture family) in JAX.
+"""BiCodec speech codec (SparkTTS) in JAX — the real architecture.
 
 TPU-native replacement for the reference's two ONNX CPU sessions
 (``BiCodecTokenize.onnx`` / ``BiCodecDetokenize.onnx``; I/O contracts at
@@ -6,30 +6,52 @@ src/ref_audio_utilities.rs:1047-1297 and 参考/C/tts/sparktts.cpp:155-276):
 
   encode:  mel [B, 128, 301] + wav2vec2 feat [B, T, 1024]
            → semantic_tokens [B, T] (codebook 8192, 50 Hz)
-           + global_tokens [B, 32]  (codebook 4096)
+           + global_tokens  [B, 32] (codebook 4096 = ∏ FSQ levels 4^6)
   decode:  global_tokens [B, 32] + semantic_tokens [B, S]
            → waveform [B, S·320] @16 kHz
 
-Components:
-  * semantic branch — ConvNeXt-style 1-D backbone over the wav2vec2
-    features, then a factorized vector quantizer (low-dim nearest-neighbor
-    codebook with in/out projections);
-  * global branch — ECAPA-style speaker encoder over the reference mel,
-    pooled into 32 learned queries by cross-attention, quantized with FSQ
-    (4 dims × 8 levels = 4096 codes per token);
-  * decoder — semantic embeddings FiLM-conditioned on the speaker vector
-    (rebuilt from the FSQ codes), upsampled 5×4×4×4 = 320× by transposed
-    convs with dilated residual stacks, tanh head.
+Architecture (the published SparkTTS BiCodec component graph — those ONNX
+files are exports of it):
 
-All stages are batched, static-shape, jit-compiled XLA graphs — no session
-pool is needed because XLA executables are reentrant (the reference needed
-N pooled ORT sessions, src/onnx_session_pool.rs:15-167).
+  * semantic branch — Vocos/ConvNeXt backbone over the wav2vec2 features
+    (embed conv k7 → LN → 12 ConvNeXt blocks @ dim 384/inter 2048 → LN),
+    two ratio-1 sampling stages each followed by a 2-layer backbone,
+    projection to 1024, then a *factorized* vector quantizer: 1×1
+    weight-normed conv down to 8 dims, L2-normalized nearest-neighbor
+    search over an 8192×8 codebook (codes decode UN-normalized).
+  * global branch — ECAPA-TDNN speaker encoder over the reference mel
+    (conv k5 → 3 SE-Res2Blocks(scale 8, dil 2/3/4) with summed skips →
+    1×1 conv to 1536), a 2-layer perceiver resampler pooling the 1536-d
+    time features into 32 learned 128-d latents, then FSQ (levels 4^6,
+    project 128→6→round→128); the speaker vector is the flattened
+    quantized latents projected 4096 → 1024.
+  * decode — semantic codes → out-project 8→1024, a 12-layer Vocos
+    prenet whose LayerNorms are AdaLN-conditioned on the speaker vector,
+    plus the speaker vector broadcast-added, into a DAC-style wave
+    generator: conv k7 → 4 × [snake → tconv(k,r ∈ 16/8, 11/5, 8/4, 4/2,
+    pad (k−r)/2 — exact ×r upsample) → 3 dilated residual units
+    (snake-conv k7 d∈{1,3,9}-snake-conv k1)] → snake → conv k7 → tanh.
+    ∏ rates = 320 = the token hop.
+
+All stages are batched, static-shape, jit-compiled XLA graphs — no
+session pool is needed because XLA executables are reentrant (the
+reference pooled N ORT sessions, src/onnx_session_pool.rs:15-167).
+
+Weights: ``models/convert.load_bicodec_weights`` maps a torch-style
+BiCodec state dict onto these pytrees (weight-norm g/v pairs folded).
+When only the ONNX exports are available, ``models/onnx_graph`` runs
+them directly — that transpiled path is the parity ground truth; where
+a detail of this hand-written fast path is a reconstruction (flatten
+order of the quantized speaker latents, perceiver norm placement, ECAPA
+skip wiring — marked RECONSTRUCTION below), load-time cross-validation
+against the transpiled graph decides (runtime/pipeline.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+import math
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +60,9 @@ from ..config import BiCodecConfig
 
 Params = Dict[str, Any]
 
-FSQ_LEVELS = (8, 8, 8, 8)                   # ∏ = 4096 = global codebook
-SEMANTIC_CODE_DIM = 8                        # factorized VQ inner dim
-
 
 # --------------------------------------------------------------------------
-# small building blocks
+# primitives
 # --------------------------------------------------------------------------
 
 def _ln(x, w, b, eps=1e-6):
@@ -52,10 +71,28 @@ def _ln(x, w, b, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding="SAME"):
-    """x [B, C, T], w [O, I/groups, K]."""
+def _ada_ln(p, x, cond, eps=1e-6):
+    """AdaLayerNorm: scale/shift regressed from the condition vector.
+    x [B, T, D], cond [B, C]."""
+    scale = cond @ p["scale_w"] + p["scale_b"]        # [B, D]
+    shift = cond @ p["shift_w"] + p["shift_b"]
+    mu = x.mean(-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    return xn * scale[:, None, :] + shift[:, None, :]
+
+
+def _rms_norm(x, g, eps=1e-8):
+    scale = x.shape[-1] ** 0.5
+    n = x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
+    return n * scale * g
+
+
+def _conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding=0):
+    """x [B, C, T], w [O, I/groups, K], symmetric int padding."""
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,), padding=padding,
+        x, w, window_strides=(stride,),
+        padding=[(padding, padding)] if isinstance(padding, int) else padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=groups,
     )
@@ -64,14 +101,14 @@ def _conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding="SAME"):
     return out
 
 
-def _tconv1d(x, w, b=None, stride=1):
-    """Transposed conv via input dilation: x [B, C, T], w [O, I, K=3·stride]
-    → [B, O, T·stride] exactly (pad 2r−1 each side of the r-dilated input)."""
+def _tconv1d(x, w, b=None, stride=1, padding=0):
+    """ConvTranspose1d, torch weight layout [I, O, K], symmetric padding.
+    With k, s, p = (k−s)//2 and (k−s) even this is an exact ×s upsample."""
     k = w.shape[-1]
-    assert k == 3 * stride, "kernel must be 3×stride for exact T·r output"
-    pad = 2 * stride - 1
+    wf = jnp.swapaxes(jnp.flip(w, -1), 0, 1)          # [O, I, K]
+    lo = k - 1 - padding
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(pad, pad)],
+        x, wf, window_strides=(1,), padding=[(lo, lo)],
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
@@ -80,220 +117,583 @@ def _tconv1d(x, w, b=None, stride=1):
     return out
 
 
-def _convnext_block(p, x):
-    """x [B, T, C] → [B, T, C]."""
-    h = _conv1d(jnp.moveaxis(x, 1, 2), p["dw"], p["dw_b"],
-                groups=x.shape[-1])
+def _snake(x, alpha):
+    """Snake activation (DAC): x + sin²(αx)/α, α per channel [C]."""
+    a = alpha[None, :, None]
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
+
+
+# --------------------------------------------------------------------------
+# Vocos backbone (ConvNeXt-1D)
+# --------------------------------------------------------------------------
+
+def _convnext_block(p, x, cond=None):
+    """x [B, T, D] → [B, T, D]."""
+    h = _conv1d(jnp.moveaxis(x, 1, 2), p["dw_w"], p["dw_b"],
+                groups=x.shape[-1], padding=p["dw_w"].shape[-1] // 2)
     h = jnp.moveaxis(h, 1, 2)
-    h = _ln(h, p["ln_w"], p["ln_b"])
-    h = jax.nn.gelu(h @ p["p1"] + p["p1_b"], approximate=True)
-    h = h @ p["p2"] + p["p2_b"]
-    return x + p["gamma"] * h
+    if cond is not None:
+        h = _ada_ln(p["norm"], h, cond)
+    else:
+        h = _ln(h, p["norm_w"], p["norm_b"])
+    h = jax.nn.gelu(h @ p["pw1_w"] + p["pw1_b"], approximate=False)
+    h = h @ p["pw2_w"] + p["pw2_b"]
+    if p.get("gamma") is not None:
+        h = p["gamma"] * h
+    return x + h
+
+
+def _vocos_backbone(p, x, cond=None):
+    """x [B, C_in, T] → [B, T, dim]. Embed conv k7, pre-norm (AdaLN when
+    conditioned), N ConvNeXt blocks, final LN."""
+    h = _conv1d(x, p["embed_w"], p["embed_b"],
+                padding=p["embed_w"].shape[-1] // 2)
+    h = jnp.moveaxis(h, 1, 2)
+    if cond is not None:
+        h = _ada_ln(p["norm"], h, cond)
+    else:
+        h = _ln(h, p["norm_w"], p["norm_b"])
+    for blk in p["blocks"]:
+        h = _convnext_block(blk, h, cond)
+    return _ln(h, p["final_ln_w"], p["final_ln_b"])
+
+
+def _sampling_block(p, x, up: int = 1, down: int = 1):
+    """SamplingBlock semantics: x [B, T, D] → [B, D, T·up/down].
+    ratio-1 blocks (the shipped config) are a pure transpose; the general
+    paths mirror repeat+deconv upsampling / conv+avgpool downsampling."""
+    x = jnp.moveaxis(x, 1, 2)                          # [B, D, T]
+    if up > 1:
+        rep = jnp.repeat(x, up, axis=2)
+        dec = _tconv1d(jax.nn.leaky_relu(x, 0.2), p["up_w"], p["up_b"],
+                       stride=up, padding=up // 2 + up % 2)
+        # output_padding=up%2 under torch; exact-length slice
+        dec = dec[..., : rep.shape[-1]]
+        x = rep + dec
+        rep_res = rep
+    else:
+        rep_res = x
+    if down > 1:
+        conv = _conv1d(jax.nn.leaky_relu(x, 0.2), p["down_w"], p["down_b"],
+                       stride=down, padding=down // 2 + down % 2)
+        T = x.shape[-1] // down
+        pool = x[..., : T * down].reshape(*x.shape[:2], T, down).mean(-1)
+        pool_rep = rep_res[..., : T * down].reshape(
+            *x.shape[:2], T, down).mean(-1)
+        x = conv[..., : T] + pool + pool_rep
+    return x
+
+
+# --------------------------------------------------------------------------
+# factorized vector quantizer (semantic tokens)
+# --------------------------------------------------------------------------
+
+def fvq_tokenize(p, z, l2_norm: bool = True):
+    """z [B, D, T] → indices [B, T]. in-project (1×1 conv) to the 8-dim
+    code space, L2-normalized nearest neighbor; ties → lowest index."""
+    ze = jnp.einsum("bdt,dc->btc", z, p["in_w"]) + p["in_b"]
+    cb = p["codebook"]
+    if l2_norm:
+        ze = ze * jax.lax.rsqrt(jnp.sum(ze * ze, -1, keepdims=True) + 1e-12)
+        cb = cb * jax.lax.rsqrt(jnp.sum(cb * cb, -1, keepdims=True) + 1e-12)
+    d = (jnp.sum(ze * ze, -1, keepdims=True)
+         - 2.0 * ze @ cb.T
+         + jnp.sum(cb * cb, -1)[None, None, :])
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def fvq_detokenize(p, idx):
+    """indices [B, T] → z_q [B, D, T] (un-normalized codebook rows,
+    out-projected)."""
+    zq = p["codebook"][idx]                            # [B, T, 8]
+    out = jnp.einsum("btc,cd->btd", zq, p["out_w"]) + p["out_b"]
+    return jnp.moveaxis(out, 1, 2)
 
 
 # --------------------------------------------------------------------------
 # FSQ (finite scalar quantization) for global tokens
 # --------------------------------------------------------------------------
 
-def fsq_quantize(z: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """z [..., 4] → (codes [...], quantized [..., 4]).
-
-    Each dim is bounded by tanh to (-1, 1), scaled to L levels, rounded.
-    Code id = mixed-radix index over dims."""
-    levels = jnp.asarray(FSQ_LEVELS, jnp.float32)
-    half = (levels - 1.0) / 2.0
-    bounded = jnp.tanh(z) * half + half            # [0, L-1]
-    idx = jnp.round(bounded)
-    radix = jnp.cumprod(jnp.asarray((1,) + FSQ_LEVELS[:-1]))
-    code = jnp.sum(idx * radix, axis=-1).astype(jnp.int32)
-    quant = (idx - half) / half                    # back to [-1, 1]
-    return code, quant
+def _fsq_bound(z, levels, eps=1e-3):
+    lv = jnp.asarray(levels, jnp.float32)
+    half_l = (lv - 1.0) * (1.0 + eps) / 2.0
+    offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
+    shift = jnp.arctanh(offset / half_l)
+    return jnp.tanh(z + shift) * half_l - offset
 
 
-def fsq_dequantize(code: jax.Array) -> jax.Array:
-    """codes [...] → vectors [..., 4] in [-1, 1]."""
-    levels = jnp.asarray(FSQ_LEVELS, jnp.int32)
-    half = (levels.astype(jnp.float32) - 1.0) / 2.0
-    radix = jnp.cumprod(jnp.asarray((1,) + FSQ_LEVELS[:-1]))
-    idx = (code[..., None] // radix) % levels
-    return (idx.astype(jnp.float32) - half) / half
+def fsq_quantize(z, levels) -> Tuple[jax.Array, jax.Array]:
+    """z [..., d] → (codes [...], normalized quantized [..., d]).
+    vector-quantize-pytorch FSQ semantics: bound → round → /half_width;
+    index = Σ digit·∏levels[:i]."""
+    lv = jnp.asarray(levels, jnp.int32)
+    half_w = lv // 2
+    q = jnp.round(_fsq_bound(z, levels))               # integers around 0
+    digits = q + half_w.astype(jnp.float32)            # [0, L)
+    basis = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), jnp.asarray(levels, jnp.int32)[:-1]]))
+    code = jnp.sum(digits.astype(jnp.int32) * basis, axis=-1)
+    return code.astype(jnp.int32), q / half_w.astype(jnp.float32)
+
+
+def fsq_dequantize(code, levels) -> jax.Array:
+    """codes [...] → normalized vectors [..., d]."""
+    lv = jnp.asarray(levels, jnp.int32)
+    basis = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), lv[:-1]]))
+    digits = (code[..., None].astype(jnp.int32) // basis) % lv
+    half_w = (lv // 2).astype(jnp.float32)
+    return (digits.astype(jnp.float32) - half_w) / half_w
 
 
 # --------------------------------------------------------------------------
-# parameter init
+# ECAPA-TDNN speaker encoder (time features for the perceiver)
 # --------------------------------------------------------------------------
 
-def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
-    """Host-side NumPy init (utils/init.py): zero per-shape XLA compiles."""
-    from ..utils.init import Initializer
+def _bn1d(p, x, eps=1e-5):
+    """Inference BatchNorm over channel dim of [B, C, T] (or [B, C])."""
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"].reshape(shape)) * inv.reshape(shape) \
+        * p["w"].reshape(shape) + p["b"].reshape(shape)
 
-    ini = Initializer(key)
-    D = cfg.latent_dim
 
-    def lin(i, o, scale=None):
-        return jnp.asarray(ini.normal((i, o), scale if scale is not None else i ** -0.5))
+def _conv_relu_bn(p, x, dilation=1):
+    k = p["w"].shape[-1]
+    pad = (k - 1) * dilation // 2
+    h = _conv1d(x, p["w"], p["b"], dilation=dilation, padding=pad)
+    return _bn1d(p["bn"], jax.nn.relu(h))
 
-    def cnx_block(dim, mult=3):
-        return {
-            "dw": jnp.asarray(ini.normal((dim, 1, 7), 7 ** -0.5)),
-            "dw_b": jnp.asarray(ini.zeros((dim,))),
-            "ln_w": jnp.asarray(ini.ones((dim,))),
-            "ln_b": jnp.asarray(ini.zeros((dim,))),
-            "p1": lin(dim, mult * dim),
-            "p1_b": jnp.asarray(ini.zeros((mult * dim,))),
-            "p2": lin(mult * dim, dim),
-            "p2_b": jnp.asarray(ini.zeros((dim,))),
-            "gamma": jnp.asarray(ini.full((dim,), 1e-2)),
-        }
 
-    # semantic encoder: 1024 -> D, 4 ConvNeXt blocks
-    enc = {
-        "inp": lin(cfg.feat_dim, D),
-        "inp_b": jnp.asarray(ini.zeros((D,))),
-        "blocks": [cnx_block(D) for _ in range(4)],
-        "out_ln_w": jnp.asarray(ini.ones((D,))),
-        "out_ln_b": jnp.asarray(ini.zeros((D,))),
-    }
-    # factorized VQ
-    vq = {
-        "proj_in": lin(D, SEMANTIC_CODE_DIM),
-        "codebook": jnp.asarray(ini.normal((cfg.semantic_codebook, SEMANTIC_CODE_DIM))),
-        "proj_out": lin(SEMANTIC_CODE_DIM, D),
-    }
-    # speaker encoder over mel [128, F]
-    spk_dim = 256
-    spk = {
-        "c1": jnp.asarray(ini.normal((spk_dim, cfg.mel_bins, 5), (cfg.mel_bins * 5) ** -0.5)),
-        "c1_b": jnp.asarray(ini.zeros((spk_dim,))),
-        "res": [
-            {
-                "w": jnp.asarray(ini.normal((spk_dim, spk_dim, 3), (spk_dim * 3) ** -0.5)),
-                "b": jnp.asarray(ini.zeros((spk_dim,))),
-            }
-            for _ in range(3)
-        ],
-        "queries": jnp.asarray(ini.normal((cfg.num_global_tokens, spk_dim), 0.02)),
-        "q_proj": lin(spk_dim, spk_dim), "k_proj": lin(spk_dim, spk_dim),
-        "v_proj": lin(spk_dim, spk_dim),
-        "fsq_proj": lin(spk_dim, len(FSQ_LEVELS)),
-    }
-    # global-token -> condition vector
-    cond_dim = 256
-    glob_dec = {
-        "emb": lin(len(FSQ_LEVELS), cond_dim, 0.5),
-        "emb_b": jnp.asarray(ini.zeros((cond_dim,))),
-        "mix": lin(cond_dim, cond_dim),
-        "mix_b": jnp.asarray(ini.zeros((cond_dim,))),
-    }
-    # decoder / vocoder
-    Dv = cfg.vocoder_dim
-    ups = []
-    ch = Dv
-    for r in cfg.upsample_rates:
-        out_ch = max(ch // 2, 32)
-        ups.append({
-            "t_w": jnp.asarray(ini.normal((out_ch, ch, 3 * r), (ch * 3 * r) ** -0.5)),
-            "t_b": jnp.asarray(ini.zeros((out_ch,))),
-            "res": [
-                {
-                    "w1": jnp.asarray(ini.normal((out_ch, out_ch, 3), (out_ch * 3) ** -0.5)),
-                    "b1": jnp.asarray(ini.zeros((out_ch,))),
-                    "w2": jnp.asarray(ini.normal((out_ch, out_ch, 3), (out_ch * 3) ** -0.5)),
-                    "b2": jnp.asarray(ini.zeros((out_ch,))),
-                }
-                for _ in range(2)
-            ],
-            "film_scale": lin(cond_dim, out_ch, 0.01),
-            "film_shift": lin(cond_dim, out_ch, 0.01),
-        })
-        ch = out_ch
-    dec = {
-        "prenet": lin(D, Dv), "prenet_b": jnp.asarray(ini.zeros((Dv,))),
-        "ups": ups,
-        "post_w": jnp.asarray(ini.normal((1, ch, 7), (ch * 7) ** -0.5)),
-        "post_b": jnp.asarray(ini.zeros((1,))),
-    }
-    return {"encoder": enc, "vq": vq, "speaker": spk,
-            "glob_dec": glob_dec, "decoder": dec}
+def _res2_block(p, x, dilation, scale=8):
+    """Res2Net conv over channel groups with cascading adds."""
+    width = x.shape[1] // scale
+    parts = [x[:, i * width:(i + 1) * width] for i in range(scale)]
+    outs = []
+    sp = None
+    for i, conv in enumerate(p["convs"]):
+        sp = parts[i] if i == 0 else sp + parts[i]
+        k = conv["w"].shape[-1]
+        sp = _conv1d(sp, conv["w"], conv["b"], dilation=dilation,
+                     padding=(k - 1) * dilation // 2)
+        sp = _bn1d(conv["bn"], jax.nn.relu(sp))
+        outs.append(sp)
+    outs.append(parts[-1])
+    return jnp.concatenate(outs, axis=1)
 
+
+def _se_connect(p, x):
+    s = x.mean(-1)                                      # [B, C]
+    s = jax.nn.relu(s @ p["w1"] + p["b1"])
+    s = jax.nn.sigmoid(s @ p["w2"] + p["b2"])
+    return x * s[:, :, None]
+
+
+def _se_res2_block(p, x, dilation):
+    h = _conv_relu_bn(p["conv1"], x)
+    h = _res2_block(p["res2"], h, dilation)
+    h = _conv_relu_bn(p["conv2"], h)
+    h = _se_connect(p["se"], h)
+    return h + x
+
+
+def ecapa_features(p, mel):
+    """mel [B, n_mels, T] → time features [B, 3·channels, T] (the latent
+    the perceiver pools; relu(conv1x1(cat(block outputs))))."""
+    h = _conv_relu_bn(p["layer1"], mel)
+    # RECONSTRUCTION: summed skip inputs between blocks (ECAPA paper /
+    # wespeaker wiring); ONNX-transpiled path is authoritative.
+    o1 = _se_res2_block(p["layer2"], h, 2)
+    o2 = _se_res2_block(p["layer3"], h + o1, 3)
+    o3 = _se_res2_block(p["layer4"], h + o1 + o2, 4)
+    cat = jnp.concatenate([o1, o2, o3], axis=1)
+    k = p["mfa_w"].shape[-1]
+    return jax.nn.relu(_conv1d(cat, p["mfa_w"], p["mfa_b"],
+                               padding=k // 2))
+
+
+def ecapa_embedding(p, latent):
+    """Attentive-stat-pool x-vector head (kept for state-dict parity /
+    the forward() path; tokenize/detokenize don't consume it)."""
+    mean = latent.mean(-1, keepdims=True)
+    std = jnp.sqrt(jnp.var(latent, axis=-1, keepdims=True) + 1e-7)
+    ctx = jnp.concatenate(
+        [latent, jnp.broadcast_to(mean, latent.shape),
+         jnp.broadcast_to(std, latent.shape)], axis=1)
+    a = jnp.tanh(_conv1d(ctx, p["att1_w"], p["att1_b"]))
+    a = jax.nn.softmax(_conv1d(a, p["att2_w"], p["att2_b"]), axis=-1)
+    mu = jnp.sum(a * latent, axis=-1)
+    var = jnp.sum(a * latent ** 2, axis=-1) - mu ** 2
+    stats = jnp.concatenate([mu, jnp.sqrt(jnp.clip(var, 1e-7))], axis=1)
+    stats = _bn1d(p["bn"], stats)
+    return stats @ p["fc_w"] + p["fc_b"]
+
+
+# --------------------------------------------------------------------------
+# perceiver resampler (32 learned latents over the ECAPA features)
+# --------------------------------------------------------------------------
+
+def _perceiver_attention(p, lat, ctx, heads, dim_head):
+    """Cross-attention with queries included in the context
+    (cross_attn_include_queries=True)."""
+    B, N, D = lat.shape
+    kv_src = jnp.concatenate([lat, ctx], axis=1)
+    q = (lat @ p["q_w"]).reshape(B, N, heads, dim_head)
+    kv = kv_src @ p["kv_w"]
+    k, v = jnp.split(kv, 2, axis=-1)
+    M = kv_src.shape[1]
+    k = k.reshape(B, M, heads, dim_head)
+    v = v.reshape(B, M, heads, dim_head)
+    att = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (dim_head ** -0.5)
+    att = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, -1)
+    return out @ p["out_w"]
+
+
+def perceiver_resample(p, ctx, heads: int, dim_head: int):
+    """ctx [B, T, C_ctx] → latents [B, num_latents, dim]."""
+    ctx = ctx @ p["ctx_w"] + p["ctx_b"]
+    lat = jnp.broadcast_to(p["latents"],
+                           (ctx.shape[0],) + p["latents"].shape)
+    for layer in p["layers"]:
+        lat = _perceiver_attention(layer["attn"], lat, ctx,
+                                   heads, dim_head) + lat
+        h = jax.nn.gelu(lat @ layer["ff1_w"] + layer["ff1_b"],
+                        approximate=False)
+        lat = (h @ layer["ff2_w"] + layer["ff2_b"]) + lat
+    return _rms_norm(lat, p["norm_g"])
+
+
+# --------------------------------------------------------------------------
+# speaker branch: tokenize / detokenize
+# --------------------------------------------------------------------------
+
+def speaker_tokenize(p, mel, cfg: BiCodecConfig):
+    """mel [B, n_mels, T] → global tokens [B, 32]."""
+    feats = ecapa_features(p["ecapa"], mel)
+    lat = perceiver_resample(p["perceiver"], jnp.moveaxis(feats, 1, 2),
+                             cfg.perceiver_heads, cfg.perceiver_dim_head)
+    z = lat @ p["fsq_in_w"] + p["fsq_in_b"]            # [B, 32, 6]
+    codes, _ = fsq_quantize(z, cfg.fsq_levels)
+    return codes
+
+
+def speaker_detokenize(p, codes, cfg: BiCodecConfig):
+    """global tokens [B, 32] → speaker vector d [B, out_dim]."""
+    q = fsq_dequantize(codes, cfg.fsq_levels)          # [B, 32, 6]
+    lat = q @ p["fsq_out_w"] + p["fsq_out_b"]          # [B, 32, latent]
+    # RECONSTRUCTION: flatten the quantized latents channel-major
+    # ([B, latent, 32] row-major), matching the channel-first reshape in
+    # the torch module; verified against the ONNX graph when present.
+    flat = jnp.moveaxis(lat, 1, 2).reshape(lat.shape[0], -1)
+    return flat @ p["proj_w"] + p["proj_b"]
+
+
+# --------------------------------------------------------------------------
+# encoder / decoder
+# --------------------------------------------------------------------------
+
+def encoder_forward(p, feat, cfg: BiCodecConfig):
+    """wav2vec2 features [B, T, 1024] → latent z [B, 1024, T]."""
+    h = _vocos_backbone(p["backbone"], jnp.moveaxis(feat, 1, 2))
+    for ratio, stage in zip(cfg.encoder_ratios, p["stages"]):
+        h = _sampling_block(stage.get("sampler", {}), h, down=ratio)
+        h = _vocos_backbone(stage["vocos"], h)
+    h = h @ p["project_w"] + p["project_b"]            # [B, T, out]
+    return jnp.moveaxis(h, 1, 2)
+
+
+def prenet_forward(p, zq, cond, cfg: BiCodecConfig):
+    """z_q [B, 1024, S] + condition [B, 1024] → [B, 1024, S]."""
+    h = jnp.moveaxis(zq, 1, 2) @ p["pre_w"] + p["pre_b"]
+    for ratio, stage in zip(cfg.prenet_ratios, p["stages"]):
+        h = _sampling_block(stage.get("sampler", {}), h, up=ratio)
+        h = _vocos_backbone(stage["vocos"], h)
+    h = _vocos_backbone(p["backbone"], jnp.moveaxis(h, 1, 2), cond=cond)
+    h = h @ p["out_w"] + p["out_b"]
+    return jnp.moveaxis(h, 1, 2)
+
+
+def _residual_unit(p, x, dilation):
+    k = p["w1"].shape[-1]
+    h = _snake(x, p["alpha1"])
+    h = _conv1d(h, p["w1"], p["b1"], dilation=dilation,
+                padding=(k - 1) * dilation // 2)
+    h = _snake(h, p["alpha2"])
+    h = _conv1d(h, p["w2"], p["b2"])
+    return x + h
+
+
+def wave_generator(p, x, cfg: BiCodecConfig):
+    """x [B, 1024, S] → wav [B, S·320] in (−1, 1). DAC-style decoder."""
+    h = _conv1d(x, p["in_w"], p["in_b"], padding=p["in_w"].shape[-1] // 2)
+    for blk, rate, k in zip(p["blocks"], cfg.dec_rates, cfg.dec_kernels):
+        h = _snake(h, blk["alpha"])
+        h = _tconv1d(h, blk["up_w"], blk["up_b"], stride=rate,
+                     padding=(k - rate) // 2)
+        for ru, d in zip(blk["res"], (1, 3, 9)):
+            h = _residual_unit(ru, h, d)
+    h = _snake(h, p["alpha_out"])
+    h = _conv1d(h, p["out_w"], p["out_b"], padding=p["out_w"].shape[-1] // 2)
+    return jnp.tanh(h[:, 0, :])
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode(params: Params, feat: jax.Array, mel: jax.Array,
            cfg: BiCodecConfig) -> Tuple[jax.Array, jax.Array]:
-    """feat [B, T, 1024], mel [B, 128, F] → (semantic [B, T], global [B, 32])."""
-    enc, vq, spk = params["encoder"], params["vq"], params["speaker"]
-
-    # semantic branch
-    x = feat @ enc["inp"] + enc["inp_b"]
-    for blk in enc["blocks"]:
-        x = _convnext_block(blk, x)
-    x = _ln(x, enc["out_ln_w"], enc["out_ln_b"])
-    z = x @ vq["proj_in"]                                    # [B, T, 8]
-    d = (jnp.sum(z * z, -1, keepdims=True)
-         - 2.0 * z @ vq["codebook"].T
-         + jnp.sum(vq["codebook"] ** 2, -1)[None, None, :])
-    semantic = jnp.argmin(d, axis=-1).astype(jnp.int32)      # [B, T]
-
-    # global branch
-    h = jax.nn.gelu(_conv1d(mel, spk["c1"], spk["c1_b"]), approximate=True)
-    for r in spk["res"]:
-        h = h + jax.nn.gelu(_conv1d(h, r["w"], r["b"]), approximate=True)
-    h = jnp.moveaxis(h, 1, 2)                                 # [B, F, 256]
-    q = spk["queries"] @ spk["q_proj"]                        # [32, 256]
-    k = h @ spk["k_proj"]
-    v = h @ spk["v_proj"]
-    att = jax.nn.softmax(
-        jnp.einsum("qd,bfd->bqf", q, k) * (q.shape[-1] ** -0.5), axis=-1)
-    pooled = jnp.einsum("bqf,bfd->bqd", att, v)               # [B, 32, 256]
-    zg = pooled @ spk["fsq_proj"]                             # [B, 32, 4]
-    global_tokens, _ = fsq_quantize(zg)
+    """feat [B, T, 1024], mel [B, 128, F] → (semantic [B, T], global [B, 32]).
+    Parity: BiCodecTokenize.onnx (ref_audio_utilities.rs:1047-1257)."""
+    z = encoder_forward(params["encoder"], feat, cfg)
+    semantic = fvq_tokenize(params["quantizer"], z, cfg.vq_l2_norm)
+    global_tokens = speaker_tokenize(params["speaker"], mel, cfg)
     return semantic, global_tokens
 
-
-# --------------------------------------------------------------------------
-# decode path (BiCodecDetokenize parity)
-# --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
            cfg: BiCodecConfig) -> jax.Array:
-    """global [B, 32] + semantic [B, S] → wav [B, S·320] in (-1, 1)."""
-    vq, gd, dec = params["vq"], params["glob_dec"], params["decoder"]
-
-    z = vq["codebook"][semantic_tokens]                       # [B, S, 8]
-    x = z @ vq["proj_out"]                                    # [B, S, D]
-
-    gvec = fsq_dequantize(global_tokens)                      # [B, 32, 4]
-    cond = jax.nn.gelu(gvec @ gd["emb"] + gd["emb_b"], approximate=True)
-    cond = cond.mean(axis=1) @ gd["mix"] + gd["mix_b"]        # [B, 256]
-
-    x = jnp.moveaxis(x @ dec["prenet"] + dec["prenet_b"], 1, 2)  # [B, Dv, S]
-    for up in dec["ups"]:
-        x = _tconv1d(jax.nn.gelu(x, approximate=True), up["t_w"], up["t_b"],
-                     stride=x_stride(up))
-        scale = 1.0 + cond @ up["film_scale"]
-        shift = cond @ up["film_shift"]
-        x = x * scale[:, :, None] + shift[:, :, None]
-        for r in up["res"]:
-            h = jax.nn.gelu(x, approximate=True)
-            h = _conv1d(h, r["w1"], r["b1"], dilation=1)
-            h = jax.nn.gelu(h, approximate=True)
-            h = _conv1d(h, r["w2"], r["b2"], dilation=3)
-            x = x + h
-    x = _conv1d(jax.nn.gelu(x, approximate=True), dec["post_w"], dec["post_b"])
-    return jnp.tanh(x[:, 0, :])
-
-
-def x_stride(up) -> int:
-    """Upsample rate is a third of the transposed-conv kernel length."""
-    return up["t_w"].shape[-1] // 3
+    """global [B, 32] + semantic [B, S] → wav [B, S·320].
+    Parity: BiCodecDetokenize.onnx (ref_audio_utilities.rs:1259-1297):
+    prenet(z_q, d) + d, then the wave generator."""
+    zq = fvq_detokenize(params["quantizer"], semantic_tokens)
+    d = speaker_detokenize(params["speaker"], global_tokens, cfg)
+    x = prenet_forward(params["prenet"], zq, d, cfg)
+    x = x + d[:, :, None]
+    return wave_generator(params["wavegen"], x, cfg)
 
 
 # --------------------------------------------------------------------------
-# convenience host wrappers
+# parameter init (host-side numpy; see utils/init.py re: axon transfers)
+# --------------------------------------------------------------------------
+
+def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
+    from ..utils.init import Initializer
+
+    ini = Initializer(key)
+
+    def lin(i, o, scale=None):
+        return jnp.asarray(ini.normal((i, o), scale if scale is not None
+                                      else i ** -0.5))
+
+    def zeros(*s):
+        return jnp.asarray(ini.zeros(s))
+
+    def ones(*s):
+        return jnp.asarray(ini.ones(s))
+
+    def conv(o, i, k):
+        return jnp.asarray(ini.normal((o, i, k), (i * k) ** -0.5))
+
+    def ada(c, d):
+        return {"scale_w": lin(c, d, 0.02), "scale_b": ones(d),
+                "shift_w": lin(c, d, 0.02), "shift_b": zeros(d)}
+
+    def cnx_block(dim, inter, n_layers, cond_dim=None):
+        p = {
+            "dw_w": conv(dim, 1, 7), "dw_b": zeros(dim),
+            "pw1_w": lin(dim, inter), "pw1_b": zeros(inter),
+            "pw2_w": lin(inter, dim), "pw2_b": zeros(dim),
+            "gamma": jnp.asarray(ini.full((dim,), 1.0 / n_layers)),
+        }
+        if cond_dim is not None:
+            p["norm"] = ada(cond_dim, dim)
+        else:
+            p["norm_w"] = ones(dim)
+            p["norm_b"] = zeros(dim)
+        return p
+
+    def vocos(c_in, dim, inter, layers, cond_dim=None):
+        p = {
+            "embed_w": conv(dim, c_in, 7), "embed_b": zeros(dim),
+            "blocks": [cnx_block(dim, inter, layers, cond_dim)
+                       for _ in range(layers)],
+            "final_ln_w": ones(dim), "final_ln_b": zeros(dim),
+        }
+        if cond_dim is not None:
+            p["norm"] = ada(cond_dim, dim)
+        else:
+            p["norm_w"] = ones(dim)
+            p["norm_b"] = zeros(dim)
+        return p
+
+    D = cfg.encoder_dim
+    enc = {
+        "backbone": vocos(cfg.feat_dim, D, cfg.encoder_inter_dim,
+                          cfg.encoder_layers),
+        "stages": [{"vocos": vocos(D, D, cfg.encoder_inter_dim, 2)}
+                   for _ in cfg.encoder_ratios],
+        "project_w": lin(D, cfg.encoder_out), "project_b": zeros(cfg.encoder_out),
+    }
+
+    vq = {
+        "in_w": lin(cfg.encoder_out, cfg.codebook_dim),
+        "in_b": zeros(cfg.codebook_dim),
+        "codebook": jnp.asarray(ini.normal(
+            (cfg.semantic_codebook, cfg.codebook_dim))),
+        "out_w": lin(cfg.codebook_dim, cfg.encoder_out, 0.5),
+        "out_b": zeros(cfg.encoder_out),
+    }
+
+    # ECAPA
+    ch = cfg.spk_channels
+    scale = 8
+    width = ch // scale
+
+    def crb(i, o, k):
+        return {"w": conv(o, i, k), "b": zeros(o),
+                "bn": {"w": ones(o), "b": zeros(o),
+                       "mean": zeros(o), "var": ones(o)}}
+
+    def se_res2():
+        return {
+            "conv1": crb(ch, ch, 1),
+            "res2": {"convs": [crb(width, width, 3)
+                               for _ in range(scale - 1)]},
+            "conv2": crb(ch, ch, 1),
+            "se": {"w1": lin(ch, 128), "b1": zeros(128),
+                   "w2": lin(128, ch), "b2": zeros(ch)},
+        }
+
+    cat = 3 * ch
+    ecapa = {
+        "layer1": crb(cfg.mel_bins, ch, 5),
+        "layer2": se_res2(), "layer3": se_res2(), "layer4": se_res2(),
+        "mfa_w": conv(cat, cat, 1), "mfa_b": zeros(cat),
+        "att1_w": conv(128, cat * 3, 1), "att1_b": zeros(128),
+        "att2_w": conv(cat, 128, 1), "att2_b": zeros(cat),
+        "bn": {"w": ones(2 * cat), "b": zeros(2 * cat),
+               "mean": zeros(2 * cat), "var": ones(2 * cat)},
+        "fc_w": lin(2 * cat, cfg.spk_out_dim), "fc_b": zeros(cfg.spk_out_dim),
+    }
+
+    # perceiver
+    pd = cfg.spk_latent_dim
+    inner = cfg.perceiver_heads * cfg.perceiver_dim_head
+    perceiver = {
+        "ctx_w": lin(cat, pd), "ctx_b": zeros(pd),
+        "latents": jnp.asarray(ini.normal((cfg.num_global_tokens, pd), 1.0)),
+        "layers": [
+            {"attn": {"q_w": lin(pd, inner), "kv_w": lin(pd, 2 * inner),
+                      "out_w": lin(inner, pd)},
+             "ff1_w": lin(pd, 4 * pd), "ff1_b": zeros(4 * pd),
+             "ff2_w": lin(4 * pd, pd), "ff2_b": zeros(pd)}
+            for _ in range(cfg.perceiver_depth)
+        ],
+        "norm_g": ones(pd),
+    }
+
+    nf = len(cfg.fsq_levels)
+    speaker = {
+        "ecapa": ecapa,
+        "perceiver": perceiver,
+        "fsq_in_w": lin(pd, nf), "fsq_in_b": zeros(nf),
+        "fsq_out_w": lin(nf, pd, 0.5), "fsq_out_b": zeros(pd),
+        "proj_w": lin(pd * cfg.num_global_tokens, cfg.spk_out_dim),
+        "proj_b": zeros(cfg.spk_out_dim),
+    }
+
+    Dp = cfg.prenet_dim
+    prenet = {
+        "pre_w": lin(cfg.encoder_out, Dp), "pre_b": zeros(Dp),
+        "stages": [{"vocos": vocos(Dp, Dp, cfg.prenet_inter_dim, 2)}
+                   for _ in cfg.prenet_ratios],
+        "backbone": vocos(Dp, Dp, cfg.prenet_inter_dim, cfg.prenet_layers,
+                          cond_dim=cfg.spk_out_dim),
+        "out_w": lin(Dp, cfg.encoder_out), "out_b": zeros(cfg.encoder_out),
+    }
+
+    blocks = []
+    ch_in = cfg.dec_channels
+    for rate, k in zip(cfg.dec_rates, cfg.dec_kernels):
+        ch_out = ch_in // 2
+        blocks.append({
+            "alpha": ones(ch_in),
+            "up_w": jnp.asarray(ini.normal((ch_in, ch_out, k),
+                                           (ch_in * k) ** -0.5)),
+            "up_b": zeros(ch_out),
+            "res": [
+                {"alpha1": ones(ch_out),
+                 "w1": conv(ch_out, ch_out, 7), "b1": zeros(ch_out),
+                 "alpha2": ones(ch_out),
+                 "w2": conv(ch_out, ch_out, 1), "b2": zeros(ch_out)}
+                for _ in range(3)
+            ],
+        })
+        ch_in = ch_out
+    wavegen = {
+        "in_w": conv(cfg.dec_channels, cfg.encoder_out, 7),
+        "in_b": zeros(cfg.dec_channels),
+        "blocks": blocks,
+        "alpha_out": ones(ch_in),
+        "out_w": conv(1, ch_in, 7), "out_b": zeros(1),
+    }
+
+    return {"encoder": enc, "quantizer": vq, "speaker": speaker,
+            "prenet": prenet, "wavegen": wavegen}
+
+
+# --------------------------------------------------------------------------
+# transpiled-ONNX codec: same API, runs the real exported graphs
+# --------------------------------------------------------------------------
+
+class OnnxBiCodec:
+    """Drop-in encode/decode backed by the transpiled real ONNX graphs
+    (models/onnx_graph.py). Used when the actual BiCodecTokenize /
+    BiCodecDetokenize exports are available: bit-faithful to the
+    reference's codec by construction, still XLA-compiled."""
+
+    def __init__(self, tokenize_graph=None, detokenize_graph=None):
+        from .onnx_graph import OnnxGraph
+        self.tok = (OnnxGraph.load(tokenize_graph)
+                    if isinstance(tokenize_graph, str) else tokenize_graph)
+        self.detok = (OnnxGraph.load(detokenize_graph)
+                      if isinstance(detokenize_graph, str) else detokenize_graph)
+
+    def encode(self, feat, mel):
+        """feat [B,T,1024] f32, mel [B,128,301] f32 → (semantic, global)."""
+        out = self.tok(ref_wav_mel=mel, feat=feat)
+        # output order resolved by name (ref_audio_utilities.rs:1114-1256)
+        names = self.tok.output_names
+        by = dict(zip(names, out if isinstance(out, tuple) else (out,)))
+        sem = by.get("semantic_tokens", out[0])
+        glob = by.get("global_tokens", out[-1])
+        glob = jnp.asarray(glob).reshape(jnp.asarray(sem).shape[0], -1)
+        return jnp.asarray(sem), glob
+
+    def decode(self, global_tokens, semantic_tokens):
+        g = jnp.asarray(global_tokens)[:, None, :].astype(jnp.int64)
+        s = jnp.asarray(semantic_tokens).astype(jnp.int64)
+        return jnp.asarray(self.detok(global_tokens=g, semantic_tokens=s))
+
+
+# --------------------------------------------------------------------------
+# host wrappers (bucketed shapes)
 # --------------------------------------------------------------------------
 
 DETOKENIZE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def receptive_latents(cfg: BiCodecConfig) -> int:
+    """Conservative ONE-SIDED receptive field of ``decode`` in latent
+    frames: how far a semantic token's influence reaches into the
+    waveform. Drives streaming context/lookahead and the bucket padding
+    margin (all decode-path norms are per-frame, so locality holds)."""
+    def backbone(layers):
+        return 3 + 3 * layers          # embed k7 + k7 depthwise per block
+
+    r = backbone(cfg.prenet_layers)
+    r += sum(backbone(2) for _ in cfg.prenet_ratios)
+    r += 3                              # wave-generator input conv k7
+    f = 1
+    for rate, k in zip(cfg.dec_rates, cfg.dec_kernels):
+        f *= rate
+        r += -(-k // f) + 1             # transposed conv
+        r += -(-39 // f)                # res units: k7 at dil 1+3+9 → ±39
+    return r + 8                        # margin
 
 
 def _detok_bucket(n: int, buckets) -> int:
@@ -306,24 +706,36 @@ def _detok_bucket(n: int, buckets) -> int:
 def detokenize(params, global_tokens, semantic_tokens, cfg,
                bucket=DETOKENIZE_BUCKETS):
     """Host wrapper: pads the semantic sequence up to an exponential bucket
-    (≤ 6 compiled shapes for the 2048-token range, vs one per 64-multiple),
-    decodes, trims to S·320 samples (parity: detokenizer resize + run,
-    参考/C/tts/sparktts.cpp:221-276). ``bucket`` may be an int (fixed
-    multiple) or a sequence of bucket sizes."""
+    (≤ 6 compiled shapes for the 2048-token range), decodes, trims to
+    S·320 samples (parity: detokenizer resize + run,
+    参考/C/tts/sparktts.cpp:221-276).
+
+    Padding contract: the sequence is EDGE-padded (last token repeated) by
+    at least the decoder's receptive field, so the kept tail hears a
+    sustained continuation rather than codebook-entry-0 garbage, and the
+    streaming vocoder can reproduce bucketed output bit-exactly
+    (runtime/streaming.py). ``bucket`` may be an int (fixed multiple) or a
+    sequence of bucket sizes. ``params`` may be a pytree (native fast
+    path) or an OnnxBiCodec (transpiled real graphs)."""
     import numpy as np
-    g = jnp.asarray(global_tokens, jnp.int32)[None] \
-        if jnp.asarray(global_tokens).ndim == 1 else jnp.asarray(global_tokens, jnp.int32)
+    g = jnp.asarray(global_tokens, jnp.int32)
+    if g.ndim == 1:
+        g = g[None]
     s = np.asarray(semantic_tokens, np.int32)
     if s.ndim == 1:
         s = s[None]
     S = s.shape[1]
     if S == 0:
         return np.zeros((s.shape[0], 0), np.float32)
+    need = S + receptive_latents(cfg)
     if isinstance(bucket, int):
-        padded = S + ((-S) % bucket)
+        padded = need + ((-need) % bucket)
     else:
-        padded = _detok_bucket(S, tuple(bucket))
-    s_pad = np.pad(s, ((0, 0), (0, padded - S)))
-    wav = decode(params, g, jnp.asarray(s_pad), cfg)
-    hop = 320
+        padded = _detok_bucket(need, tuple(bucket))
+    s_pad = np.pad(s, ((0, 0), (0, padded - S)), mode="edge")
+    if isinstance(params, OnnxBiCodec):
+        wav = params.decode(g, jnp.asarray(s_pad))
+    else:
+        wav = decode(params, g, jnp.asarray(s_pad), cfg)
+    hop = cfg.hop if cfg is not None else 320
     return np.asarray(wav[:, : S * hop], np.float32)

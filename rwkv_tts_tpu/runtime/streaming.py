@@ -7,10 +7,10 @@ SURVEY.md "north star"). Here:
 
   * the continuous engine delivers semantic tokens in blocks as they decode;
   * every ``chunk_tokens`` new tokens we vocode a window of
-    ``context_tokens + new`` latents and emit only the new samples — the
-    vocoder's receptive field (prenet + dilated res stacks, ~10 latents) is
-    far smaller than the context, so emitted audio is identical to what a
-    full-sequence decode would produce at those offsets (tested);
+    ``context + new + lookahead`` latents and emit only the new samples —
+    context and lookahead default to the decoder's receptive field
+    (models/bicodec.receptive_latents), so emitted audio is bit-identical
+    to a full bucketed decode at those offsets (tested);
   * windows are padded to a fixed bucket so XLA compiles one program.
 
 First-audio latency therefore ≈ prefill + chunk_tokens/50 s of decode + one
@@ -43,19 +43,25 @@ class StreamingVocoder:
     """Incremental tokens→audio for one utterance."""
 
     def __init__(self, params, cfg: BiCodecConfig, global_tokens: List[int],
-                 chunk_tokens: int = 32, context_tokens: int = 16,
-                 lookahead_tokens: int = 8):
+                 chunk_tokens: int = 32, context_tokens: Optional[int] = None,
+                 lookahead_tokens: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.global_tokens = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
                               for t in (global_tokens or [0] * 32)]
         self.chunk = chunk_tokens
-        self.context = context_tokens
+        # default context/lookahead = the decoder's receptive field, so
+        # emitted samples are bit-identical to a full bucketed decode;
+        # callers may pass smaller values to trade exactness for compute
+        self.receptive = bicodec.receptive_latents(cfg)
+        self.context = (context_tokens if context_tokens is not None
+                        else self.receptive)
         # the vocoder's convs are centered (SAME), so output near a chunk's
         # right edge depends on future latents; hold back `lookahead` tokens
         # until their right context exists
-        self.lookahead = lookahead_tokens
-        self.window_bucket = context_tokens + chunk_tokens + lookahead_tokens
+        self.lookahead = (lookahead_tokens if lookahead_tokens is not None
+                          else self.receptive)
+        self.window_bucket = self.context + chunk_tokens + self.lookahead
         self._tokens: List[int] = []
         self._emitted = 0        # tokens already vocoded+emitted
 
@@ -77,17 +83,20 @@ class StreamingVocoder:
     def _vocode_next(self, n_emit: int, flush: bool) -> np.ndarray:
         end = self._emitted + n_emit + (0 if flush else self.lookahead)
         start = max(0, self._emitted - self.context)
-        if flush:
-            # the right edge must stay pad-free (token-0 padding would leak
-            # its codebook embedding into the final samples, unlike the
-            # conv's own zero padding) — absorb the bucket remainder by
-            # pulling extra left context instead
-            short = (-(end - start)) % self.window_bucket
-            start -= min(short, start)
         ctx = self._emitted - start
         window = self._tokens[start:end]
-        pad = (-len(window)) % self.window_bucket
-        sem = np.asarray(window + [0] * pad, np.int32)[None]
+        if flush:
+            # final chunk: EDGE-pad by ≥ the receptive field — the exact
+            # padding detokenize() applies past the end of the utterance —
+            # so the tail samples match the full bucketed decode
+            need = len(window) + self.receptive
+        else:
+            # interior chunk: real lookahead covers the emitted region's
+            # right receptive field; bucket filler beyond it is inaudible
+            need = len(window)
+        padded = -(-need // self.window_bucket) * self.window_bucket
+        sem = np.asarray(window + [window[-1]] * (padded - len(window)),
+                         np.int32)[None]
         g = np.asarray(self.global_tokens, np.int32)[None]
         wav = bicodec.decode(self.params, jnp.asarray(g), jnp.asarray(sem),
                              self.cfg)

@@ -409,7 +409,7 @@ def build_dev_pipeline(raf_dir: str = "assets/raf",
     # startup transfer bandwidth through a remote TPU tunnel is limited
     lm_cfg = RwkvConfig(n_layer=2, n_embd=256, head_size=64, dtype="float32",
                         param_dtype="float32")
-    bc_cfg = BiCodecConfig(latent_dim=128, vocoder_dim=128)
+    bc_cfg = BiCodecConfig.tiny()
     w2v_cfg = Wav2Vec2Config(num_layers=2, hidden_size=256, num_heads=4,
                              ffn_size=512, conv_dims=(64,) * 7)
     key = jax.random.PRNGKey(0)

@@ -10,8 +10,7 @@ from rwkv_tts_tpu.models import bicodec, wav2vec2
 
 W2V_CFG = Wav2Vec2Config(num_layers=4, hidden_size=64, num_heads=4,
                          ffn_size=128, conv_dims=(32, 32, 32, 32, 32, 32, 32))
-BC_CFG = BiCodecConfig(latent_dim=64, vocoder_dim=64, feat_dim=64,
-                       semantic_codebook=128)
+BC_CFG = BiCodecConfig.tiny(feat_dim=64, semantic_codebook=128)
 
 
 @pytest.fixture(scope="module")
@@ -35,19 +34,27 @@ def test_wav2vec2_downsample_ratio(w2v_params):
     assert bool(jnp.all(jnp.isfinite(feats)))
 
 
+LEVELS = BC_CFG.fsq_levels      # (4,)*6 → 4096 codes
+
+
 def test_fsq_roundtrip():
-    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 4)) * 2.0
-    codes, quant = bicodec.fsq_quantize(z)
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32, len(LEVELS))) * 2.0
+    codes, quant = bicodec.fsq_quantize(z, LEVELS)
     assert codes.shape == (4, 32)
     assert int(codes.min()) >= 0 and int(codes.max()) < 4096
-    deq = bicodec.fsq_dequantize(codes)
+    deq = bicodec.fsq_dequantize(codes, LEVELS)
+    # quantized values are multiples of 1/half_width; dequantize from the
+    # index must reproduce them exactly
     np.testing.assert_allclose(np.asarray(deq), np.asarray(quant), atol=1e-6)
 
 
 def test_fsq_all_codes_reachable():
     codes = jnp.arange(4096)
-    vecs = bicodec.fsq_dequantize(codes)
-    rt, _ = bicodec.fsq_quantize(jnp.arctanh(jnp.clip(vecs, -0.999, 0.999)))
+    vecs = bicodec.fsq_dequantize(codes, LEVELS)
+    # invert: normalized code −1 ≤ v ≤ 0.5 maps back through the bounded
+    # round; nudge to the cell center to stay off rounding boundaries
+    z = jnp.arctanh(jnp.clip(vecs * 0.999, -0.999, 0.999))
+    rt, _ = bicodec.fsq_quantize(z, LEVELS)
     np.testing.assert_array_equal(np.asarray(rt), np.asarray(codes))
 
 

@@ -34,7 +34,7 @@ def tiny_pipeline(tmpdir) -> TtsPipeline:
         padded_vocab_size=78080, decay_lora=32, a_lora=32, v_lora=16,
         gate_lora=32, dtype="float32", param_dtype="float32",
     )
-    bc_cfg = BiCodecConfig(latent_dim=64, vocoder_dim=64, feat_dim=32)
+    bc_cfg = BiCodecConfig.tiny(feat_dim=32)
     w2v_cfg = Wav2Vec2Config(num_layers=2, hidden_size=32, num_heads=2,
                              ffn_size=64, conv_dims=(16,) * 7)
     key = jax.random.PRNGKey(0)

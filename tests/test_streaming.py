@@ -9,8 +9,7 @@ from rwkv_tts_tpu.models import bicodec, rwkv7
 from rwkv_tts_tpu.runtime.continuous import ContinuousEngine
 from rwkv_tts_tpu.runtime.streaming import StreamingVocoder, stream_synthesize
 
-BC_CFG = BiCodecConfig(latent_dim=64, vocoder_dim=64, feat_dim=64,
-                       semantic_codebook=128)
+BC_CFG = BiCodecConfig.tiny(feat_dim=64, semantic_codebook=128)
 
 
 @pytest.fixture(scope="module")
@@ -19,16 +18,15 @@ def bc_params():
 
 
 def test_incremental_matches_full_decode(bc_params):
-    """Chunked vocoding with 16-token context must equal the full decode
-    except (possibly) the first context-free samples of each chunk edge —
-    with sufficient context the interior must match exactly."""
+    """Chunked vocoding with default (receptive-field) context/lookahead
+    must equal the full bucketed decode everywhere, including the
+    edge-padded tail."""
     rng = np.random.default_rng(0)
     g = list(rng.integers(0, 4096, 32))
     sem = list(rng.integers(0, 128, 100))
     full = bicodec.detokenize(bc_params, g, sem, BC_CFG, bucket=4)[0]
 
-    sv = StreamingVocoder(bc_params, BC_CFG, g, chunk_tokens=32,
-                          context_tokens=16)
+    sv = StreamingVocoder(bc_params, BC_CFG, g, chunk_tokens=32)
     parts = []
     for i in range(0, 100, 10):
         parts.append(sv.push(sem[i:i + 10]))
@@ -36,9 +34,6 @@ def test_incremental_matches_full_decode(bc_params):
     streamed = np.concatenate(parts)
 
     assert streamed.shape == full.shape == (100 * 320,)
-    # identical except where the decode window lacked left context
-    # (first chunk has no context and matches trivially; later chunks have
-    # 16 latents = 5120 samples of context, far beyond the receptive field)
     np.testing.assert_allclose(streamed, full, atol=5e-4)
 
 
