@@ -25,7 +25,8 @@ def _build_pipeline(args):
     if os.path.exists(args.model_path):
         return TtsPipeline.from_checkpoints(
             args.model_path, raf_dir=args.raf_dir,
-            quant_type=args.quant_type)
+            quant_type=args.quant_type,
+            allow_random_codec=getattr(args, "allow_random_codec", False))
     logging.warning("checkpoint %s not found — random weights (dev mode)",
                     args.model_path)
     from .server.app import build_dev_pipeline
@@ -80,6 +81,9 @@ def main(argv=None) -> int:
     p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
     p.add_argument("--raf-dir", default="assets/raf")
     p.add_argument("--quant-type", choices=["none", "int8", "nf4"], default="none")
+    p.add_argument("--allow-random-codec", action="store_true",
+                   help="proceed with random codec weights when the real "
+                        "BiCodec/wav2vec2 files are missing (dev only)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("synth", help="synthesize text to an audio file")

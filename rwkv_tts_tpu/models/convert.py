@@ -396,14 +396,20 @@ def load_wav2vec2_weights(tensors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]
     import jax.numpy as jnp
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.asarray(np.stack(xs)),
                                      *layers)
-    # positional conv may be stored weight-normalized (weight_g/weight_v)
+    # positional conv may be stored weight-normalized: legacy
+    # (weight_g/weight_v) or torch-parametrize (original0/original1);
+    # HF norms this conv over dim=2
     try:
         pos_w = get("encoder.pos_conv_embed.conv.weight")
     except KeyError:
-        g = get("encoder.pos_conv_embed.conv.weight_g")
-        v = get("encoder.pos_conv_embed.conv.weight_v")
-        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True)) + 1e-12
-        pos_w = v / norm * g
+        g = get("encoder.pos_conv_embed.conv.weight_g",
+                "encoder.pos_conv_embed.conv.parametrizations.weight.original0")
+        v = get("encoder.pos_conv_embed.conv.weight_v",
+                "encoder.pos_conv_embed.conv.parametrizations.weight.original1")
+        axes = tuple(i for i in range(v.ndim)
+                     if g.shape[i] == 1) if g.ndim == v.ndim else (0, 1)
+        norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True)) + 1e-12
+        pos_w = v / norm * g.reshape(norm.shape)
     return {
         "convs": [{k: jnp.asarray(v) for k, v in c.items()} for c in convs],
         "proj_ln_w": jnp.asarray(get("feature_projection.layer_norm.weight")),
@@ -416,3 +422,272 @@ def load_wav2vec2_weights(tensors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]
         "enc_ln_b": jnp.asarray(get("encoder.layer_norm.bias")),
         "layers": stacked,
     }
+
+
+# --------------------------------------------------------------------------
+# BiCodec weight import: torch-style state dict → models/bicodec.py pytree.
+#
+# Sources accepted: a torch checkpoint's state dict (torch.load / HF
+# safetensors) or the ONNX exports' initializer map (read_onnx_initializers)
+# when the exporter preserved module names. Weight-normed convs are stored
+# as (weight_g, weight_v) pairs in torch checkpoints — folded here; ONNX
+# exports bake the fused weight. Key names follow the public SparkTTS
+# BiCodec module tree; every lookup carries alternate candidates and a
+# missing key raises with near-miss suggestions, so importing a checkpoint
+# whose names drifted fails actionably rather than silently.
+# --------------------------------------------------------------------------
+
+def fold_weight_norm(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold every (X.weight_g, X.weight_v) pair into X.weight
+    (torch weight_norm, dim=0: per-slice norm over all dims but the 0th)."""
+    out = dict(tensors)
+    for k in list(tensors):
+        if not k.endswith(".weight_v"):
+            continue
+        base = k[: -len(".weight_v")]
+        gk = base + ".weight_g"
+        if gk not in tensors:
+            continue
+        v = np.asarray(tensors[k], np.float32)
+        g = np.asarray(tensors[gk], np.float32)
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True)) + 1e-12
+        out[base + ".weight"] = g.reshape(norm.shape) * v / norm
+        out.pop(k, None)
+        out.pop(gk, None)
+    return out
+
+
+class _KeyResolver:
+    def __init__(self, tensors: Dict[str, np.ndarray]):
+        self.t = tensors
+        self.prefixes = ("", "model.", "bicodec.", "model.bicodec.",
+                         "module.", "generator.")
+
+    def get(self, *names) -> np.ndarray:
+        for n in names:
+            for p in self.prefixes:
+                if p + n in self.t:
+                    return np.asarray(self.t[p + n], np.float32)
+        import difflib
+        close = difflib.get_close_matches(
+            names[0], list(self.t), n=4, cutoff=0.4)
+        raise KeyError(
+            f"missing BiCodec tensor {names[0]!r} (also tried "
+            f"{list(names[1:])}); closest checkpoint keys: {close}")
+
+    def has(self, name) -> bool:
+        return any(p + name in self.t for p in self.prefixes)
+
+
+def load_bicodec_weights(tensors: Dict[str, np.ndarray], cfg
+                         ) -> Dict[str, Any]:
+    """Map a BiCodec state dict onto the models/bicodec.py pytree."""
+    import jax.numpy as jnp
+
+    r = _KeyResolver(fold_weight_norm(tensors))
+    get, tr = r.get, np.transpose
+
+    def j(x):
+        return jnp.asarray(x)
+
+    def jl(*names):                       # torch Linear → ours [in, out]
+        return j(tr(get(*names)))
+
+    def ada(base):
+        return {"scale_w": jl(f"{base}.scale.weight"),
+                "scale_b": j(get(f"{base}.scale.bias")),
+                "shift_w": jl(f"{base}.shift.weight"),
+                "shift_b": j(get(f"{base}.shift.bias"))}
+
+    def cnx(base, cond):
+        p = {"dw_w": j(get(f"{base}.dwconv.weight")),
+             "dw_b": j(get(f"{base}.dwconv.bias")),
+             "pw1_w": jl(f"{base}.pwconv1.weight"),
+             "pw1_b": j(get(f"{base}.pwconv1.bias")),
+             "pw2_w": jl(f"{base}.pwconv2.weight"),
+             "pw2_b": j(get(f"{base}.pwconv2.bias")),
+             "gamma": (j(get(f"{base}.gamma"))
+                       if r.has(f"{base}.gamma") else None)}
+        if cond:
+            p["norm"] = ada(f"{base}.norm")
+        else:
+            p["norm_w"] = j(get(f"{base}.norm.weight"))
+            p["norm_b"] = j(get(f"{base}.norm.bias"))
+        return p
+
+    def vocos(base, layers, cond=False):
+        p = {"embed_w": j(get(f"{base}.embed.weight")),
+             "embed_b": j(get(f"{base}.embed.bias")),
+             "blocks": [cnx(f"{base}.convnext.{i}", cond)
+                        for i in range(layers)],
+             "final_ln_w": j(get(f"{base}.final_layer_norm.weight")),
+             "final_ln_b": j(get(f"{base}.final_layer_norm.bias"))}
+        if cond:
+            p["norm"] = ada(f"{base}.norm")
+        else:
+            p["norm_w"] = j(get(f"{base}.norm.weight"))
+            p["norm_b"] = j(get(f"{base}.norm.bias"))
+        return p
+
+    enc = {
+        "backbone": vocos("encoder.encoder", cfg.encoder_layers),
+        "stages": [{"vocos": vocos(f"encoder.downsample.{i}.1", 2)}
+                   for i in range(len(cfg.encoder_ratios))],
+        "project_w": jl("encoder.project.weight"),
+        "project_b": j(get("encoder.project.bias")),
+    }
+
+    vq = {
+        "in_w": j(tr(get("quantizer.in_project.weight")[:, :, 0])),
+        "in_b": j(get("quantizer.in_project.bias")),
+        "codebook": j(get("quantizer.codebook.weight")),
+        "out_w": j(tr(get("quantizer.out_project.weight")[:, :, 0])),
+        "out_b": j(get("quantizer.out_project.bias")),
+    }
+
+    se_base = "speaker_encoder.speaker_encoder"
+
+    def crb(base, conv_names=("conv",), bn_names=("bn",)):
+        return {
+            "w": j(get(*(f"{base}.{c}.weight" for c in conv_names))),
+            "b": j(get(*(f"{base}.{c}.bias" for c in conv_names))),
+            "bn": {
+                "w": j(get(*(f"{base}.{b}.weight" for b in bn_names))),
+                "b": j(get(*(f"{base}.{b}.bias" for b in bn_names))),
+                "mean": j(get(*(f"{base}.{b}.running_mean"
+                                for b in bn_names))),
+                "var": j(get(*(f"{base}.{b}.running_var"
+                               for b in bn_names))),
+            },
+        }
+
+    def se_res2(layer):
+        base = f"{se_base}.{layer}"
+        scale = 8
+        return {
+            "conv1": crb(f"{base}.Conv1dReluBn1"),
+            "res2": {"convs": [
+                {"w": j(get(f"{base}.Res2Conv1dReluBn.convs.{i}.weight")),
+                 "b": j(get(f"{base}.Res2Conv1dReluBn.convs.{i}.bias")),
+                 "bn": {
+                     "w": j(get(f"{base}.Res2Conv1dReluBn.bns.{i}.weight")),
+                     "b": j(get(f"{base}.Res2Conv1dReluBn.bns.{i}.bias")),
+                     "mean": j(get(
+                         f"{base}.Res2Conv1dReluBn.bns.{i}.running_mean")),
+                     "var": j(get(
+                         f"{base}.Res2Conv1dReluBn.bns.{i}.running_var")),
+                 }}
+                for i in range(scale - 1)]},
+            "conv2": crb(f"{base}.Conv1dReluBn2"),
+            "se": {"w1": jl(f"{base}.SE_Connect.linear1.weight"),
+                   "b1": j(get(f"{base}.SE_Connect.linear1.bias")),
+                   "w2": jl(f"{base}.SE_Connect.linear2.weight"),
+                   "b2": j(get(f"{base}.SE_Connect.linear2.bias"))},
+        }
+
+    ecapa = {
+        "layer1": crb(f"{se_base}.layer1"),
+        "layer2": se_res2("layer2"),
+        "layer3": se_res2("layer3"),
+        "layer4": se_res2("layer4"),
+        "mfa_w": j(get(f"{se_base}.conv.weight")),
+        "mfa_b": j(get(f"{se_base}.conv.bias")),
+        "att1_w": j(get(f"{se_base}.pool.linear1.weight")),
+        "att1_b": j(get(f"{se_base}.pool.linear1.bias")),
+        "att2_w": j(get(f"{se_base}.pool.linear2.weight")),
+        "att2_b": j(get(f"{se_base}.pool.linear2.bias")),
+        "bn": {"w": j(get(f"{se_base}.bn.weight")),
+               "b": j(get(f"{se_base}.bn.bias")),
+               "mean": j(get(f"{se_base}.bn.running_mean")),
+               "var": j(get(f"{se_base}.bn.running_var"))},
+        "fc_w": jl(f"{se_base}.linear.weight"),
+        "fc_b": j(get(f"{se_base}.linear.bias")),
+    }
+
+    pv = "speaker_encoder.perceiver_sampler"
+    perceiver = {
+        "ctx_w": jl(f"{pv}.proj_context.weight"),
+        "ctx_b": j(get(f"{pv}.proj_context.bias")),
+        "latents": j(get(f"{pv}.latents")),
+        "layers": [
+            {"attn": {"q_w": jl(f"{pv}.layers.{i}.0.to_q.weight"),
+                      "kv_w": jl(f"{pv}.layers.{i}.0.to_kv.weight"),
+                      "out_w": jl(f"{pv}.layers.{i}.0.to_out.weight")},
+             "ff1_w": jl(f"{pv}.layers.{i}.1.0.weight"),
+             "ff1_b": j(get(f"{pv}.layers.{i}.1.0.bias")),
+             "ff2_w": jl(f"{pv}.layers.{i}.1.2.weight"),
+             "ff2_b": j(get(f"{pv}.layers.{i}.1.2.bias"))}
+            for i in range(cfg.perceiver_depth)
+        ],
+        "norm_g": j(get(f"{pv}.norm.gamma", f"{pv}.norm.g",
+                        f"{pv}.norm.weight")),
+    }
+
+    speaker = {
+        "ecapa": ecapa,
+        "perceiver": perceiver,
+        "fsq_in_w": jl("speaker_encoder.quantizer.project_in.weight"),
+        "fsq_in_b": j(get("speaker_encoder.quantizer.project_in.bias")),
+        "fsq_out_w": jl("speaker_encoder.quantizer.project_out.weight"),
+        "fsq_out_b": j(get("speaker_encoder.quantizer.project_out.bias")),
+        "proj_w": jl("speaker_encoder.project.weight"),
+        "proj_b": j(get("speaker_encoder.project.bias")),
+    }
+
+    prenet = {
+        "pre_w": jl("prenet.linear_pre.weight"),
+        "pre_b": j(get("prenet.linear_pre.bias")),
+        "stages": [{"vocos": vocos(f"prenet.downsample.{i}.1", 2)}
+                   for i in range(len(cfg.prenet_ratios))],
+        "backbone": vocos("prenet.vocos_backbone", cfg.prenet_layers,
+                          cond=True),
+        "out_w": jl("prenet.linear.weight"),
+        "out_b": j(get("prenet.linear.bias")),
+    }
+
+    blocks = []
+    for i in range(len(cfg.dec_rates)):
+        base = f"decoder.model.{1 + i}.block"
+        blocks.append({
+            "alpha": j(get(f"{base}.0.alpha").reshape(-1)),
+            "up_w": j(get(f"{base}.1.weight")),
+            "up_b": j(get(f"{base}.1.bias")),
+            "res": [
+                {"alpha1": j(get(f"{base}.{2 + u}.block.0.alpha").reshape(-1)),
+                 "w1": j(get(f"{base}.{2 + u}.block.1.weight")),
+                 "b1": j(get(f"{base}.{2 + u}.block.1.bias")),
+                 "alpha2": j(get(f"{base}.{2 + u}.block.2.alpha").reshape(-1)),
+                 "w2": j(get(f"{base}.{2 + u}.block.3.weight")),
+                 "b2": j(get(f"{base}.{2 + u}.block.3.bias"))}
+                for u in range(3)
+            ],
+        })
+    n_up = len(cfg.dec_rates)
+    wavegen = {
+        "in_w": j(get("decoder.model.0.weight")),
+        "in_b": j(get("decoder.model.0.bias")),
+        "blocks": blocks,
+        "alpha_out": j(get(f"decoder.model.{1 + n_up}.alpha").reshape(-1)),
+        "out_w": j(get(f"decoder.model.{2 + n_up}.weight")),
+        "out_b": j(get(f"decoder.model.{2 + n_up}.bias")),
+    }
+
+    return {"encoder": enc, "quantizer": vq, "speaker": speaker,
+            "prenet": prenet, "wavegen": wavegen}
+
+
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Read a tensor map from .safetensors / .npz / torch .pt/.bin/.ckpt."""
+    low = path.lower()
+    if low.endswith(".safetensors"):
+        return read_safetensors(path)
+    if low.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: np.asarray(z[k]) for k in z.files}
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}

@@ -738,6 +738,10 @@ _OPS = {
     "Exp": _elementwise(lambda xp, x: xp.exp(x)),
     "Log": _elementwise(lambda xp, x: xp.log(x)),
     "Abs": _elementwise(lambda xp, x: xp.abs(x)),
+    "Reciprocal": _elementwise(lambda xp, x: 1.0 / x),
+    "Atanh": _elementwise(lambda xp, x: xp.arctanh(x)),
+    "Atan": _elementwise(lambda xp, x: xp.arctan(x)),
+    "Asinh": _elementwise(lambda xp, x: xp.arcsinh(x)),
     "Neg": _elementwise(lambda xp, x: xp.negative(x)),
     "Floor": _elementwise(lambda xp, x: xp.floor(x)),
     "Ceil": _elementwise(lambda xp, x: xp.ceil(x)),

@@ -112,10 +112,16 @@ def extract_features(params: Params, wav: jax.Array, cfg: Wav2Vec2Config,
     x = _ln(x, params["proj_ln_w"], params["proj_ln_b"])
     x = x @ params["proj_w"] + params["proj_b"]       # [B, T, 1024]
 
-    # positional conv embedding (SAME-ish pad: 64 both sides, drop last col)
+    # positional conv embedding: pad k//2 both sides; even kernels drop the
+    # last column (HF Wav2Vec2SamePadLayer semantics)
+    pk = params["pos_conv_w"].shape[-1]
+    groups = cfg.hidden_size // params["pos_conv_w"].shape[1]
     pc = jnp.moveaxis(x, 1, 2)
-    pc = _conv1d(pc, params["pos_conv_w"], groups=16, padding=[(64, 64)])
-    pc = pc[:, :, :-1] + params["pos_conv_b"][None, :, None]
+    pc = _conv1d(pc, params["pos_conv_w"], groups=groups,
+                 padding=[(pk // 2, pk // 2)])
+    if pk % 2 == 0:
+        pc = pc[:, :, :-1]
+    pc = pc + params["pos_conv_b"][None, :, None]
     x = x + jnp.moveaxis(jax.nn.gelu(pc, approximate=False), 1, 2)
 
     nh = cfg.num_heads
@@ -152,3 +158,22 @@ def extract_features(params: Params, wav: jax.Array, cfg: Wav2Vec2Config,
         layer_body, (x, acc0, jnp.int32(0)), params["layers"]
     )
     return acc / float(len(want))
+
+
+class OnnxWav2Vec2:
+    """Feature extractor backed by the transpiled real ONNX export
+    (ref src/ref_audio_utilities.rs:927-973: [1, N] z-normalized waveform →
+    [1, T, 1024]; the export bakes in the hidden-state layer mix)."""
+
+    def __init__(self, graph):
+        from .onnx_graph import OnnxGraph
+
+        self.graph = OnnxGraph.load(graph) if isinstance(graph, str) else graph
+
+    def extract(self, wav):
+        import jax.numpy as jnp
+
+        out = self.graph(jnp.asarray(wav, jnp.float32))
+        if isinstance(out, tuple):
+            out = out[0]
+        return jnp.asarray(out)

@@ -29,6 +29,7 @@ from ..config import (
     Wav2Vec2Config,
 )
 from ..models import bicodec, rwkv7, wav2vec2
+from ..models.codec_loader import load_codecs
 from ..utils.rtf import StageTimer
 from .engine import GenerationResult, TtsEngine
 from .voice_store import VoiceStore
@@ -72,7 +73,20 @@ class TtsPipeline:
     @classmethod
     def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
                          dtype: str = "bfloat16", quant_type: str = "none",
-                         quant_layers: int = -1, vocab_path: str = None, **kw):
+                         quant_layers: int = -1, vocab_path: str = None,
+                         codec_dir: Optional[str] = None,
+                         allow_random_codec: bool = False, **kw):
+        """Load the full serving stack from disk.
+
+        LM: ``model_path`` (webrwkv.safetensors layout). Codec + wav2vec2:
+        resolved from ``codec_dir`` (default: the LM's directory) via
+        ``load_codecs`` — torch-style state dicts import into the native
+        JAX modules; the ONNX exports run through the transpiler
+        (models/onnx_graph.py) and serve as ground truth. A missing codec
+        RAISES unless ``allow_random_codec=True`` (a random codec turns
+        every utterance into noise — the r1 silent fallback is gone)."""
+        import os
+
         from ..models.convert import load_rwkv7
         from ..tokenizer import load_tokenizer
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
@@ -83,13 +97,10 @@ class TtsPipeline:
             lm_params = quantize_rwkv_params(lm_params,
                                              quant_layers=quant_layers,
                                              kind=quant_type)
-        bc_cfg = BiCodecConfig()
-        w2v_cfg = Wav2Vec2Config()
-        key = jax.random.PRNGKey(0)
-        # Codec weights import from ONNX via models/convert.py when the
-        # graph files are present; random init otherwise (dev environments).
-        bc_params = bicodec.init_params(bc_cfg, key)
-        w2v_params = wav2vec2.init_params(w2v_cfg, key)
+        codec_dir = codec_dir or (os.path.dirname(model_path) or ".")
+        bc_params, bc_cfg, w2v_params, w2v_cfg, w2v_layers = load_codecs(
+            codec_dir, allow_random=allow_random_codec)
+        kw.setdefault("w2v_output_layers", w2v_layers)
         return cls(lm_params, lm_cfg, bc_params, bc_cfg, w2v_params, w2v_cfg,
                    voice_store=VoiceStore(raf_dir), **kw)
 
@@ -180,13 +191,19 @@ class TtsPipeline:
             raise RuntimeError("wav2vec2 weights not loaded")
         pa = load_and_process(audio_path)
         z = zero_mean_unit_variance(pa.wav)
-        feat = wav2vec2.extract_features(
-            self.w2v_params, z[None, :], self.w2v_cfg,
-            output_layers=self.w2v_output_layers,
-        )
-        sem, glob = bicodec.encode(
-            self.bicodec_params, feat, pa.ref_mel[None], self.bicodec_cfg
-        )
+        if isinstance(self.w2v_params, wav2vec2.OnnxWav2Vec2):
+            feat = self.w2v_params.extract(z[None, :])
+        else:
+            feat = wav2vec2.extract_features(
+                self.w2v_params, z[None, :], self.w2v_cfg,
+                output_layers=self.w2v_output_layers,
+            )
+        if isinstance(self.bicodec_params, bicodec.OnnxBiCodec):
+            sem, glob = self.bicodec_params.encode(feat, pa.ref_mel[None])
+        else:
+            sem, glob = bicodec.encode(
+                self.bicodec_params, feat, pa.ref_mel[None], self.bicodec_cfg
+            )
         sem = [int(x) for x in np.asarray(sem[0])]
         glob = [int(x) for x in np.asarray(glob[0])]
         return glob, sem, pa.duration

@@ -98,8 +98,11 @@ class StreamingVocoder:
         sem = np.asarray(window + [window[-1]] * (padded - len(window)),
                          np.int32)[None]
         g = np.asarray(self.global_tokens, np.int32)[None]
-        wav = bicodec.decode(self.params, jnp.asarray(g), jnp.asarray(sem),
-                             self.cfg)
+        if isinstance(self.params, bicodec.OnnxBiCodec):
+            wav = self.params.decode(jnp.asarray(g), jnp.asarray(sem))
+        else:
+            wav = bicodec.decode(self.params, jnp.asarray(g),
+                                 jnp.asarray(sem), self.cfg)
         hop = C.LATENT_HOP_LENGTH
         audio = np.asarray(wav[0, ctx * hop: (ctx + n_emit) * hop], np.float32)
         self._emitted += n_emit

@@ -440,7 +440,8 @@ def build_pipeline_from_args(args) -> TtsPipeline:
             args.model_path, raf_dir=args.raf_dir,
             quant_type=args.quant_type,
             quant_layers=args.quant_layers if args.quant_layers else -1,
-            vocab_path=args.vocab_path, engine_cfg=engine_cfg)
+            vocab_path=args.vocab_path, engine_cfg=engine_cfg,
+            allow_random_codec=getattr(args, "allow_random_codec", False))
         log.info("loaded checkpoint %s", args.model_path)
     else:
         log.warning("checkpoint %s not found — serving with random weights "
@@ -465,6 +466,10 @@ def main(argv=None):
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--no-download", action="store_true",
                    help="skip the HF model auto-download check")
+    p.add_argument("--allow-random-codec", action="store_true",
+                   help="serve with random codec weights when the real "
+                        "BiCodec/wav2vec2 files are missing (dev only — "
+                        "output is noise, not speech)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting traffic")
     args = p.parse_args(argv)
