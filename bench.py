@@ -1,4 +1,5 @@
-"""Benchmark: synthesis throughput (xRT per chip) of the RWKV-7 TTS decode.
+"""Benchmark: end-to-end synthesis throughput (xRT per chip) of the
+RWKV-7 TTS serving path — LM decode AND BiCodec vocoding.
 
 Prints ONE JSON line:
   {"metric": "synthesis_xrt_per_chip", "value": N, "unit": "audio_sec/sec",
@@ -6,15 +7,17 @@ Prints ONE JSON line:
 
 Baseline: the reference's runtime RTF alert threshold is 0.3
 (bin/server.rs:656), i.e. 3.33× real-time; each semantic token is 320
-samples at 16 kHz, so 50 tokens = 1 s of audio (BASELINE.md).
+samples at 16 kHz, so 50 tokens = 1 s of audio (BASELINE.md). The
+reference's own RTF accounting covers generation + decode
+(bin/server.rs:631-676), so the headline here is END-TO-END: prefill +
+32 global + semantic decode + full-size BiCodec detokenization. The
+LM-only figure is reported in detail for comparison with r1.
 
-Measures the full per-request serving path (prefill of a typical prompt +
-32 global tokens + semantic decode, all on device) in the production
-serving configuration: batch 64 (BASELINE.json's concurrency target),
-int8-quantized dense weights. A batch-8 bf16 run is reported alongside as
-the latency-oriented detail. Random weights in the flagship shape class
-(real checkpoints unavailable here) — throughput depends on dims, not
-values.
+Model shape: the pinned flagship class (32L × 2048E — the reference's
+fallback metadata for webrwkv.safetensors, shared_runtime.rs:128-137;
+the real header could not be fetched from this zero-egress environment).
+Random weights — throughput depends on dims, not values. Serving config:
+batch 64, int8-quantized dense weights, bf16-stored WKV state.
 """
 
 import dataclasses
@@ -26,20 +29,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from rwkv_tts_tpu import constants as C
-from rwkv_tts_tpu.config import RwkvConfig
-from rwkv_tts_tpu.models import rwkv7
+from rwkv_tts_tpu.config import BiCodecConfig, RwkvConfig
+from rwkv_tts_tpu.models import bicodec, rwkv7
 from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
 from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
 
-CFG = RwkvConfig(n_layer=24, n_embd=1024, head_size=64)
-# serving config: bf16-stored WKV state halves the decode loop's dominant
-# memory traffic (state is still computed in f32)
+CFG = RwkvConfig()                      # flagship: 32L × 2048E
 CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
+BC_CFG = BiCodecConfig()                # full-size SparkTTS BiCodec
 PREFILL_LEN = 64            # typical prompt: props + tags + ~50 text tokens
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 
-def serving_run(params, batch, decode_steps, on_tpu, cfg=CFG):
+def make_inputs(batch, decode_steps):
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
         jnp.int32,
@@ -51,8 +53,16 @@ def serving_run(params, batch, decode_steps, on_tpu, cfg=CFG):
     # forbid EOS so every slot decodes exactly decode_steps (random weights
     # would otherwise stop at arbitrary points)
     hard_min = jnp.full((batch,), decode_steps, jnp.int32)
+    return tokens, lengths, keys, limits, hard_min
 
-    def run():
+
+def serving_run(params, bc_params, batch, decode_steps, on_tpu,
+                cfg=CFG_SERVING, n_iter=3):
+    """Full request path; returns (xrt_e2e, xrt_lm_only, walls)."""
+    tokens, lengths, keys, limits, hard_min = make_inputs(batch, decode_steps)
+    g_zero = jnp.zeros((batch, C.GLOBAL_TOKENS_SIZE), jnp.int32)
+
+    def lm(tag):
         state = rwkv7.init_state(cfg, batch)
         logits, state = rwkv7.forward(
             params, tokens, state, cfg, use_pallas=on_tpu, lengths=lengths
@@ -62,42 +72,42 @@ def serving_run(params, batch, decode_steps, on_tpu, cfg=CFG):
             params, state, logits, keys, limits, hard_min,
             cfg, decode_steps, False,
         )
-        return sem, sem_lens
+        return glob, sem, sem_lens
 
-    sem, sem_lens = run()                      # compile + warm up
+    def detok(glob, sem):
+        return bicodec.decode(bc_params, glob, sem, BC_CFG)
+
+    glob, sem, sem_lens = lm("warm")               # compile + warm up
     sem.block_until_ready()
     assert int(jnp.min(sem_lens)) == decode_steps, "decode stopped early"
+    wav = detok(glob, sem)                         # compile vocoder
+    wav.block_until_ready()
 
-    n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        sem, sem_lens = run()
+        glob, sem, _ = lm("lm")
     sem.block_until_ready()
-    wall = (time.perf_counter() - t0) / n_iter
+    wall_lm = (time.perf_counter() - t0) / n_iter
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        wav = detok(glob, sem)
+    wav.block_until_ready()
+    wall_detok = (time.perf_counter() - t0) / n_iter
+
     audio_sec = batch * decode_steps / C.TOKENS_PER_SECOND
-    return audio_sec / wall, wall
+    return (audio_sec / (wall_lm + wall_detok), audio_sec / wall_lm,
+            wall_lm, wall_detok)
 
 
-def first_chunk_latency(params, on_tpu, cfg=CFG_SERVING, batch=8):
+def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
     """Time-to-first-audio for a normal-mode request at the latency batch:
     prefill + 32 global steps + TAG_1 + 40 semantic steps (one 32-token
-    vocoder chunk + 8-token lookahead) + one windowed BiCodec decode."""
-    from rwkv_tts_tpu.config import BiCodecConfig
-    from rwkv_tts_tpu.models import bicodec
-
-    bc_cfg = BiCodecConfig()        # FULL-size vocoder (VERDICT r1 weak #3)
-    bc_params = bicodec.init_params(bc_cfg, jax.random.PRNGKey(1))
-    tokens = jnp.asarray(
-        np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
-        jnp.int32)
-    lengths = jnp.full((batch,), PREFILL_LEN, jnp.int32)
-    keys = jnp.asarray(
-        np.stack([np.array([0, s], np.uint32) for s in range(batch)]))
-    limits = jnp.full((batch,), 40, jnp.int32)
-    hard_min = limits
-    g_toks = jnp.zeros((1, 32), jnp.int32)
+    vocoder chunk) + one FULL-SIZE windowed BiCodec decode."""
+    tokens, lengths, keys, limits, hard_min = make_inputs(batch, 40)
+    g_toks = jnp.zeros((1, C.GLOBAL_TOKENS_SIZE), jnp.int32)
     # first vocoder window: 32-token chunk + receptive-field lookahead
-    win = 32 + bicodec.receptive_latents(bc_cfg)
+    win = 32 + bicodec.receptive_latents(BC_CFG)
     sem_win = jnp.zeros((1, win), jnp.int32)
 
     def run():
@@ -107,7 +117,7 @@ def first_chunk_latency(params, on_tpu, cfg=CFG_SERVING, batch=8):
         glob, state, logits = global_stage(params, state, logits, keys, cfg)
         sem, sem_lens, state = semantic_stage(
             params, state, logits, keys, limits, hard_min, cfg, 40, False)
-        wav = bicodec.decode(bc_params, g_toks, sem_win, bc_cfg)
+        wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 
     run().block_until_ready()           # compile
@@ -120,26 +130,33 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
     qparams = quantize_rwkv_params(params)
+    del params                          # free the bf16 copy (flagship is big)
+    bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1))
 
-    xrt_serving, wall64 = serving_run(qparams, 64, DECODE_STEPS, on_tpu,
-                                      cfg=CFG_SERVING)
-    xrt_b8, wall8 = serving_run(params, 8, DECODE_STEPS, on_tpu)
-    first_chunk_ms = first_chunk_latency(qparams, on_tpu)
+    xrt_e2e, xrt_lm, wall_lm, wall_detok = serving_run(
+        qparams, bc_params, 64, DECODE_STEPS, on_tpu)
+    xrt_e2e_b8, xrt_lm_b8, wall_lm8, wall_detok8 = serving_run(
+        qparams, bc_params, 8, DECODE_STEPS, on_tpu)
+    first_chunk_ms = first_chunk_latency(qparams, bc_params, on_tpu)
 
     print(json.dumps({
         "metric": "synthesis_xrt_per_chip",
-        "value": round(xrt_serving, 3),
+        "value": round(xrt_e2e, 3),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(xrt_serving / 3.33, 3),
+        "vs_baseline": round(xrt_e2e / 3.33, 3),
         "detail": {
             "backend": jax.default_backend(),
-            "config": "batch=64 int8 bf16-state (serving)",
+            "config": "batch=64 int8 bf16-state, E2E (LM + full BiCodec)",
+            "model_shape": f"{CFG.n_layer}L x {CFG.n_embd}E (pinned flagship)",
             "prefill_len": PREFILL_LEN,
             "decode_steps": DECODE_STEPS,
-            "wall_s_batch64": round(wall64, 3),
-            "rtf_serving": round(1.0 / xrt_serving, 5),
-            "xrt_batch8_bf16": round(xrt_b8, 3),
-            "rtf_batch8_bf16": round(1.0 / xrt_b8, 5),
+            "xrt_e2e": round(xrt_e2e, 3),
+            "xrt_lm_only": round(xrt_lm, 3),
+            "rtf_e2e": round(1.0 / xrt_e2e, 5),
+            "wall_s_lm_batch64": round(wall_lm, 3),
+            "wall_s_detok_batch64": round(wall_detok, 3),
+            "xrt_e2e_batch8": round(xrt_e2e_b8, 3),
+            "rtf_e2e_batch8": round(1.0 / xrt_e2e_b8, 5),
             "first_chunk_ms_batch8": round(first_chunk_ms, 1),
         },
     }))

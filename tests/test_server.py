@@ -296,3 +296,21 @@ def test_build_pipeline_honors_flags(tmp_path, monkeypatch):
     calls.clear()
     appmod.build_pipeline_from_args(ns(no_download=True, token_chunk_size=40))
     assert calls == []                        # --no-download gates the check
+
+
+def test_ui_i18n_and_waveform_markup(tmp_path):
+    """The UI must expose bilingual i18n, the full 25-emotion set, all
+    property dropdowns, and the waveform canvas (VERDICT r1 missing #5)."""
+    async def go(client):
+        r = await client.get("/")
+        body = await r.text()
+        for marker in ('data-i18n', 'id="lang-toggle"', '"zh"',
+                       'id="wave"', 'drawWave', '/api/tts/stream',
+                       'very_high_pitch', 'middle-aged', '"CONTEMPT"',
+                       '音色库'):
+            assert marker in body, marker
+        # all 25 emotion classes present in the JS table
+        import re
+        emos = re.search(r'const EMOTIONS = \[(.*?)\]', body, re.S).group(1)
+        assert emos.count('"') == 50
+    run_client(tmp_path, go)
