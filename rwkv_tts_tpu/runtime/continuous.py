@@ -196,7 +196,19 @@ class ContinuousEngine:
     def __init__(self, params, cfg: RwkvConfig,
                  engine_cfg: EngineConfig = EngineConfig(),
                  tokenizer=None, use_pallas: Optional[bool] = None,
-                 block: int = 32, slots: Optional[int] = None):
+                 block: int = 32, slots: Optional[int] = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — slots (recurrent state,
+        logits, per-slot bookkeeping) shard over its ``data`` axis and
+        weights place via parallel/mesh.py rules (vocab head/embedding
+        over ``model``). Decode then scales across a slice with XLA
+        emitting the collectives; admission scatters a host-prefilled
+        request state into the sharded batch (jit re-lays it out onto the
+        owning chip). Token streams stay bit-identical to the unsharded
+        engine — tested on the virtual 8-device CPU mesh."""
+        if mesh is not None:
+            from ..parallel import mesh as meshlib
+            params = meshlib.shard_params(mesh, params)
         self.inner = TtsEngine(params, cfg, engine_cfg, tokenizer=tokenizer,
                                use_pallas=use_pallas)
         self.params = params
@@ -204,6 +216,7 @@ class ContinuousEngine:
         self.engine_cfg = engine_cfg
         self.block = block
         self.B = slots or engine_cfg.batch_size
+        self.mesh = mesh
         self._queue: "queue.Queue" = queue.Queue()
         self._live: Dict[int, _Live] = {}
         self._lock = threading.Lock()
@@ -233,6 +246,30 @@ class ContinuousEngine:
             "gkey": jnp.zeros((B, 2), jnp.uint32),
             "skey": jnp.zeros((B, 2), jnp.uint32),
         }
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+            if self.B % self.mesh.shape[meshlib.DATA_AXIS]:
+                raise ValueError(
+                    f"slots={self.B} not divisible by the data axis "
+                    f"({self.mesh.shape[meshlib.DATA_AXIS]})")
+            self.state = meshlib.shard_state(self.mesh, self.state)
+            self.logits = jax.device_put(
+                self.logits, meshlib.batch_sharding(self.mesh, 2))
+            self.slots = {
+                k: jax.device_put(
+                    v, meshlib.batch_sharding(self.mesh, v.ndim))
+                for k, v in self.slots.items()
+            }
+            # pin scatter outputs to the sharded layouts so admission
+            # doesn't silently migrate the batch onto one device
+            self._insert = jax.jit(
+                _insert_slot.__wrapped__,
+                out_shardings=(
+                    jax.tree_util.tree_map(lambda x: x.sharding, self.state),
+                    self.logits.sharding,
+                ))
+        else:
+            self._insert = _insert_slot
 
     # -- public API -----------------------------------------------------
 
@@ -315,7 +352,7 @@ class ContinuousEngine:
             resolved = args
             prompt, text_ids = prompts[j], texts[j]
             st1 = jax.tree_util.tree_map(lambda x: x[:, j:j + 1], stb)
-            self.state, self.logits = _insert_slot(
+            self.state, self.logits = self._insert(
                 self.state, self.logits, st1, lgb[j:j + 1], slot)
 
             seed = resolved.seed if resolved.seed is not None else \

@@ -78,3 +78,38 @@ def test_tensor_parallel_matches_unsharded(setup):
     # float reductions across shards can reorder; token equality is the bar
     for a, b, name in zip(got, want, ("global", "semantic", "lens")):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_sharded_continuous_token_identical(setup):
+    """Continuous decode with state/slots sharded over the data axis (and
+    the vocab head over model) must produce token streams bit-identical to
+    the single-device static engine — the r1 'multi-device serving'
+    stretch: admission scatter + per-slot stage machine under sharding."""
+    from rwkv_tts_tpu.config import EngineConfig, TtsArgs
+    from rwkv_tts_tpu.runtime.continuous import ContinuousEngine
+    from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+    params, _, _, _ = setup
+    ecfg = EngineConfig(prefill_buckets=(32, 64), max_semantic_tokens=20,
+                        batch_size=4)
+    reqs = [
+        TtsArgs(text="sharded continuous one", seed=11, max_tokens=20),
+        TtsArgs(text="two", seed=22, max_tokens=20, gender="male"),
+        TtsArgs(text="cloned three", seed=33, max_tokens=20, zero_shot=True,
+                ref_global_tokens=list(range(32))),
+    ]
+
+    static = TtsEngine(params, CFG, ecfg, use_pallas=False)
+    want = [static.generate(r) for r in reqs]
+
+    m = meshlib.make_mesh(8, model_parallel=2)      # dp=4 × tp=2
+    eng = ContinuousEngine(params, CFG, ecfg, use_pallas=False, block=8,
+                           slots=4, mesh=m)
+    try:
+        got = [eng.generate(r, timeout=900.0) for r in reqs]
+    finally:
+        eng.stop()
+
+    for w, g, r in zip(want, got, reqs):
+        assert g.global_tokens == w.global_tokens, r.text
+        assert g.semantic_tokens == w.semantic_tokens, r.text
