@@ -233,6 +233,11 @@ def wkv7_pallas_packed(r, w, k, v, a, b, state, t_block: int = 64,
     B, T, H, N = r.shape
     f32 = jnp.float32
     HN = H * N
+    # VMEM budget: 6 input seq blocks + y are double-buffered across grid
+    # steps; keep t_block·HN ≤ 64Ki f32 elements so the scoped allocation
+    # stays well under the 16 MB limit at any model width (at C=2048 the
+    # 64-token block overflowed: 18.09 MB > 16 MB)
+    t_block = min(t_block, max(8, (1 << 16) // HN))
     if T % t_block:
         t_block = T                      # degenerate: single block
     n_tb = T // t_block

@@ -101,3 +101,33 @@ def test_packed_kernel_matches_scan():
                               interpret=jax.default_backend() != "tpu")
     np.testing.assert_allclose(np.array(y), np.array(y_ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.array(s), np.array(s_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_kernel_wide_model_blocks():
+    """Flagship width (H·N = 2048): the packed kernel must shrink its time
+    block to stay within the TPU's 16 MB scoped-VMEM budget and still match
+    the scan oracle (regression: BENCH r2 OOMed at C=2048 with the 64-token
+    block)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_pallas_packed, wkv7_scan
+
+    rng = np.random.default_rng(0)
+    B, T, H, N = 2, 64, 32, 64          # H·N = 2048 (the 32L×2048E shape)
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+
+    want_y, want_s = wkv7_scan(*map(jnp.asarray, (r, w, k, v, a, b, s0)))
+    y, s = wkv7_pallas_packed(*map(jnp.asarray, (r, w, k, v, a, b, s0)),
+                              interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=2e-4, atol=2e-4)
