@@ -74,8 +74,17 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
         )
         return glob, sem, sem_lens
 
+    # vocode in production-sized sub-batches: the serving pipeline decodes
+    # per request (bucketed); a [64, 512-token] full-utterance vocoder call
+    # would allocate multi-GB upsampled activations and OOM the chip
+    voc_b = min(8, batch)
+
     def detok(glob, sem):
-        return bicodec.decode(bc_params, glob, sem, BC_CFG)
+        outs = []
+        for i in range(0, batch, voc_b):
+            outs.append(bicodec.decode(
+                bc_params, glob[i:i + voc_b], sem[i:i + voc_b], BC_CFG))
+        return outs[-1]
 
     glob, sem, sem_lens = lm("warm")               # compile + warm up
     sem.block_until_ready()
@@ -129,6 +138,7 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    params = rwkv7.fuse_params(params, CFG)     # production decode layout
     qparams = quantize_rwkv_params(params)
     del params                          # free the bf16 copy (flagship is big)
     bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1))

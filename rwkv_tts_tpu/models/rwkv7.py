@@ -109,6 +109,98 @@ def init_params(cfg: RwkvConfig, key: jax.Array) -> Params:
     return params
 
 
+def fuse_params(params: Params, cfg: RwkvConfig) -> Params:
+    """Fuse the seven per-token time-mix projections into two matmuls.
+
+    With token-shift lerp ``x_r = h + (prev − h)·μ_r``, each projection
+    ``x_r @ W_r`` equals ``[h; prev−h] @ [W_r; diag(μ_r) W_r]`` — so r/k/v
+    stack into ONE [2C, 3C] matmul and the four LoRA A-matrices into ONE
+    f32 [2C, ΣD] matmul; the four LoRA B-matrices become one block-diagonal
+    [ΣD, 4C]. Decode-loop kernel count per layer drops from 11 projection
+    dots to 3 (plus w_o and the two FFN mats). Mathematically identical;
+    f32 accumulation order differs (the 2C-term dot splits each x_r term in
+    two), so near-tie sampled tokens can flip vs the unfused path — fused
+    weights are therefore an explicit opt-in at load (from_checkpoints,
+    bench), never silently applied under tests/goldens.
+
+    Returns a NEW params dict: the fused leaves replace w_r/w_k/w_v,
+    w1/a1/v1/g1 and the six x_* mix vectors. Quantization (ops/quant.py)
+    picks up ``zrkv`` in place of w_r/w_k/w_v.
+    """
+    bp = params["blocks"]
+    f32 = jnp.float32
+
+    def hat(W, mu):
+        # [L, C, O], [L, C] → [L, 2C, O]; rows 0:C ← h, rows C:2C ← (prev−h)
+        Wf = W.astype(f32)
+        return jnp.concatenate([Wf, mu[:, :, None].astype(f32) * Wf], axis=1)
+
+    pdt = bp["w_r"].dtype
+    zrkv = jnp.concatenate([
+        hat(bp["w_r"], bp["x_r"]),
+        hat(bp["w_k"], bp["x_k"]),
+        hat(bp["w_v"], bp["x_v"]),
+    ], axis=2).astype(pdt)
+    za = jnp.concatenate([
+        hat(bp["w1"], bp["x_w"]),
+        hat(bp["a1"], bp["x_a"]),
+        hat(bp["v1"], bp["x_v"]),
+        hat(bp["g1"], bp["x_g"]),
+    ], axis=2).astype(f32)
+
+    L, C = bp["x_r"].shape
+    dims = (bp["w1"].shape[-1], bp["a1"].shape[-1],
+            bp["v1"].shape[-1], bp["g1"].shape[-1])
+    total = sum(dims)
+    lora2 = jnp.zeros((L, total, 4 * C), f32)
+    off = 0
+    for i, (d, mat) in enumerate(zip(dims, ("w2", "a2", "v2", "g2"))):
+        lora2 = lora2.at[:, off:off + d, i * C:(i + 1) * C].set(
+            bp[mat].astype(f32))
+        off += d
+
+    blocks = {k: v for k, v in bp.items()
+              if k not in ("w_r", "w_k", "w_v", "w1", "a1", "v1", "g1",
+                           "w2", "a2", "v2", "g2",
+                           "x_r", "x_w", "x_k", "x_v", "x_a")}
+    # x_g is still needed by nothing; drop it too
+    blocks.pop("x_g", None)
+    blocks["zrkv"] = zrkv
+    blocks["za"] = za
+    blocks["lora2"] = lora2
+    out = dict(params)
+    out["blocks"] = blocks
+    return out
+
+
+def _fused_projections(lp, h, xx, cfg, cdt):
+    """Shared fused time-mix math for step/forward (see fuse_params).
+
+    h, xx: [..., C] (xx = prev − h). Returns (r, k, v, w, a, v_res_gate, g)
+    with the same semantics as the unfused seven-matmul chain; the LoRA
+    second stage runs as one block-diagonal f32 matmul."""
+    C = cfg.n_embd
+    z = jnp.concatenate([h, xx], axis=-1)
+    rkv = qmatmul(z, lp["zrkv"])
+    r = rkv[..., :C]
+    k = rkv[..., C:2 * C]
+    v = rkv[..., 2 * C:]
+
+    u = z.astype(jnp.float32) @ lp["za"]
+    dw, da, dv = cfg.decay_lora, cfg.a_lora, cfg.v_lora
+    act = jnp.concatenate([
+        jnp.tanh(u[..., :dw]),
+        u[..., dw:dw + da + dv],
+        jax.nn.sigmoid(u[..., dw + da + dv:]),
+    ], axis=-1)
+    lo = act @ lp["lora2"]
+    w = -jax.nn.softplus(-(lp["w0"] + lo[..., :C])) - 0.5
+    a = jax.nn.sigmoid(lp["a0"] + lo[..., C:2 * C])
+    v_res_gate = jax.nn.sigmoid(lp["v0"] + lo[..., 2 * C:3 * C])
+    g = lo[..., 3 * C:].astype(cdt)
+    return r, k, v, w, a, v_res_gate, g
+
+
 def init_state(cfg: RwkvConfig, batch: int) -> State:
     """Fresh recurrent state — the analog of web-rwkv's ``state.init()``
     (src/normal_mode_inference.rs:66-71)."""
@@ -167,39 +259,42 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
 
     xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
     xx = xprev - x
-    xr = x + xx * lp["x_r"].astype(cdt)
-    xw = x + xx * lp["x_w"].astype(cdt)
-    xk = x + xx * lp["x_k"].astype(cdt)
-    xv = x + xx * lp["x_v"].astype(cdt)
-    xa = x + xx * lp["x_a"].astype(cdt)
-    xg = x + xx * lp["x_g"].astype(cdt)
+    if "zrkv" in lp:
+        r, k, v, w, a, v_res_gate, g = _fused_projections(lp, x, xx, cfg, cdt)
+    else:
+        xr = x + xx * lp["x_r"].astype(cdt)
+        xw = x + xx * lp["x_w"].astype(cdt)
+        xk = x + xx * lp["x_k"].astype(cdt)
+        xv = x + xx * lp["x_v"].astype(cdt)
+        xa = x + xx * lp["x_a"].astype(cdt)
+        xg = x + xx * lp["x_g"].astype(cdt)
 
-    r = qmatmul(xr, lp["w_r"])
-    # decay in f32: soft-clamped log-log decay ≤ -0.5
-    w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
-    w_lora = w_lora @ lp["w2"].astype(jnp.float32)
-    w = -jax.nn.softplus(-(lp["w0"] + w_lora)) - 0.5
-    k = qmatmul(xk, lp["w_k"])
-    v = qmatmul(xv, lp["w_v"])
+        r = qmatmul(xr, lp["w_r"])
+        # decay in f32: soft-clamped log-log decay ≤ -0.5
+        w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
+        w_lora = w_lora @ lp["w2"].astype(jnp.float32)
+        w = -jax.nn.softplus(-(lp["w0"] + w_lora)) - 0.5
+        k = qmatmul(xk, lp["w_k"])
+        v = qmatmul(xv, lp["w_v"])
 
-    v_res_gate = jax.nn.sigmoid(
-        lp["v0"]
-        + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
-        @ lp["v2"].astype(jnp.float32)
-    )
+        v_res_gate = jax.nn.sigmoid(
+            lp["v0"]
+            + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
+            @ lp["v2"].astype(jnp.float32)
+        )
+        a = jax.nn.sigmoid(
+            lp["a0"]
+            + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
+            @ lp["a2"].astype(jnp.float32)
+        )
+        g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
+
     v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
     v = jnp.where(
         is_first,
         v.astype(jnp.float32),
         v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
     ).astype(cdt)
-
-    a = jax.nn.sigmoid(
-        lp["a0"]
-        + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
-        @ lp["a2"].astype(jnp.float32)
-    )
-    g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
 
     kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
     k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
@@ -355,34 +450,38 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
         h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         xx = att_x.astype(cdt) - h
-        xr = h + xx * lp["x_r"].astype(cdt)
-        xw = h + xx * lp["x_w"].astype(cdt)
-        xk = h + xx * lp["x_k"].astype(cdt)
-        xv = h + xx * lp["x_v"].astype(cdt)
-        xa = h + xx * lp["x_a"].astype(cdt)
-        xg = h + xx * lp["x_g"].astype(cdt)
+        if "zrkv" in lp:
+            r, k, v, w, a, v_res_gate, g = _fused_projections(
+                lp, h, xx, cfg, cdt)
+        else:
+            xr = h + xx * lp["x_r"].astype(cdt)
+            xw = h + xx * lp["x_w"].astype(cdt)
+            xk = h + xx * lp["x_k"].astype(cdt)
+            xv = h + xx * lp["x_v"].astype(cdt)
+            xa = h + xx * lp["x_a"].astype(cdt)
+            xg = h + xx * lp["x_g"].astype(cdt)
 
-        r = qmatmul(xr, lp["w_r"])
-        w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
-        w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(jnp.float32))) - 0.5
-        k = qmatmul(xk, lp["w_k"])
-        v = qmatmul(xv, lp["w_v"])
-        v_res_gate = jax.nn.sigmoid(
-            lp["v0"]
-            + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
-            @ lp["v2"].astype(jnp.float32)
-        )
+            r = qmatmul(xr, lp["w_r"])
+            w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
+            w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(jnp.float32))) - 0.5
+            k = qmatmul(xk, lp["w_k"])
+            v = qmatmul(xv, lp["w_v"])
+            v_res_gate = jax.nn.sigmoid(
+                lp["v0"]
+                + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
+                @ lp["v2"].astype(jnp.float32)
+            )
+            a = jax.nn.sigmoid(
+                lp["a0"]
+                + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
+                @ lp["a2"].astype(jnp.float32)
+            )
+            g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
         v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
         v = jnp.where(
             is_first, v.astype(jnp.float32),
             v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
         )
-        a = jax.nn.sigmoid(
-            lp["a0"]
-            + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
-            @ lp["a2"].astype(jnp.float32)
-        )
-        g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
 
         kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
         k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])

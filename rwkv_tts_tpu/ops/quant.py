@@ -75,7 +75,9 @@ def quantize_rwkv_params(params: Dict[str, Any], quant_layers: int = -1,
     qt = quantize_tensor if kind == "int8" else quantize_tensor_nf4
     out = dict(params)
     blocks = dict(params["blocks"])
-    for k in DENSE_KEYS:
+    # fused layout (models/rwkv7.fuse_params) carries zrkv instead of w_r/k/v
+    keys = [k for k in ("zrkv",) + DENSE_KEYS if k in blocks]
+    for k in keys:
         blocks[k] = qt(blocks[k])
     out["blocks"] = blocks
     if quantize_head:

@@ -90,6 +90,9 @@ class TtsPipeline:
         from ..models.convert import load_rwkv7
         from ..tokenizer import load_tokenizer
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
+        # decode-loop optimization: 7 projections → 2 matmuls (numerically
+        # equivalent modulo f32 reassociation; see rwkv7.fuse_params)
+        lm_params = rwkv7.fuse_params(lm_params, lm_cfg)
         if vocab_path:
             kw.setdefault("tokenizer", load_tokenizer(vocab_path))
         if quant_type in ("int8", "nf4"):

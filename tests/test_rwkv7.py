@@ -149,3 +149,49 @@ def test_bf16_state_dtype_runs():
     l16b, s16 = rwkv7.step(params, jnp.array([4]), s16, cfg16)
     assert s16["wkv"].dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(l16b)))
+
+
+def test_fused_projections_match_unfused():
+    """fuse_params folds the 7 per-token projections into 2 matmuls +
+    a block-diagonal LoRA stage; outputs must match the unfused path to
+    fp32-reassociation tolerance on both forward (prefill) and step
+    (decode), and the fused tree must quantize."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_tts_tpu.config import RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7
+
+    cfg = RwkvConfig(n_layer=3, n_embd=128, head_size=64, vocab_size=512,
+                     padded_vocab_size=512, decay_lora=16, a_lora=24,
+                     v_lora=8, gate_lora=32, dtype="float32",
+                     param_dtype="float32")
+    params = rwkv7.init_params(cfg, jax.random.PRNGKey(0))
+    fused = rwkv7.fuse_params(params, cfg)
+    assert "zrkv" in fused["blocks"] and "w_r" not in fused["blocks"]
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 512)
+    st0 = rwkv7.init_state(cfg, 2)
+    want_lg, want_st = rwkv7.forward(params, tokens, st0, cfg)
+    got_lg, got_st = rwkv7.forward(fused, tokens, st0, cfg)
+    np.testing.assert_allclose(np.asarray(got_lg), np.asarray(want_lg),
+                               rtol=2e-4, atol=2e-4)
+    for k in want_st:
+        np.testing.assert_allclose(np.asarray(got_st[k]),
+                                   np.asarray(want_st[k]),
+                                   rtol=2e-4, atol=2e-4)
+
+    tok = jnp.asarray([3, 5], jnp.int32)
+    want_lg2, _ = rwkv7.step(params, tok, want_st, cfg)
+    got_lg2, _ = rwkv7.step(fused, tok, got_st, cfg)
+    np.testing.assert_allclose(np.asarray(got_lg2), np.asarray(want_lg2),
+                               rtol=2e-4, atol=2e-4)
+
+    # quantized fused tree runs end to end
+    from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
+    qf = quantize_rwkv_params(fused)
+    assert isinstance(qf["blocks"]["zrkv"], dict)      # quantized leaf
+    lg_q, _ = rwkv7.step(qf, tok, got_st, cfg)
+    assert lg_q.shape == want_lg2.shape
+    assert bool(jnp.all(jnp.isfinite(lg_q)))
