@@ -76,6 +76,16 @@ def cmd_delete(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_import_voices(args) -> int:
+    """Migrate a reference server's assets/raf voice library in place —
+    the .raf.json schema and SHA-256 scheme are byte-compatible."""
+    from .runtime.voice_store import VoiceStore
+    report = VoiceStore(args.raf_dir).import_voices(
+        args.src_dir, overwrite=args.overwrite)
+    print(json.dumps(report, ensure_ascii=False, indent=2))
+    return 0 if not report["failed"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("rwkv-tts-tpu")
     p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
@@ -111,6 +121,12 @@ def main(argv=None) -> int:
     d = sub.add_parser("delete", help="delete a voice")
     d.add_argument("voice_id")
     d.set_defaults(fn=cmd_delete)
+
+    iv = sub.add_parser("import-voices",
+                        help="import a reference server's raf directory")
+    iv.add_argument("src_dir")
+    iv.add_argument("--overwrite", action="store_true")
+    iv.set_defaults(fn=cmd_import_voices)
 
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

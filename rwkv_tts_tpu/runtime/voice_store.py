@@ -129,6 +129,39 @@ class VoiceStore:
         feat = self.load(voice_id)
         return feat.global_tokens, feat.semantic_tokens, feat.prompt_text
 
+    def import_voices(self, src_dir: str, overwrite: bool = False) -> Dict:
+        """Bring a reference server's voice library (its ``assets/raf``
+        directory of ``*.raf.json`` files — byte-compatible schema +
+        SHA-256) into this store. Checksums are verified before copying;
+        existing ids are skipped unless ``overwrite``. Returns
+        {imported: [...], skipped: [...], failed: {id: reason}}."""
+        imported, skipped, failed = [], [], {}
+        for fn in sorted(os.listdir(src_dir)):
+            if not fn.endswith(".raf.json"):
+                continue
+            vid = fn[: -len(".raf.json")]
+            try:
+                with open(os.path.join(src_dir, fn), encoding="utf-8") as f:
+                    doc = json.load(f)
+                feat = VoiceFeature(**{k: doc[k] for k in _FIELD_ORDER})
+                if compute_checksum(feat) != feat.checksum:
+                    raise ChecksumError("checksum mismatch")
+            except Exception as e:  # noqa: BLE001 — per-file isolation
+                failed[vid] = f"{type(e).__name__}: {e}"
+                continue
+            dest = self._path(feat.id)
+            if os.path.exists(dest) and not overwrite:
+                skipped.append(feat.id)
+                continue
+            with open(dest, "w", encoding="utf-8") as f:
+                f.write(_serialize(feat.to_ordered_dict()))
+            with self._lock:
+                self._cache[feat.id] = feat
+            imported.append(feat.id)
+        if imported:
+            self._update_metadata()
+        return {"imported": imported, "skipped": skipped, "failed": failed}
+
     def list(self) -> List[Dict]:
         out = []
         for fn in sorted(os.listdir(self.raf_dir)):

@@ -118,3 +118,45 @@ def test_binary_raf_roundtrip(tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(ChecksumError):
         load_binary(p)
+
+
+def test_import_voices_from_reference_layout(tmp_path):
+    """Migration path for reference-server users: a directory of .raf.json
+    files imports with checksum verification; corrupt files are isolated."""
+    import json
+
+    from rwkv_tts_tpu.runtime.voice_store import VoiceStore
+
+    src = tmp_path / "ref_raf"
+    src.mkdir()
+    donor = VoiceStore(str(src))
+    f1 = donor.save("alice", "hello", list(range(32)), [1, 2, 3], 2.5, 16000)
+    f2 = donor.save("bob", "hi", list(range(32)), [4, 5], 1.0, 16000)
+    # corrupt a third file
+    bad = dict(json.loads(open(donor._path(f1.id)).read()))
+    bad["semantic_tokens"] = [9, 9, 9]          # checksum now wrong
+    (src / "voice_broken.raf.json").write_text(json.dumps(bad))
+
+    dest = VoiceStore(str(tmp_path / "mine"))
+    report = dest.import_voices(str(src))
+    assert sorted(report["imported"]) == sorted([f1.id, f2.id])
+    assert list(report["failed"]) == ["voice_broken"]
+    g, s, p = dest.get_voice_tokens(f1.id)
+    assert s == [1, 2, 3] and p == "hello"
+
+    # second run: skipped, not re-imported
+    report2 = dest.import_voices(str(src))
+    assert sorted(report2["skipped"]) == sorted([f1.id, f2.id])
+
+
+def test_import_voices_cli(tmp_path, capsys):
+    from rwkv_tts_tpu.cli import main
+    from rwkv_tts_tpu.runtime.voice_store import VoiceStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    VoiceStore(str(src)).save("v", "", list(range(32)), [7], 0.5, 16000)
+    rc = main(["--raf-dir", str(tmp_path / "dst"), "import-voices", str(src)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"imported"' in out and VoiceStore(str(tmp_path / "dst")).list()
