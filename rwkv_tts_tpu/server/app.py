@@ -124,6 +124,8 @@ async def handle_tts(request: web.Request) -> web.Response:
     dur_ms = int((time.perf_counter() - t0) * 1000)
     app["metrics"]["tts_requests"] += 1
     app["metrics"]["tts_audio_seconds"] += len(result.audio) / result.sample_rate
+    app["hist_latency"].observe(dur_ms / 1000.0)
+    app["hist_rtf"].observe(result.rtf)
     return web.json_response({
         "success": True,
         "message": "ok",
@@ -327,6 +329,8 @@ async def handle_metrics(request: web.Request) -> web.Response:
     store = request.app["voice_store"]
     m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
     lines = [f"rwkv_tts_{k} {v}" for k, v in sorted(m.items())]
+    lines += request.app["hist_latency"].render()
+    lines += request.app["hist_rtf"].render()
     return web.Response(text="\n".join(lines) + "\n",
                         content_type="text/plain")
 
@@ -376,6 +380,15 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app["pipeline"] = pipeline
     app["voice_store"] = pipeline.voice_store
     app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
+    from ..utils.metrics import (
+        LATENCY_BUCKETS, RTF_BUCKETS, Histogram,
+    )
+    app["hist_latency"] = Histogram(
+        "rwkv_tts_request_seconds", LATENCY_BUCKETS,
+        "End-to-end /api/tts wall time")
+    app["hist_rtf"] = Histogram(
+        "rwkv_tts_rtf", RTF_BUCKETS,
+        "Per-request real-time factor (synthesis wall / audio seconds)")
     app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
                       "voices_extracted": 0}
     app["t_start"] = time.monotonic()

@@ -314,3 +314,14 @@ def test_ui_i18n_and_waveform_markup(tmp_path):
         emos = re.search(r'const EMOTIONS = \[(.*?)\]', body, re.S).group(1)
         assert emos.count('"') == 50
     run_client(tmp_path, go)
+
+
+def test_metrics_histograms(tmp_path):
+    async def go(client):
+        r = await client.post("/api/tts", json={"text": "hist", "seed": 1})
+        assert (await r.json())["success"]
+        m = await (await client.get("/metrics")).text()
+        assert "# TYPE rwkv_tts_request_seconds histogram" in m
+        assert 'rwkv_tts_request_seconds_bucket{le="+Inf"} 1' in m
+        assert "rwkv_tts_rtf_count 1" in m
+    run_client(tmp_path, go)
