@@ -44,16 +44,29 @@ class StreamingVocoder:
 
     def __init__(self, params, cfg: BiCodecConfig, global_tokens: List[int],
                  chunk_tokens: int = 32, context_tokens: Optional[int] = None,
-                 lookahead_tokens: Optional[int] = None):
+                 lookahead_tokens: Optional[int] = None,
+                 low_latency: bool = False):
         self.params = params
         self.cfg = cfg
         self.global_tokens = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
                               for t in (global_tokens or [0] * 32)]
         self.chunk = chunk_tokens
         # default context/lookahead = the decoder's receptive field, so
-        # emitted samples are bit-identical to a full bucketed decode;
-        # callers may pass smaller values to trade exactness for compute
+        # emitted samples are bit-identical to a full bucketed decode.
+        # ``low_latency`` trades that exactness for time-to-first-audio:
+        # first audio needs chunk+lookahead REAL tokens, and the full
+        # receptive field is large (prenet ConvNeXt stacks), so exact mode
+        # waits ~2 s of tokens before the first chunk. The short window
+        # still covers the wave generator's own receptive field; what it
+        # truncates is the prenet's long smooth conditioning tail —
+        # audible-artifact-free in practice, but not bit-exact.
         self.receptive = bicodec.receptive_latents(cfg)
+        if low_latency:
+            context_tokens = (context_tokens if context_tokens is not None
+                              else min(32, self.receptive))
+            lookahead_tokens = (lookahead_tokens
+                                if lookahead_tokens is not None
+                                else min(16, self.receptive))
         self.context = (context_tokens if context_tokens is not None
                         else self.receptive)
         # the vocoder's convs are centered (SAME), so output near a chunk's
@@ -111,7 +124,8 @@ class StreamingVocoder:
 
 def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
                       args, chunk_tokens: int = 32,
-                      timeout: float = 600.0) -> Iterator[StreamChunk]:
+                      timeout: float = 600.0,
+                      low_latency: bool = False) -> Iterator[StreamChunk]:
     """Generator yielding audio chunks for one request.
 
     For normal-mode requests the speaker (global) tokens only exist once the
@@ -146,7 +160,8 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             res = box["res"]
             if vocoder is None:
                 vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
-                                           res.global_tokens, chunk_tokens)
+                                           res.global_tokens, chunk_tokens,
+                                           low_latency=low_latency)
             audio = vocoder.push([], flush=True)
             yield StreamChunk(seq=seq, audio=audio, final=True)
             return
@@ -154,7 +169,8 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             # global tokens are final once semantic tokens start arriving
             live_globals = _current_globals(continuous_engine, args)
             vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
-                                       live_globals, chunk_tokens)
+                                       live_globals, chunk_tokens,
+                                       low_latency=low_latency)
         audio = vocoder.push(item)
         if audio.size:
             yield StreamChunk(seq=seq, audio=audio, final=False)

@@ -182,7 +182,8 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     def producer():
         try:
             for chunk in stream_synthesize(
-                    cont, pipe.bicodec_params, pipe.bicodec_cfg, args):
+                    cont, pipe.bicodec_params, pipe.bicodec_cfg, args,
+                    low_latency=bool(payload.get("low_latency", False))):
                 loop.call_soon_threadsafe(aq.put_nowait, chunk)
         except Exception as e:  # noqa: BLE001
             loop.call_soon_threadsafe(aq.put_nowait, e)

@@ -61,3 +61,30 @@ def test_streaming_end_to_end_with_engine(bc_params):
         assert np.all(np.isfinite(audio))
     finally:
         eng.stop()
+
+
+def test_low_latency_mode_close_to_exact(bc_params):
+    """low_latency trims context/lookahead to fixed small windows: first
+    audio needs chunk+16 tokens instead of chunk+receptive. Output is no
+    longer bit-exact but must stay close (the truncated prenet tail is a
+    smooth conditioning term) and correctly sized."""
+    import numpy as np
+    from rwkv_tts_tpu.models import bicodec
+    from rwkv_tts_tpu.runtime.streaming import StreamingVocoder
+
+    rng = np.random.default_rng(1)
+    g = list(rng.integers(0, 4096, 32))
+    sem = list(rng.integers(0, 128, 100))
+    full = bicodec.detokenize(bc_params, g, sem, BC_CFG, bucket=4)[0]
+
+    sv = StreamingVocoder(bc_params, BC_CFG, g, chunk_tokens=32,
+                          low_latency=True)
+    assert sv.lookahead == 16 and sv.context == 32
+    parts = [sv.push(sem[i:i + 10]) for i in range(0, 100, 10)]
+    parts.append(sv.push([], flush=True))
+    streamed = np.concatenate(parts)
+    assert streamed.shape == full.shape
+    # close, not exact: bounded deviation, same energy scale
+    err = np.abs(streamed - full)
+    assert float(err.mean()) < 0.05
+    assert np.all(np.isfinite(streamed))
