@@ -436,6 +436,7 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     loop carry.
     """
     cdt = jnp.dtype(cfg.dtype)
+    state_dt = jnp.dtype(cfg.state_dtype)
     B = token.shape[0]
     C, H, N = cfg.n_embd, cfg.n_head, cfg.head_size
     x = params["emb"][token].astype(cdt)
@@ -489,10 +490,15 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         def hv(t):
             return t.reshape(B, H, N)
 
+        # the state stays in its storage dtype through the scan carry —
+        # wkv7_single's f32 math reads it via fused upcasts, so a bf16
+        # state_dtype really halves the dominant decode traffic (the old
+        # pre-scan astype(f32) made the carry f32 regardless)
         y, wkv = wkv7_single(
             hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),
             hv(-kk), hv(kk * a), wkv,
         )
+        wkv = wkv.astype(state_dt)
         y = y.reshape(B, C)
         y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
         rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None]).sum(
@@ -516,10 +522,8 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
         layer_body,
         (x, v_first0, jnp.int32(0)),
-        (bp, state["att_x"], state["ffn_x"],
-         state["wkv"].astype(jnp.float32)),
+        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
     )
-    wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     head = params["head"]
     if head_slice is not None:

@@ -36,8 +36,11 @@ def test_qmatmul_matches_dequant():
     q = quantize_tensor(w)
     y_q = qmatmul(x, q)
     y_ref = x @ dequantize_tensor(q)
+    # qmatmul additionally quantizes the activations per row (s8xs8 MXU
+    # dot); tolerance covers that extra <=1/254 relative rounding
+    scale = np.abs(np.asarray(x)).max(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_ref),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=5e-3, atol=float(scale.max()) * 0.05)
     # plain weights pass through
     np.testing.assert_allclose(np.asarray(qmatmul(x, w)), np.asarray(x @ w),
                                rtol=1e-5, atol=1e-6)
