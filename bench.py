@@ -17,7 +17,9 @@ Model shape: the pinned flagship class (32L × 2048E — the reference's
 fallback metadata for webrwkv.safetensors, shared_runtime.rs:128-137;
 the real header could not be fetched from this zero-egress environment).
 Random weights — throughput depends on dims, not values. Serving config:
-batch 64, int8-quantized dense weights, bf16-stored WKV state.
+batch 128 (measured sweet spot of the throughput/batch curve), fused
+projections, int8 weights with dynamic activation quant (s8×s8 MXU
+dots), bf16-stored WKV state.
 """
 
 import dataclasses
@@ -144,7 +146,7 @@ def main():
     bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1))
 
     xrt_e2e, xrt_lm, wall_lm, wall_detok = serving_run(
-        qparams, bc_params, 64, DECODE_STEPS, on_tpu)
+        qparams, bc_params, 128, DECODE_STEPS, on_tpu)
     xrt_e2e_b8, xrt_lm_b8, wall_lm8, wall_detok8 = serving_run(
         qparams, bc_params, 8, DECODE_STEPS, on_tpu)
     first_chunk_ms = first_chunk_latency(qparams, bc_params, on_tpu)
@@ -156,15 +158,15 @@ def main():
         "vs_baseline": round(xrt_e2e / 3.33, 3),
         "detail": {
             "backend": jax.default_backend(),
-            "config": "batch=64 int8 bf16-state, E2E (LM + full BiCodec)",
+            "config": "batch=128 int8 bf16-state, E2E (LM + full BiCodec)",
             "model_shape": f"{CFG.n_layer}L x {CFG.n_embd}E (pinned flagship)",
             "prefill_len": PREFILL_LEN,
             "decode_steps": DECODE_STEPS,
             "xrt_e2e": round(xrt_e2e, 3),
             "xrt_lm_only": round(xrt_lm, 3),
             "rtf_e2e": round(1.0 / xrt_e2e, 5),
-            "wall_s_lm_batch64": round(wall_lm, 3),
-            "wall_s_detok_batch64": round(wall_detok, 3),
+            "wall_s_lm_batch128": round(wall_lm, 3),
+            "wall_s_detok_batch128": round(wall_detok, 3),
             "xrt_e2e_batch8": round(xrt_e2e_b8, 3),
             "rtf_e2e_batch8": round(1.0 / xrt_e2e_b8, 5),
             "first_chunk_ms_batch8": round(first_chunk_ms, 1),

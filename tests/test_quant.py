@@ -118,3 +118,23 @@ def test_nf4_memory_quartered():
     fp = nbytes({k: params["blocks"][k] for k in keys})
     nf = nbytes({k: q["blocks"][k] for k in keys})
     assert nf < fp * 0.16
+
+
+def test_qmm_pallas_matches_dequant():
+    """The Pallas decode GEMM (int8 HBM reads, VMEM upcast, bf16 MXU dot)
+    must match the dequantized matmul to bf16-input tolerance, across the
+    decode shapes (zrkv/w_o/ffn/head-slice tile geometries)."""
+    from rwkv_tts_tpu.ops.quant import qmm_pallas
+
+    interp = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    for M, K, N in [(8, 256, 384), (64, 512, 128), (16, 128, 1024)]:
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+        x = rng.normal(size=(M, K)).astype(np.float32)
+        q = quantize_tensor(jnp.asarray(w))
+        want = np.asarray(jnp.asarray(x) @ dequantize_tensor(q))
+        got = np.asarray(qmm_pallas(jnp.asarray(x), q["q"], q["s"],
+                                    interpret=interp))
+        # x is cast to bf16 inside the kernel
+        atol = np.abs(want).max() * 2e-2 + 1e-3
+        np.testing.assert_allclose(got, want, atol=atol), (M, K, N)
