@@ -475,7 +475,7 @@ def main(argv=None):
     p.add_argument("--batch-timeout", type=float, default=20.0,
                    help="collect window, ms")
     p.add_argument("--inference-timeout", type=float, default=120000.0)
-    p.add_argument("--quant-type", choices=["none", "int8", "nf4"], default="none")
+    p.add_argument("--quant-type", choices=["none", "int8", "nf4", "sf4"], default="none")
     p.add_argument("--quant-layers", type=int, default=0)
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--no-download", action="store_true",
