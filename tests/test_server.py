@@ -325,3 +325,22 @@ def test_metrics_histograms(tmp_path):
         assert 'rwkv_tts_request_seconds_bucket{le="+Inf"} 1' in m
         assert "rwkv_tts_rtf_count 1" in m
     run_client(tmp_path, go)
+
+
+def test_streaming_low_latency_option(tmp_path):
+    async def go(client):
+        import base64 as b64
+        import aiohttp
+        r = await client.post("/api/tts/stream",
+                              json={"text": "fast stream", "seed": 9,
+                                    "low_latency": True},
+                              timeout=aiohttp.ClientTimeout(total=900))
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            if line.strip():
+                chunks.append(json.loads(line))
+        assert chunks and chunks[-1]["final"]
+        pcm = b"".join(b64.b64decode(c.get("audio_base64", "")) for c in chunks)
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+    run_client(tmp_path, go)
