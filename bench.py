@@ -113,12 +113,13 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
 
 def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
     """Time-to-first-audio for a normal-mode request at the latency batch:
-    prefill + 32 global steps + TAG_1 + 40 semantic steps (one 32-token
-    vocoder chunk) + one FULL-SIZE windowed BiCodec decode."""
-    tokens, lengths, keys, limits, hard_min = make_inputs(batch, 40)
+    prefill + 32 global steps + TAG_1 + 48 semantic steps (a 32-token
+    vocoder chunk + the low_latency streaming mode's 16-token lookahead,
+    runtime/streaming.py) + one FULL-SIZE windowed BiCodec decode."""
+    steps = 48
+    tokens, lengths, keys, limits, hard_min = make_inputs(batch, steps)
     g_toks = jnp.zeros((1, C.GLOBAL_TOKENS_SIZE), jnp.int32)
-    # first vocoder window: 32-token chunk + receptive-field lookahead
-    win = 32 + bicodec.receptive_latents(BC_CFG)
+    win = 32 + 16 + 32          # chunk + lookahead + left context bucket
     sem_win = jnp.zeros((1, win), jnp.int32)
 
     def run():
@@ -127,7 +128,7 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
                                       use_pallas=on_tpu, lengths=lengths)
         glob, state, logits = global_stage(params, state, logits, keys, cfg)
         sem, sem_lens, state = semantic_stage(
-            params, state, logits, keys, limits, hard_min, cfg, 40, False)
+            params, state, logits, keys, limits, hard_min, cfg, steps, False)
         wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 
