@@ -33,13 +33,15 @@ import numpy as np
 from rwkv_tts_tpu import constants as C
 from rwkv_tts_tpu.config import BiCodecConfig, RwkvConfig
 from rwkv_tts_tpu.models import bicodec, rwkv7
-from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
 from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
 
 CFG = RwkvConfig()                      # flagship: 32L × 2048E
 CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
 BC_CFG = BiCodecConfig()                # full-size SparkTTS BiCodec
 PREFILL_LEN = 64            # typical prompt: props + tags + ~50 text tokens
+# T=1 decode-step Pallas WKV kernel: measured ~6% slower in-context than the
+# XLA-fused jnp step on v5e (tools/profile_decode.py) — keep the fast path.
+PALLAS_STEP = False
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 
@@ -69,10 +71,11 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
         logits, state = rwkv7.forward(
             params, tokens, state, cfg, use_pallas=on_tpu, lengths=lengths
         )
-        glob, state, logits = global_stage(params, state, logits, keys, cfg)
+        glob, state, logits = global_stage(params, state, logits, keys, cfg,
+                                           use_pallas=PALLAS_STEP)
         sem, sem_lens, state = semantic_stage(
             params, state, logits, keys, limits, hard_min,
-            cfg, decode_steps, False,
+            cfg, decode_steps, False, use_pallas=PALLAS_STEP,
         )
         return glob, sem, sem_lens
 
@@ -126,9 +129,11 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
         state = rwkv7.init_state(cfg, batch)
         logits, state = rwkv7.forward(params, tokens, state, cfg,
                                       use_pallas=on_tpu, lengths=lengths)
-        glob, state, logits = global_stage(params, state, logits, keys, cfg)
+        glob, state, logits = global_stage(params, state, logits, keys, cfg,
+                                           use_pallas=PALLAS_STEP)
         sem, sem_lens, state = semantic_stage(
-            params, state, logits, keys, limits, hard_min, cfg, steps, False)
+            params, state, logits, keys, limits, hard_min, cfg, steps, False,
+            use_pallas=PALLAS_STEP)
         wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 
@@ -140,11 +145,12 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
-    params = rwkv7.fuse_params(params, CFG)     # production decode layout
-    qparams = quantize_rwkv_params(params)
-    del params                          # free the bf16 copy (flagship is big)
-    bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1))
+    # On-device init→fuse→quantize in one program: values are irrelevant to
+    # throughput, and host-side flagship init + the tunnel transfer cost
+    # 15+ minutes on this single-core VM (production decode layout: fused
+    # projections + int8 weights).
+    qparams = rwkv7.make_serving_params(CFG, jax.random.PRNGKey(0))
+    bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1), fast=True)
 
     xrt_e2e, xrt_lm, wall_lm, wall_detok = serving_run(
         qparams, bc_params, 128, DECODE_STEPS, on_tpu)

@@ -470,10 +470,11 @@ def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
 # parameter init (host-side numpy; see utils/init.py re: axon transfers)
 # --------------------------------------------------------------------------
 
-def init_params(cfg: BiCodecConfig, key: jax.Array) -> Params:
+def init_params(cfg: BiCodecConfig, key: jax.Array,
+                fast: bool = False) -> Params:
     from ..utils.init import Initializer
 
-    ini = Initializer(key)
+    ini = Initializer(key, fast=fast)
 
     def lin(i, o, scale=None):
         return jnp.asarray(ini.normal((i, o), scale if scale is not None

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..config import RwkvConfig
 from ..ops.quant import qmatmul
-from ..ops.wkv7 import wkv7_scan, wkv7_pallas_packed, wkv7_single
+from ..ops.wkv7 import (wkv7_scan, wkv7_pallas_packed, wkv7_single,
+                        wkv7_single_pallas)
 
 Params = Dict[str, Any]
 State = Dict[str, jax.Array]
@@ -39,26 +40,36 @@ State = Dict[str, jax.Array]
 # Parameter initialization (random; real weights come from convert.py)
 # --------------------------------------------------------------------------
 
-def init_params(cfg: RwkvConfig, key: jax.Array) -> Params:
+def init_params(cfg: RwkvConfig, key: jax.Array, fast: bool = False,
+                device: bool = False) -> Params:
     """Random-init parameter pytree with the stacked-layer layout.
 
     Host-side NumPy generation (utils/init.py): zero per-shape XLA compiles.
+    ``fast``: f32-direct generation (different stream) for benches/profiling
+    on the single-core build VM; golden-fixture paths keep the default.
+    ``device``: trace-friendly on-device generation — call this under ONE
+    ``jax.jit`` (see :func:`make_serving_params`); params are born on the
+    chip with zero host work and zero tunnel transfer.
     """
-    from ..utils.init import Initializer
+    from ..utils.init import DeviceInitializer, Initializer
 
-    ini = Initializer(key)
+    ini = DeviceInitializer(key) if device else Initializer(key, fast=fast)
     L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
     V = cfg.padded_vocab_size
     pdt = jnp.dtype(cfg.param_dtype)
     f32 = jnp.float32
 
-    def j(x, dt=f32):
-        # cast on host (ml_dtypes handles bf16 in numpy), then a pure
-        # device_put — jnp.asarray with a dtype change would compile one
-        # conversion program per shape, which is seconds each on a remote
-        # TPU tunnel
-        import numpy as np
-        return jax.device_put(np.asarray(x).astype(dt))
+    if device:
+        def j(x, dt=f32):
+            return jnp.asarray(x).astype(dt)
+    else:
+        def j(x, dt=f32):
+            # cast on host (ml_dtypes handles bf16 in numpy), then a pure
+            # device_put — jnp.asarray with a dtype change would compile one
+            # conversion program per shape, which is seconds each on a remote
+            # TPU tunnel
+            import numpy as np
+            return jax.device_put(np.asarray(x).astype(dt))
 
     def dense(i, o, scale=None):
         scale = scale if scale is not None else (i ** -0.5)
@@ -107,6 +118,26 @@ def init_params(cfg: RwkvConfig, key: jax.Array) -> Params:
         },
     }
     return params
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "fused", "quant"))
+def make_serving_params(cfg: RwkvConfig, key: jax.Array, fused: bool = True,
+                        quant: str | None = "int8") -> Params:
+    """Materialize a random serving-layout pytree ON DEVICE in one program:
+    init → (fuse) → (quantize), no host generation, no tunnel transfer.
+
+    For benches/profilers/compile-checks on this environment (single host
+    core + slow axon transfers, where host-side flagship init costs 10+
+    minutes). Real checkpoints load through models/convert.py instead.
+    """
+    from ..ops.quant import quantize_rwkv_params
+
+    p = init_params(cfg, key, device=True)
+    if fused:
+        p = fuse_params(p, cfg)
+    if quant:
+        p = quantize_rwkv_params(p, kind=quant)
+    return p
 
 
 def fuse_params(params: Params, cfg: RwkvConfig) -> Params:
@@ -422,18 +453,26 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
     return logits, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "head_slice"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "head_slice", "use_pallas"))
 def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
-         head_slice: int | None = None) -> Tuple[jax.Array, State]:
+         head_slice: int | None = None,
+         use_pallas: bool = False) -> Tuple[jax.Array, State]:
     """Single-token decode step: token [B] → logits [B, V].
 
-    Specializes T=1: no intra-chunk scan, WKV via the fused jnp path
-    (wkv7_single) so XLA folds the whole step into one program.
+    Specializes T=1: no intra-chunk scan; the whole step is one program.
 
     ``head_slice``: compute only the first N logits. During TTS generation
     every sampleable id lives in the vocab prefix (< 8320), so slicing the
     78k-wide head matmul ~9× cuts its weight traffic and shrinks the decode
     loop carry.
+
+    ``use_pallas``: run the WKV state update as the Pallas decode kernel
+    (one HBM round trip of the [B, H, N, N] state per layer) instead of the
+    portable jnp chain, which materializes several f32 copies of it. The
+    decode loop is state-traffic-bound at the flagship shape, so this is
+    the serving configuration on TPU; default False keeps CPU tests and
+    goldens on the portable path.
     """
     cdt = jnp.dtype(cfg.dtype)
     state_dt = jnp.dtype(cfg.state_dtype)
@@ -491,10 +530,11 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             return t.reshape(B, H, N)
 
         # the state stays in its storage dtype through the scan carry —
-        # wkv7_single's f32 math reads it via fused upcasts, so a bf16
-        # state_dtype really halves the dominant decode traffic (the old
-        # pre-scan astype(f32) made the carry f32 regardless)
-        y, wkv = wkv7_single(
+        # both WKV paths read it via fused upcasts / in-kernel casts, so a
+        # bf16 state_dtype really halves the dominant decode traffic (the
+        # old pre-scan astype(f32) made the carry f32 regardless)
+        wkv_fn = wkv7_single_pallas if use_pallas else wkv7_single
+        y, wkv = wkv_fn(
             hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),
             hv(-kk), hv(kk * a), wkv,
         )

@@ -145,8 +145,10 @@ def wkv7(r, w, k, v, a, b, state, use_pallas: bool | None = None):
 def wkv7_single(r, w, k, v, a, b, state):
     """Single-token step (decode): inputs [B, H, N], state [B, H, N, N].
 
-    Kept as pure jnp — at T=1 a kernel launch buys nothing, and XLA fuses
-    this into the surrounding decode step.
+    Pure jnp: the portable path (CPU tests, goldens). On TPU the einsum /
+    elementwise chain materializes several f32 [B, H, N, N] intermediates in
+    HBM per layer — use :func:`wkv7_single_pallas` there (one read + one
+    write of the state per layer, f32 math in VMEM).
     """
     decay = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
     sa = jnp.einsum("bhij,bhj->bhi", state, a,
@@ -159,6 +161,62 @@ def wkv7_single(r, w, k, v, a, b, state):
     y = jnp.einsum("bhij,bhj->bhi", state, r,
                    precision=jax.lax.Precision.HIGHEST)
     return y, state
+
+
+def _wkv7_single_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s_ref,
+                        y_ref, s_out_ref):
+    """One decode step for one batch element. Blocks: seq [1, H, N],
+    state [1, H, N, N]. Everything is elementwise + lane reductions over the
+    key dim j — pure VPU work; the state makes exactly one HBM round trip."""
+    s = s_ref[0].astype(jnp.float32)                    # [H, N, N]
+    r_t = r_ref[0].astype(jnp.float32)                  # [H, N]
+    d_t = jnp.exp(-jnp.exp(w_ref[0].astype(jnp.float32)))
+    k_t = k_ref[0].astype(jnp.float32)
+    v_t = v_ref[0].astype(jnp.float32)
+    a_t = a_ref[0].astype(jnp.float32)
+    b_t = b_ref[0].astype(jnp.float32)
+
+    # sa[h, i] = Σ_j S[h, i, j] · a[h, j]
+    sa = jnp.sum(s * a_t[:, None, :], axis=-1)          # [H, N]
+    s = (s * d_t[:, None, :]
+         + sa[..., None] * b_t[:, None, :]
+         + v_t[..., None] * k_t[:, None, :])
+    y_ref[0] = jnp.sum(s * r_t[:, None, :], axis=-1)
+    s_out_ref[0] = s.astype(s_out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_single_pallas(r, w, k, v, a, b, state, interpret=False):
+    """Pallas decode-step WKV-7; semantics of :func:`wkv7_single`.
+
+    The jnp path costs ~3 extra f32 materializations of the [B, H, N, N]
+    state per layer (sa-einsum read, f32 update write, y-einsum read) — at
+    the flagship shape that is gigabytes of avoidable HBM traffic per decode
+    step. Here the state streams through VMEM once: read in its storage
+    dtype, updated in f32, written back in the storage dtype. Returns
+    (y f32 [B, H, N], new_state [B, H, N, N] in ``state.dtype``).
+    """
+    B, H, N = r.shape
+    f32 = jnp.float32
+
+    seq_spec = pl.BlockSpec((1, H, N), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, H, N, N), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    y, s_out = pl.pallas_call(
+        _wkv7_single_kernel,
+        grid=(B,),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, N), f32),
+            jax.ShapeDtypeStruct((B, H, N, N), state.dtype),
+        ],
+        interpret=interpret,
+    )(r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),
+      a.astype(f32), b.astype(f32), state)
+    return y, s_out
 
 
 # --------------------------------------------------------------------------

@@ -59,8 +59,9 @@ NO_EMIT = -1
 FINISHED = -2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block"))
-def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "use_pallas"))
+def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
+                 use_pallas: bool = False):
     """Advance every active slot up to ``block`` unified steps.
 
     slots: dict of per-slot device arrays (stage, counters, keys, …).
@@ -152,7 +153,8 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int):
 
         new_logits, new_state = rwkv7.step(
             params, feed, state, cfg,
-            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size))
+            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size),
+            use_pallas=use_pallas)
         # idle slots keep their logits/state untouched (cheap: they computed
         # anyway; correctness only needs active slots)
         s2 = dict(s, stage=stage, override=override, n_glob=n_glob,
@@ -434,7 +436,7 @@ class ContinuousEngine:
             if any_live:
                 self.state, self.logits, self.slots, emits = decode_block(
                     self.params, self.state, self.logits, self.slots,
-                    self.cfg, self.block)
+                    self.cfg, self.block, use_pallas=self.inner.use_pallas_step)
                 self._block_seq += 1
                 nxt = (emits, self.slots["stage"], self._block_seq)
             else:

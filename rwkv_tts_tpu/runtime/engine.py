@@ -79,8 +79,9 @@ def _sample_batch(logits, keys, temperature, top_p, top_k):
     return jax.vmap(sample_token)(probs, keys)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
+                 use_pallas: bool = False):
     """Generate exactly 32 global (speaker) tokens.
 
     carry: (state, logits, i); emits raw global ids [B, 32]; each sampled id
@@ -98,7 +99,8 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig):
         tok = _sample_batch(_mask_global(logits), keys,
                             gk["temperature"], gk["top_p"], gk["top_k"])
         logits, state = rwkv7.step(params, tok + C.GLOBAL_TOKEN_OFFSET,
-                                   state, cfg, head_slice=hs)
+                                   state, cfg, head_slice=hs,
+                                   use_pallas=use_pallas)
         return (state, logits), tok
 
     (state, logits), toks = jax.lax.scan(
@@ -108,9 +110,11 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig):
     return jnp.moveaxis(toks, 0, 1), state, logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "zero_shot"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "zero_shot",
+                                             "use_pallas"))
 def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
-                   cfg: RwkvConfig, max_steps: int, zero_shot: bool):
+                   cfg: RwkvConfig, max_steps: int, zero_shot: bool,
+                   use_pallas: bool = False):
     """Generate semantic tokens until per-slot EOS / per-slot limit.
 
     limits:   [B] int32 — per-request cap (min(max_tokens, 2048))
@@ -174,7 +178,8 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         feed = jnp.where(emit, tok, 0)
         logits, state = rwkv7.step(params, feed, state, cfg,
                                    head_slice=min(SEMANTIC_SLICE,
-                                                  cfg.padded_vocab_size))
+                                                  cfg.padded_vocab_size),
+                                   use_pallas=use_pallas)
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
     hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
@@ -218,6 +223,12 @@ class TtsEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # The T=1 decode-step WKV kernel (ops/wkv7.wkv7_single_pallas)
+        # measured ~6% SLOWER than the XLA-fused jnp step in-context on v5e
+        # (tools/profile_decode.py), so it stays opt-in tuning
+        # infrastructure; ``use_pallas`` gates only the chunked-prefill
+        # kernel, which wins decisively.
+        self.use_pallas_step = False
 
     # -- prompt assembly ----------------------------------------------------
 
@@ -323,6 +334,7 @@ class TtsEngine:
             sem, sem_lens, state = semantic_stage(
                 self.params, state, logits, sem_keys, limits, hard_min,
                 cfg, ecfg.max_semantic_tokens, True,
+                use_pallas=self.use_pallas_step,
             )
             sem_np, len_np = np.asarray(sem), np.asarray(sem_lens)
             out = []
@@ -335,20 +347,24 @@ class TtsEngine:
         # normal mode: global stage, then TAG_1, then semantic
         glob_keys = jnp.asarray(np.stack(
             [raw_threefry_key(s + C.GLOBAL_SEED_OFFSET) for s in seeds]))
-        glob, state, logits = global_stage(self.params, state, logits, glob_keys, cfg)
+        glob, state, logits = global_stage(self.params, state, logits,
+                                           glob_keys, cfg,
+                                           use_pallas=self.use_pallas_step)
 
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
         # the next stage samples from the semantic prefix only — skip the
         # full-vocab head matmul on the TAG_1 step as well
         logits, state = rwkv7.step(
             self.params, tag1, state, cfg,
-            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size))
+            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size),
+            use_pallas=self.use_pallas_step)
 
         sem_keys = jnp.asarray(np.stack(
             [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
         sem, sem_lens, state = semantic_stage(
             self.params, state, logits, sem_keys, limits, hard_min,
             cfg, ecfg.max_semantic_tokens, False,
+            use_pallas=self.use_pallas_step,
         )
 
         glob_np, sem_np, len_np = np.asarray(glob), np.asarray(sem), np.asarray(sem_lens)

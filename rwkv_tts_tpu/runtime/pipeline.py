@@ -271,7 +271,8 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     keys = jnp.zeros((B, 2), jnp.uint32)
     limits = jnp.ones((B,), jnp.int32)
     t0 = time.perf_counter()
-    _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg)
+    _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
+                               use_pallas=eng.use_pallas_step)
     lg2.block_until_ready()
     out["global_stage"] = round(time.perf_counter() - t0, 2)
     modes = (False, True) if zero_shot_too else (False,)
@@ -279,7 +280,7 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         t0 = time.perf_counter()
         sem, lens, _ = semantic_stage(
             eng.params, st2, lg2, keys, limits, jnp.zeros((B,), jnp.int32),
-            cfg, ecfg.max_semantic_tokens, zs)
+            cfg, ecfg.max_semantic_tokens, zs, use_pallas=eng.use_pallas_step)
         sem.block_until_ready()
         out[f"semantic_{'zs' if zs else 'normal'}"] = \
             round(time.perf_counter() - t0, 2)

@@ -37,13 +37,68 @@ def raw_threefry_key(seed: int) -> np.ndarray:
     return np.array([0, int(seed) & 0xFFFFFFFF], np.uint32)
 
 
-class Initializer:
-    """Deterministic stream of init arrays, host-side."""
+class DeviceInitializer:
+    """Init-array stream materialized on device — for use INSIDE a single
+    jitted builder program.
+
+    Per-tensor eager ``jax.random.normal`` costs one compile + dispatch per
+    shape through the axon tunnel (the reason Initializer exists), and
+    host-side generation of a flagship-sized pytree costs 10+ minutes of
+    single-core numpy + a multi-GB tunnel transfer. Tracing THIS under one
+    ``jax.jit`` gets both: one compile, zero host↔device traffic, params
+    born on the chip. Keys derive from fold_in on a call counter, so the
+    stream is deterministic in the base key (but distinct from
+    Initializer's numpy stream).
+    """
 
     def __init__(self, key):
+        import jax
+        self._key = key
+        self._n = 0
+
+    def normal(self, shape, scale=1.0, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        self._n += 1
+        k = jax.random.fold_in(self._key, self._n)
+        x = jax.random.normal(k, shape, dtype=jnp.float32) * scale
+        return x if dtype is None else x.astype(dtype)
+
+    @staticmethod
+    def zeros(shape, dtype=np.float32):
+        import jax.numpy as jnp
+        return jnp.zeros(shape, dtype)
+
+    @staticmethod
+    def ones(shape, dtype=np.float32):
+        import jax.numpy as jnp
+        return jnp.ones(shape, dtype)
+
+    @staticmethod
+    def full(shape, value, dtype=np.float32):
+        import jax.numpy as jnp
+        return jnp.full(shape, value, dtype)
+
+
+class Initializer:
+    """Deterministic stream of init arrays, host-side.
+
+    ``fast=True`` generates normals directly in float32 (no float64
+    intermediate) — a different (still deterministic) stream, ~2× faster
+    and half the memory traffic. The build VM has ONE core and a flagship
+    init touches ~2 GB, so benches/profilers opt in; anything with golden
+    fixtures keeps the default stream.
+    """
+
+    def __init__(self, key, fast: bool = False):
         self._rng = np.random.default_rng(key_seed(key))
+        self._fast = fast
 
     def normal(self, shape, scale=1.0, dtype=np.float32):
+        if self._fast:
+            x = self._rng.standard_normal(shape, dtype=np.float32)
+            x *= np.float32(scale)
+            return x if dtype == np.float32 else x.astype(dtype)
         return (self._rng.standard_normal(shape) * scale).astype(dtype)
 
     @staticmethod

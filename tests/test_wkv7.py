@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rwkv_tts_tpu.ops.wkv7 import wkv7_pallas, wkv7_scan, wkv7_single
+from rwkv_tts_tpu.ops.wkv7 import (wkv7_pallas, wkv7_scan, wkv7_single,
+                                   wkv7_single_pallas)
 
 
 def numpy_wkv7(r, w, k, v, a, b, state):
@@ -69,6 +70,30 @@ def test_single_step_matches_scan():
         ys.append(np.array(y_t))
     np.testing.assert_allclose(np.stack(ys, 1), np.array(y_seq), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.array(s), np.array(s_seq), rtol=1e-4, atol=1e-5)
+
+
+def test_single_step_pallas_matches_jnp():
+    """The decode-step Pallas kernel == the portable jnp single step, for
+    f32 and bf16 state storage (the serving configuration)."""
+    r, w, k, v, a, b, s0 = _rand_inputs(T=4, B=3, H=2, seed=7)
+    interp = jax.default_backend() != "tpu"
+    for sdt in (jnp.float32, jnp.bfloat16):
+        s_ref = jnp.asarray(s0).astype(sdt)
+        s_pal = jnp.asarray(s0).astype(sdt)
+        for t in range(4):
+            args = tuple(jnp.asarray(x[:, t]) for x in (r, w, k, v, a, b))
+            y_ref, s_ref = wkv7_single(*args, s_ref)
+            s_ref = s_ref.astype(sdt)
+            y_pal, s_pal = wkv7_single_pallas(*args, s_pal, interpret=interp)
+            assert s_pal.dtype == sdt
+            np.testing.assert_allclose(
+                np.array(y_pal), np.array(y_ref, np.float32),
+                rtol=2e-3 if sdt == jnp.bfloat16 else 1e-5,
+                atol=2e-3 if sdt == jnp.bfloat16 else 1e-5)
+        np.testing.assert_allclose(
+            np.array(s_pal, np.float32), np.array(s_ref, np.float32),
+            rtol=2e-2 if sdt == jnp.bfloat16 else 1e-5,
+            atol=2e-2 if sdt == jnp.bfloat16 else 1e-5)
 
 
 def test_chunked_equals_full():
