@@ -27,6 +27,12 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: first compiles through the axon tunnel cost
+# minutes; cached reruns cost seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,9 +45,10 @@ CFG = RwkvConfig()                      # flagship: 32L × 2048E
 CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
 BC_CFG = BiCodecConfig()                # full-size SparkTTS BiCodec
 PREFILL_LEN = 64            # typical prompt: props + tags + ~50 text tokens
-# T=1 decode-step Pallas WKV kernel: measured ~6% slower in-context than the
-# XLA-fused jnp step on v5e (tools/profile_decode.py) — keep the fast path.
-PALLAS_STEP = False
+# Batch-in-lanes Pallas WKV decode kernel (ops/wkv7.wkv7_single_bt_pallas):
+# 2× the whole decode step in-context on v5e (30.4 → 16.8 ms/step at batch
+# 128, tools/profile_decode.py) — the serving path. CPU keeps the jnp step.
+PALLAS_STEP = jax.default_backend() == "tpu"
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import RwkvConfig
 from ..ops.quant import qmatmul
 from ..ops.wkv7 import (wkv7_scan, wkv7_pallas_packed, wkv7_single,
-                        wkv7_single_pallas)
+                        wkv7_single_bt_pallas)
 
 Params = Dict[str, Any]
 State = Dict[str, jax.Array]
@@ -230,6 +230,18 @@ def _fused_projections(lp, h, xx, cfg, cdt):
     v_res_gate = jax.nn.sigmoid(lp["v0"] + lo[..., 2 * C:3 * C])
     g = lo[..., 3 * C:].astype(cdt)
     return r, k, v, w, a, v_res_gate, g
+
+
+def state_to_bt(state: State) -> State:
+    """Decode-loop layout change: wkv [L, B, H, N, N] → [L, H, N, N, B]
+    (batch in lanes — see ops/wkv7.wkv7_single_bt_pallas). att_x/ffn_x are
+    untouched. Call once at decode-stage entry; invert with
+    :func:`state_from_bt`."""
+    return {**state, "wkv": jnp.moveaxis(state["wkv"], 1, -1)}
+
+
+def state_from_bt(state: State) -> State:
+    return {**state, "wkv": jnp.moveaxis(state["wkv"], -1, 1)}
 
 
 def init_state(cfg: RwkvConfig, batch: int) -> State:
@@ -467,12 +479,15 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     78k-wide head matmul ~9× cuts its weight traffic and shrinks the decode
     loop carry.
 
-    ``use_pallas``: run the WKV state update as the Pallas decode kernel
-    (one HBM round trip of the [B, H, N, N] state per layer) instead of the
-    portable jnp chain, which materializes several f32 copies of it. The
-    decode loop is state-traffic-bound at the flagship shape, so this is
-    the serving configuration on TPU; default False keeps CPU tests and
-    goldens on the portable path.
+    ``use_pallas``: run the WKV state update as the batch-in-lanes Pallas
+    decode kernel (one HBM round trip of the state per layer at ~545 GB/s
+    vs ~130 GB/s for the XLA-fused jnp chain, which materializes several
+    f32 copies). REQUIRES ``state["wkv"]`` in the transposed
+    [L, H, N, N, B] layout — wrap the decode loop with
+    :func:`state_to_bt` / :func:`state_from_bt` (the engine stages do).
+    The decode loop is state-traffic-bound at the flagship shape, so this
+    is the serving configuration on TPU; default False keeps CPU tests
+    and goldens on the portable [L, B, H, N, N] path.
     """
     cdt = jnp.dtype(cfg.dtype)
     state_dt = jnp.dtype(cfg.state_dtype)
@@ -533,13 +548,24 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         # both WKV paths read it via fused upcasts / in-kernel casts, so a
         # bf16 state_dtype really halves the dominant decode traffic (the
         # old pre-scan astype(f32) made the carry f32 regardless)
-        wkv_fn = wkv7_single_pallas if use_pallas else wkv7_single
-        y, wkv = wkv_fn(
-            hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),
-            hv(-kk), hv(kk * a), wkv,
-        )
-        wkv = wkv.astype(state_dt)
-        y = y.reshape(B, C)
+        if use_pallas:
+            # batch-in-lanes kernel: wkv arrives as [H, N, N, B]; only the
+            # six small [B, H, N] seq inputs transpose per step
+            def bt(t):
+                return jnp.transpose(t.reshape(B, H, N), (1, 2, 0))
+            y, wkv = wkv7_single_bt_pallas(
+                bt(r.astype(jnp.float32)), bt(w), bt(k_in), bt(v),
+                bt(-kk), bt(kk * a), wkv,
+            )
+            wkv = wkv.astype(state_dt)
+            y = jnp.transpose(y, (2, 0, 1)).reshape(B, C)
+        else:
+            y, wkv = wkv7_single(
+                hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),
+                hv(-kk), hv(kk * a), wkv,
+            )
+            wkv = wkv.astype(state_dt)
+            y = y.reshape(B, C)
         y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
         rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None]).sum(
             axis=-1, keepdims=True

@@ -165,24 +165,33 @@ def wkv7_single(r, w, k, v, a, b, state):
 
 def _wkv7_single_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s_ref,
                         y_ref, s_out_ref):
-    """One decode step for one batch element. Blocks: seq [1, H, N],
-    state [1, H, N, N]. Everything is elementwise + lane reductions over the
-    key dim j — pure VPU work; the state makes exactly one HBM round trip."""
-    s = s_ref[0].astype(jnp.float32)                    # [H, N, N]
-    r_t = r_ref[0].astype(jnp.float32)                  # [H, N]
-    d_t = jnp.exp(-jnp.exp(w_ref[0].astype(jnp.float32)))
-    k_t = k_ref[0].astype(jnp.float32)
-    v_t = v_ref[0].astype(jnp.float32)
-    a_t = a_ref[0].astype(jnp.float32)
-    b_t = b_ref[0].astype(jnp.float32)
+    """One decode step for a G-element batch block. Blocks: seq [G, H, N],
+    state [G, H, N, N]. Everything is elementwise + lane reductions over the
+    key dim j — pure VPU work; the state makes exactly one HBM round trip.
+    The per-g inner loop keeps live f32 temporaries at [H, N, N] size so the
+    VMEM footprint stays flat as G grows (bigger blocks = fewer grid steps =
+    less per-step DMA/semaphore overhead, which dominated the G=1 version)."""
+    G = r_ref.shape[0]
 
-    # sa[h, i] = Σ_j S[h, i, j] · a[h, j]
-    sa = jnp.sum(s * a_t[:, None, :], axis=-1)          # [H, N]
-    s = (s * d_t[:, None, :]
-         + sa[..., None] * b_t[:, None, :]
-         + v_t[..., None] * k_t[:, None, :])
-    y_ref[0] = jnp.sum(s * r_t[:, None, :], axis=-1)
-    s_out_ref[0] = s.astype(s_out_ref.dtype)
+    def body(g, _):
+        s = s_ref[g].astype(jnp.float32)                    # [H, N, N]
+        r_t = r_ref[g].astype(jnp.float32)                  # [H, N]
+        d_t = jnp.exp(-jnp.exp(w_ref[g].astype(jnp.float32)))
+        k_t = k_ref[g].astype(jnp.float32)
+        v_t = v_ref[g].astype(jnp.float32)
+        a_t = a_ref[g].astype(jnp.float32)
+        b_t = b_ref[g].astype(jnp.float32)
+
+        # sa[h, i] = Σ_j S[h, i, j] · a[h, j]
+        sa = jnp.sum(s * a_t[:, None, :], axis=-1)          # [H, N]
+        s = (s * d_t[:, None, :]
+             + sa[..., None] * b_t[:, None, :]
+             + v_t[..., None] * k_t[:, None, :])
+        y_ref[g] = jnp.sum(s * r_t[:, None, :], axis=-1)
+        s_out_ref[g] = s.astype(s_out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, G, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -190,28 +199,136 @@ def wkv7_single_pallas(r, w, k, v, a, b, state, interpret=False):
     """Pallas decode-step WKV-7; semantics of :func:`wkv7_single`.
 
     The jnp path costs ~3 extra f32 materializations of the [B, H, N, N]
-    state per layer (sa-einsum read, f32 update write, y-einsum read) — at
-    the flagship shape that is gigabytes of avoidable HBM traffic per decode
-    step. Here the state streams through VMEM once: read in its storage
-    dtype, updated in f32, written back in the storage dtype. Returns
-    (y f32 [B, H, N], new_state [B, H, N, N] in ``state.dtype``).
+    state per layer (sa-einsum read, f32 update write, y-einsum read) plus
+    TPU-hostile batched matvecs — measured 24.7 of a 29.6 ms decode step at
+    the flagship shape/batch 128 (tools/profile_decode.py), ~10× over the
+    state's HBM roofline. Here the state streams through VMEM once: read in
+    its storage dtype, updated in f32, written back in the storage dtype.
+    Returns (y f32 [B, H, N], new_state [B, H, N, N] in ``state.dtype``).
     """
     B, H, N = r.shape
     f32 = jnp.float32
+    # largest block that divides B, bounded by a ~2 MB bf16 state block:
+    # in+out state blocks are double-buffered (4 copies resident) and the
+    # f32 loop temporaries add ~1 MB, so 2 MB/block keeps the scoped VMEM
+    # footprint ≈9 MB < the 16 MB limit (G=16 at flagship shape OOMs at
+    # 17.4 MB — measured).
+    cap = max(1, (1 << 20) // (H * N * N))
+    G = 1
+    for g in (16, 8, 4, 2):
+        if g <= cap and B % g == 0:
+            G = g
+            break
 
-    seq_spec = pl.BlockSpec((1, H, N), lambda i: (i, 0, 0),
+    seq_spec = pl.BlockSpec((G, H, N), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec((1, H, N, N), lambda i: (i, 0, 0, 0),
+    state_spec = pl.BlockSpec((G, H, N, N), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
 
     y, s_out = pl.pallas_call(
         _wkv7_single_kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[seq_spec] * 6 + [state_spec],
         out_specs=[seq_spec, state_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, N), f32),
             jax.ShapeDtypeStruct((B, H, N, N), state.dtype),
+        ],
+        interpret=interpret,
+    )(r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),
+      a.astype(f32), b.astype(f32), state)
+    return y, s_out
+
+
+# --------------------------------------------------------------------------
+# Batch-in-lanes ("bt") decode-step kernel. The [B, H, N, N] layouts above
+# put the N=64 key dim in lanes — half the 128-lane VPU idles and the j-
+# reductions are cross-lane shuffles; measured ceiling ~175 GB/s of state
+# traffic. Putting BATCH in lanes instead (state [H, N, N, B], seq
+# [H, N, B]) makes every op a full-width elementwise broadcast and turns
+# the j-reductions into strided adds over a non-lane axis: measured
+# 545 GB/s (~4.1× the jnp chain) at the flagship decode shape. The engine
+# carries the decode-loop state in this layout and transposes once per
+# stage (runtime/engine.py), so the per-step transposes are only the six
+# small [B, H, N] seq inputs.
+# --------------------------------------------------------------------------
+
+def wkv7_single_bt(r, w, k, v, a, b, state):
+    """Single decode step in batch-in-lanes layout (jnp oracle).
+
+    r, w, k, v, a, b: [H, N, B]; state: [H, N_i, N_j, B].
+    Returns (y f32 [H, N, B], new_state [H, N, N, B] f32).
+    Semantics identical to :func:`wkv7_single` transposed.
+    """
+    f32 = jnp.float32
+    s = state.astype(f32)
+    d = jnp.exp(-jnp.exp(w.astype(f32)))
+    af, bf, kf, vf, rf = (x.astype(f32) for x in (a, b, k, v, r))
+    sa = jnp.sum(s * af[:, None, :, :], axis=2)              # [H, N, B]
+    s = (s * d[:, None, :, :] + sa[:, :, None, :] * bf[:, None, :, :]
+         + vf[:, :, None, :] * kf[:, None, :, :])
+    y = jnp.sum(s * rf[:, None, :, :], axis=2)
+    return y, s
+
+
+def _wkv7_single_bt_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s_ref,
+                           y_ref, s_out_ref):
+    """Blocks: seq [Hb, N, B], state [Hb, N, N, B]; lanes = B. The inner
+    per-head loop keeps live f32 temporaries at [N, N, B] so VMEM stays flat
+    as the head block grows."""
+    Hb = s_ref.shape[0]
+
+    def body(h, _):
+        s = s_ref[h].astype(jnp.float32)                     # [N, N, B]
+        d = jnp.exp(-jnp.exp(w_ref[h]))
+        a = a_ref[h]; b = b_ref[h]; k = k_ref[h]
+        v = v_ref[h]; r = r_ref[h]
+        sa = jnp.sum(s * a[None, :, :], axis=1)              # [N, B]
+        s = (s * d[None, :, :] + sa[:, None, :] * b[None, :, :]
+             + v[:, None, :] * k[None, :, :])
+        y_ref[h] = jnp.sum(s * r[None, :, :], axis=1)
+        s_out_ref[h] = s.astype(s_out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, Hb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
+    """Pallas batch-in-lanes decode step; semantics of
+    :func:`wkv7_single_bt`. Returns (y f32 [H, N, B],
+    new_state [H, N, N, B] in ``state.dtype``).
+
+    At B=128 the state streams at ~545 GB/s (66% of v5e HBM roofline) vs
+    ~175 GB/s for the best [B, H, N, N]-layout kernel and ~130 GB/s for the
+    XLA-fused jnp chain — the layout puts batch in lanes so the VPU runs
+    full-width (see module comment above).
+    """
+    H, N, B = r.shape
+    f32 = jnp.float32
+    # 2 MB state blocks: in+out double-buffered (4 resident) + one f32
+    # [N, N, B] loop temporary keeps scoped VMEM ≈ 8 + 2 MB < 16 MB.
+    elem = jnp.dtype(state.dtype).itemsize
+    cap = max(1, (1 << 21) // (N * N * B * elem))
+    Hb = 1
+    for h in (8, 4, 2):
+        if h <= cap and H % h == 0:
+            Hb = h
+            break
+
+    seq_spec = pl.BlockSpec((Hb, N, B), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Hb, N, N, B), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    y, s_out = pl.pallas_call(
+        _wkv7_single_bt_kernel,
+        grid=(H // Hb,),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), state.dtype),
         ],
         interpret=interpret,
     )(r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),

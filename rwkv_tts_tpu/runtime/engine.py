@@ -103,10 +103,14 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
                                    use_pallas=use_pallas)
         return (state, logits), tok
 
+    if use_pallas:
+        state = rwkv7.state_to_bt(state)
     (state, logits), toks = jax.lax.scan(
         body, (state, first_logits[..., :hs]),
         jnp.arange(C.GLOBAL_TOKENS_SIZE)
     )
+    if use_pallas:
+        state = rwkv7.state_from_bt(state)
     return jnp.moveaxis(toks, 0, 1), state, logits
 
 
@@ -183,9 +187,13 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
     hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+    if use_pallas:
+        state = rwkv7.state_to_bt(state)
     carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
+    if use_pallas:
+        state = rwkv7.state_from_bt(state)
     return buf, lens, state
 
 
@@ -223,12 +231,13 @@ class TtsEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        # The T=1 decode-step WKV kernel (ops/wkv7.wkv7_single_pallas)
-        # measured ~6% SLOWER than the XLA-fused jnp step in-context on v5e
-        # (tools/profile_decode.py), so it stays opt-in tuning
-        # infrastructure; ``use_pallas`` gates only the chunked-prefill
-        # kernel, which wins decisively.
-        self.use_pallas_step = False
+        # Decode loop runs the batch-in-lanes Pallas WKV kernel
+        # (ops/wkv7.wkv7_single_bt_pallas): measured 4.1× the XLA-fused jnp
+        # state update at the flagship decode shape (the earlier
+        # [B, H, N, N]-layout kernel was ~6% SLOWER in-context — layout,
+        # not Pallas, was the problem). Stage programs transpose the state
+        # once at entry/exit (state_to_bt / state_from_bt).
+        self.use_pallas_step = use_pallas
 
     # -- prompt assembly ----------------------------------------------------
 
@@ -353,11 +362,13 @@ class TtsEngine:
 
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
         # the next stage samples from the semantic prefix only — skip the
-        # full-vocab head matmul on the TAG_1 step as well
+        # full-vocab head matmul on the TAG_1 step as well. jnp WKV path:
+        # a lone step isn't worth the state layout round trip the bt
+        # kernel requires.
         logits, state = rwkv7.step(
             self.params, tag1, state, cfg,
             head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size),
-            use_pallas=self.use_pallas_step)
+            use_pallas=False)
 
         sem_keys = jnp.asarray(np.stack(
             [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))

@@ -465,6 +465,18 @@ def build_pipeline_from_args(args) -> TtsPipeline:
 
 
 def main(argv=None):
+    # persistent compile cache: first compiles of the engine programs
+    # through the axon tunnel cost minutes; server restarts hit the cache
+    import jax as _jax
+    import os as _os
+    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                _os.path.expanduser("~/.cache/jax"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:           # pragma: no cover - older jax without knobs
+        pass
+
     p = argparse.ArgumentParser("rwkvtts_server (TPU)")
     p.add_argument("--port", type=int, default=3000)
     p.add_argument("--host", default="0.0.0.0")

@@ -96,6 +96,83 @@ def test_single_step_pallas_matches_jnp():
             atol=2e-2 if sdt == jnp.bfloat16 else 1e-5)
 
 
+def test_single_step_bt_matches_jnp():
+    """Batch-in-lanes decode kernel (serving layout: seq [H, N, B], state
+    [H, N, N, B]) == the portable jnp single step, f32 and bf16 state."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_single_bt, wkv7_single_bt_pallas
+
+    r, w, k, v, a, b, s0 = _rand_inputs(T=4, B=3, H=4, seed=11)
+    interp = jax.default_backend() != "tpu"
+
+    def to_bt(x):        # [B, H, N] -> [H, N, B]
+        return jnp.transpose(jnp.asarray(x), (1, 2, 0))
+
+    for sdt in (jnp.float32, jnp.bfloat16):
+        s_ref = jnp.asarray(s0).astype(sdt)                    # [B, H, N, N]
+        s_bt = jnp.moveaxis(jnp.asarray(s0), 0, -1).astype(sdt)
+        for t in range(4):
+            args = tuple(jnp.asarray(x[:, t]) for x in (r, w, k, v, a, b))
+            bt_args = tuple(to_bt(x) for x in args)
+            y_ref, s_ref = wkv7_single(*args, s_ref)
+            s_ref = s_ref.astype(sdt)
+            # jnp oracle in bt layout
+            y_o, s_o = wkv7_single_bt(*bt_args, s_bt)
+            # pallas kernel
+            y_p, s_bt = wkv7_single_bt_pallas(*bt_args, s_bt, interpret=interp)
+            assert s_bt.dtype == sdt
+            tol = 2e-3 if sdt == jnp.bfloat16 else 1e-5
+            y_ref_bt = np.transpose(np.array(y_ref, np.float32), (1, 2, 0))
+            np.testing.assert_allclose(np.array(y_o), y_ref_bt,
+                                       rtol=tol, atol=tol)
+            np.testing.assert_allclose(np.array(y_p), y_ref_bt,
+                                       rtol=tol, atol=tol)
+        tol = 2e-2 if sdt == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(
+            np.moveaxis(np.array(s_bt, np.float32), -1, 0),
+            np.array(s_ref, np.float32), rtol=tol, atol=tol)
+
+
+def test_step_bt_layout_matches_portable():
+    """models/rwkv7.step with use_pallas=True (bt state layout) produces the
+    same logits/state as the portable path, via interpret-mode Pallas."""
+    import dataclasses as _dc
+
+    from rwkv_tts_tpu.config import RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7 as m
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("interpret-mode patching is for CPU CI; TPU runs real kernel")
+
+    cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=512,
+                     ffn_mult=2)
+    cfg = _dc.replace(cfg, state_dtype="float32")
+    params = m.init_params(cfg, jax.random.PRNGKey(0))
+    B = 2
+    state = m.init_state(cfg, B)
+    tok = jnp.asarray(np.arange(B), jnp.int32)
+
+    import rwkv_tts_tpu.ops.wkv7 as wkv7mod
+    orig = wkv7mod.wkv7_single_bt_pallas
+    # route the kernel through its jnp oracle so the layout plumbing (the
+    # thing under test) runs without a TPU
+    try:
+        wkv7mod.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
+        m.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
+        logits_p, st_p = m.step(params, tok, m.state_to_bt(state), cfg,
+                                use_pallas=True)
+        st_p = m.state_from_bt(st_p)
+    finally:
+        wkv7mod.wkv7_single_bt_pallas = orig
+        m.wkv7_single_bt_pallas = orig
+    logits_r, st_r = m.step(params, tok, state, cfg, use_pallas=False)
+    np.testing.assert_allclose(np.array(logits_p), np.array(logits_r),
+                               rtol=1e-4, atol=1e-4)
+    for k_ in ("att_x", "ffn_x", "wkv"):
+        np.testing.assert_allclose(
+            np.array(st_p[k_], np.float32), np.array(st_r[k_], np.float32),
+            rtol=1e-4, atol=1e-4, err_msg=k_)
+
+
 def test_chunked_equals_full():
     """Scanning two chunks with carried state == one full pass (the chunked
     prefill contract, token_chunk_size analog)."""

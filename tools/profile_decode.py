@@ -18,6 +18,10 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +92,8 @@ def main():
     def make_raw(use_pallas):
         @jax.jit
         def raw_scan(qp, state):
+            if use_pallas:
+                state = rwkv7.state_to_bt(state)
             def body(st, _):
                 logits, st = rwkv7.step(qp,
                                         jnp.zeros((batch,), jnp.int32),
