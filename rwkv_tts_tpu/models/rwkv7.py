@@ -232,6 +232,21 @@ def _fused_projections(lp, h, xx, cfg, cdt):
     return r, k, v, w, a, v_res_gate, g
 
 
+# The bt kernel pads the batch-lane dim to 128, so its cost is flat in B
+# below that: measured ~4.26 ms per 32-layer WKV step for any B ≤ 128 vs
+# the jnp chain's 1.07 (B=8) / 2.93 (B=32) / 5.15 (B=64) / 16.2 (B=128).
+# Crossover ≈ 48; dispatch on the (static) batch at trace time.
+BT_MIN_BATCH = 64
+
+
+def wkv_bt_active(use_pallas: bool, batch: int) -> bool:
+    """True iff the decode step will run the batch-in-lanes Pallas kernel
+    (and therefore expects/returns state['wkv'] in the [L, H, N, N, B]
+    layout). Stages and profilers must use this same predicate to decide
+    whether to wrap with state_to_bt/state_from_bt."""
+    return use_pallas and batch >= BT_MIN_BATCH
+
+
 def state_to_bt(state: State) -> State:
     """Decode-loop layout change: wkv [L, B, H, N, N] → [L, H, N, N, B]
     (batch in lanes — see ops/wkv7.wkv7_single_bt_pallas). att_x/ffn_x are
@@ -482,12 +497,15 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     ``use_pallas``: run the WKV state update as the batch-in-lanes Pallas
     decode kernel (one HBM round trip of the state per layer at ~545 GB/s
     vs ~130 GB/s for the XLA-fused jnp chain, which materializes several
-    f32 copies). REQUIRES ``state["wkv"]`` in the transposed
-    [L, H, N, N, B] layout — wrap the decode loop with
-    :func:`state_to_bt` / :func:`state_from_bt` (the engine stages do).
-    The decode loop is state-traffic-bound at the flagship shape, so this
-    is the serving configuration on TPU; default False keeps CPU tests
-    and goldens on the portable [L, B, H, N, N] path.
+    f32 copies) — but only when B ≥ :data:`BT_MIN_BATCH` (the kernel pads
+    batch lanes to 128, so small batches fall back to the jnp chain,
+    which is faster there). When :func:`wkv_bt_active` is True, REQUIRES
+    ``state["wkv"]`` in the transposed [L, H, N, N, B] layout — wrap the
+    decode loop with :func:`state_to_bt` / :func:`state_from_bt` using
+    the same predicate (the engine stages do). The decode loop is
+    state-traffic-bound at the flagship shape, so this is the serving
+    configuration on TPU; default False keeps CPU tests and goldens on
+    the portable [L, B, H, N, N] path.
     """
     cdt = jnp.dtype(cfg.dtype)
     state_dt = jnp.dtype(cfg.state_dtype)
@@ -548,7 +566,7 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         # both WKV paths read it via fused upcasts / in-kernel casts, so a
         # bf16 state_dtype really halves the dominant decode traffic (the
         # old pre-scan astype(f32) made the carry f32 regardless)
-        if use_pallas:
+        if wkv_bt_active(use_pallas, B):
             # batch-in-lanes kernel: wkv arrives as [H, N, N, B]; only the
             # six small [B, H, N] seq inputs transpose per step
             def bt(t):

@@ -161,13 +161,14 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
                   n_step=n_step, win=win, nwin=nwin)
         return (new_state, new_logits, s2), emit
 
-    if use_pallas:
+    bt = rwkv7.wkv_bt_active(use_pallas, logits.shape[0])
+    if bt:
         # batch-in-lanes WKV kernel layout; two [L,B,H,N,N] transposes per
         # K-step block (~3% of the block's state traffic at K=32)
         state = rwkv7.state_to_bt(state)
     (state, logits, slots), emits = jax.lax.scan(
         step, (state, logits, slots), None, length=block)
-    if use_pallas:
+    if bt:
         state = rwkv7.state_from_bt(state)
     return state, logits, slots, emits
 

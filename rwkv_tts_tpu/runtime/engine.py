@@ -103,13 +103,14 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
                                    use_pallas=use_pallas)
         return (state, logits), tok
 
-    if use_pallas:
+    bt = rwkv7.wkv_bt_active(use_pallas, first_logits.shape[0])
+    if bt:
         state = rwkv7.state_to_bt(state)
     (state, logits), toks = jax.lax.scan(
         body, (state, first_logits[..., :hs]),
         jnp.arange(C.GLOBAL_TOKENS_SIZE)
     )
-    if use_pallas:
+    if bt:
         state = rwkv7.state_from_bt(state)
     return jnp.moveaxis(toks, 0, 1), state, logits
 
@@ -187,12 +188,13 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
     hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
-    if use_pallas:
+    bt = rwkv7.wkv_bt_active(use_pallas, B)
+    if bt:
         state = rwkv7.state_to_bt(state)
     carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
-    if use_pallas:
+    if bt:
         state = rwkv7.state_from_bt(state)
     return buf, lens, state
 

@@ -153,17 +153,21 @@ def test_step_bt_layout_matches_portable():
 
     import rwkv_tts_tpu.ops.wkv7 as wkv7mod
     orig = wkv7mod.wkv7_single_bt_pallas
+    orig_thresh = m.BT_MIN_BATCH
     # route the kernel through its jnp oracle so the layout plumbing (the
-    # thing under test) runs without a TPU
+    # thing under test) runs without a TPU; drop the batch threshold so
+    # the tiny test batch takes the bt path
     try:
         wkv7mod.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
         m.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
+        m.BT_MIN_BATCH = 0
         logits_p, st_p = m.step(params, tok, m.state_to_bt(state), cfg,
                                 use_pallas=True)
         st_p = m.state_from_bt(st_p)
     finally:
         wkv7mod.wkv7_single_bt_pallas = orig
         m.wkv7_single_bt_pallas = orig
+        m.BT_MIN_BATCH = orig_thresh
     logits_r, st_r = m.step(params, tok, state, cfg, use_pallas=False)
     np.testing.assert_allclose(np.array(logits_p), np.array(logits_r),
                                rtol=1e-4, atol=1e-4)

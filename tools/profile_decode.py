@@ -92,7 +92,7 @@ def main():
     def make_raw(use_pallas):
         @jax.jit
         def raw_scan(qp, state):
-            if use_pallas:
+            if rwkv7.wkv_bt_active(use_pallas, batch):
                 state = rwkv7.state_to_bt(state)
             def body(st, _):
                 logits, st = rwkv7.step(qp,
