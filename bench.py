@@ -43,7 +43,9 @@ from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
 
 CFG = RwkvConfig()                      # flagship: 32L × 2048E
 CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
-BC_CFG = BiCodecConfig()                # full-size SparkTTS BiCodec
+# full-size SparkTTS BiCodec, f32 (bf16 convs measured no faster on v5e —
+# docs/PERF.md)
+BC_CFG = BiCodecConfig()
 PREFILL_LEN = 64            # typical prompt: props + tags + ~50 text tokens
 # Batch-in-lanes Pallas WKV decode kernel (ops/wkv7.wkv7_single_bt_pallas):
 # 2× the whole decode step in-context on v5e (30.4 → 16.8 ms/step at batch

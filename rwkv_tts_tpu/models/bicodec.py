@@ -66,61 +66,76 @@ Params = Dict[str, Any]
 # --------------------------------------------------------------------------
 
 def _ln(x, w, b, eps=1e-6):
-    mu = x.mean(-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+    """LayerNorm; statistics in f32 regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _ada_ln(p, x, cond, eps=1e-6):
     """AdaLayerNorm: scale/shift regressed from the condition vector.
-    x [B, T, D], cond [B, C]."""
-    scale = cond @ p["scale_w"] + p["scale_b"]        # [B, D]
-    shift = cond @ p["shift_w"] + p["shift_b"]
-    mu = x.mean(-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    xn = (x - mu) * jax.lax.rsqrt(var + eps)
-    return xn * scale[:, None, :] + shift[:, None, :]
+    x [B, T, D], cond [B, C]. Statistics in f32."""
+    f32 = jnp.float32
+    cf = cond.astype(f32)
+    scale = cf @ p["scale_w"].astype(f32) + p["scale_b"].astype(f32)
+    shift = cf @ p["shift_w"].astype(f32) + p["shift_b"].astype(f32)
+    xf = x.astype(f32)
+    mu = xf.mean(-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * scale[:, None, :] + shift[:, None, :]).astype(x.dtype)
 
 
 def _rms_norm(x, g, eps=1e-8):
+    xf = x.astype(jnp.float32)
     scale = x.shape[-1] ** 0.5
-    n = x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
-    return n * scale * g
+    n = xf * jax.lax.rsqrt(jnp.sum(xf * xf, -1, keepdims=True) + eps)
+    return (n * scale * g.astype(jnp.float32)).astype(x.dtype)
 
 
 def _conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding=0):
-    """x [B, C, T], w [O, I/groups, K], symmetric int padding."""
+    """x [B, C, T], w [O, I/groups, K], symmetric int padding. Accumulates
+    in f32 (MXU native) and returns ``x.dtype`` — under the bf16 compute
+    policy the convs run at the 4× bf16 MXU rate with f32 accumulation."""
     out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,),
+        x, w.astype(x.dtype), window_strides=(stride,),
         padding=[(padding, padding)] if isinstance(padding, int) else padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=groups,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b[None, :, None]
-    return out
+        out = out + b.astype(jnp.float32)[None, :, None]
+    return out.astype(x.dtype)
 
 
 def _tconv1d(x, w, b=None, stride=1, padding=0):
     """ConvTranspose1d, torch weight layout [I, O, K], symmetric padding.
-    With k, s, p = (k−s)//2 and (k−s) even this is an exact ×s upsample."""
+    With k, s, p = (k−s)//2 and (k−s) even this is an exact ×s upsample.
+    f32 accumulation; returns ``x.dtype`` (see :func:`_conv1d`)."""
     k = w.shape[-1]
     wf = jnp.swapaxes(jnp.flip(w, -1), 0, 1)          # [O, I, K]
     lo = k - 1 - padding
     out = jax.lax.conv_general_dilated(
-        x, wf, window_strides=(1,), padding=[(lo, lo)],
+        x, wf.astype(x.dtype), window_strides=(1,), padding=[(lo, lo)],
         lhs_dilation=(stride,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b[None, :, None]
-    return out
+        out = out + b.astype(jnp.float32)[None, :, None]
+    return out.astype(x.dtype)
 
 
 def _snake(x, alpha):
-    """Snake activation (DAC): x + sin²(αx)/α, α per channel [C]."""
-    a = alpha[None, :, None]
-    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
+    """Snake activation (DAC): x + sin²(αx)/α, α per channel [C].
+    Computed in f32 (sin argument precision matters)."""
+    a = alpha.astype(jnp.float32)[None, :, None]
+    xf = x.astype(jnp.float32)
+    return (xf + jnp.sin(a * xf) ** 2 / (a + 1e-9)).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -435,7 +450,7 @@ def wave_generator(p, x, cfg: BiCodecConfig):
             h = _residual_unit(ru, h, d)
     h = _snake(h, p["alpha_out"])
     h = _conv1d(h, p["out_w"], p["out_b"], padding=p["out_w"].shape[-1] // 2)
-    return jnp.tanh(h[:, 0, :])
+    return jnp.tanh(h[:, 0, :].astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------
@@ -456,11 +471,22 @@ def encode(params: Params, feat: jax.Array, mel: jax.Array,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
            cfg: BiCodecConfig) -> jax.Array:
-    """global [B, 32] + semantic [B, S] → wav [B, S·320].
+    """global [B, 32] + semantic [B, S] → wav [B, S·320] f32.
     Parity: BiCodecDetokenize.onnx (ref_audio_utilities.rs:1259-1297):
-    prenet(z_q, d) + d, then the wave generator."""
-    zq = fvq_detokenize(params["quantizer"], semantic_tokens)
-    d = speaker_detokenize(params["speaker"], global_tokens, cfg)
+    prenet(z_q, d) + d, then the wave generator.
+
+    ``cfg.dtype`` is the compute policy: with "bfloat16" the conv/matmul
+    FLOPs (the DAC wave generator is compute-bound: ~4.5 TFLOP per
+    8×512-token call, 141 of 147 ms at f32 on v5e) run at the 4× bf16 MXU
+    rate with f32 accumulation; norms, snake and the output tanh stay in
+    f32. Default "float32" keeps CPU tests and torch-parity exact.
+    """
+    cdt = jnp.dtype(cfg.dtype)
+    if cdt != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params)
+    zq = fvq_detokenize(params["quantizer"], semantic_tokens).astype(cdt)
+    d = speaker_detokenize(params["speaker"], global_tokens, cfg).astype(cdt)
     x = prenet_forward(params["prenet"], zq, d, cfg)
     x = x + d[:, :, None]
     return wave_generator(params["wavegen"], x, cfg)

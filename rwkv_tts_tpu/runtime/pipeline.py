@@ -109,6 +109,13 @@ class TtsPipeline:
         bc_params, bc_cfg, w2v_params, w2v_cfg, w2v_layers = load_codecs(
             codec_dir, allow_random=allow_random_codec)
         kw.setdefault("w2v_output_layers", w2v_layers)
+        # ``codec_dtype`` selects the BiCodec compute policy (see
+        # models/bicodec.decode). Default stays f32: bf16 convs measured
+        # no faster on v5e (XLA's 1-D conv lowering doesn't exploit the
+        # bf16 MXU rate here — docs/PERF.md "measured and rejected").
+        codec_dtype = kw.pop("codec_dtype", None)
+        if codec_dtype is not None:
+            bc_cfg = dataclasses.replace(bc_cfg, dtype=codec_dtype)
         return cls(lm_params, lm_cfg, bc_params, bc_cfg, w2v_params, w2v_cfg,
                    voice_store=VoiceStore(raf_dir), **kw)
 

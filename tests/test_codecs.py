@@ -79,6 +79,36 @@ def test_bicodec_decode_contract(bc_params):
     assert np.max(np.abs(w)) <= 1.0
 
 
+def test_bicodec_decode_bf16_close_to_f32(bc_params):
+    """The serving compute policy (cfg.dtype='bfloat16': bf16 convs/matmuls,
+    f32 accumulation + norms + snake + tanh) must track the f32 reference
+    closely — the waveform lives in (−1, 1), so absolute error is the
+    audible metric."""
+    import dataclasses
+    S = 64
+    # unscaled random init saturates the output tanh (pre-activation ≫ 1),
+    # where any rounding flips the rail — not the operating regime of real
+    # weights. Halving the weights keeps the decoder linear so the bf16
+    # error is actually measurable.
+    params = jax.tree_util.tree_map(
+        lambda a: (a * 0.5).astype(a.dtype)
+        if a.dtype == jnp.float32 else a, bc_params)
+    g = jax.random.randint(jax.random.PRNGKey(6), (2, 32), 0, 4096)
+    s = jax.random.randint(jax.random.PRNGKey(7), (2, S), 0, 128)
+    w32 = np.asarray(bicodec.decode(params, g, s, BC_CFG))
+    cfg16 = dataclasses.replace(BC_CFG, dtype="bfloat16")
+    w16 = np.asarray(bicodec.decode(params, g, s, cfg16))
+    assert w16.dtype == np.float32
+    assert np.all(np.isfinite(w16))
+    ref = np.max(np.abs(w32))
+    err = np.max(np.abs(w16 - w32))
+    assert err < 0.05 * ref, (
+        f"bf16 vocoder diverged from f32: max err {err} vs signal {ref}")
+    # waveforms must be strongly correlated, not merely bounded-close
+    c = np.corrcoef(w16.ravel(), w32.ravel())[0, 1]
+    assert c > 0.999, f"bf16/f32 waveform correlation {c}"
+
+
 def test_detokenize_wrapper_pads_and_trims(bc_params):
     g = list(range(32))
     s = list(range(50))         # not a multiple of the bucket
