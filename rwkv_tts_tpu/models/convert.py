@@ -43,7 +43,18 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Load all tensors from a .safetensors file as float32 numpy arrays."""
     with open(path, "rb") as f:
         (hlen,) = struct.unpack("<Q", f.read(8))
-        header = json.loads(f.read(hlen))
+        try:
+            header = json.loads(f.read(hlen))
+        except (ValueError, UnicodeDecodeError) as e:
+            # web-rwkv "prefab" checkpoints (CBOR, shared_runtime.rs:85-138)
+            # and other non-safetensors files land here — fail with a
+            # pointer instead of a cryptic JSON error
+            raise ValueError(
+                f"{path} is not a safetensors file"
+                + (" (web-rwkv .prefab CBOR checkpoints are not supported; "
+                   "export/convert to webrwkv.safetensors)"
+                   if path.endswith(".prefab") else "")
+            ) from e
         blob = f.read()
     out = {}
     for name, info in header.items():
