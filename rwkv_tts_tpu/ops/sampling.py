@@ -184,3 +184,45 @@ def sample_with_strategy(logits: jax.Array, key: jax.Array,
             int(strategy.top_k) if strategy.top_k is not None else 0,
         )
     raise ValueError(f"unknown sampling strategy: {kind}")
+
+
+# --------------------------------------------------------------------------
+# Voice-fidelity / layered-randomness parameter shaping (off the live path,
+# as in the reference)
+# --------------------------------------------------------------------------
+
+@_dataclasses.dataclass(frozen=True)
+class LayeredRandomnessConfig:
+    """Per-stage randomness controls (rwkv_sampler.rs:252-277).
+
+    Only the seed offsets act on the reference's live path (its stage loops
+    pin temperature/top_p/top_k to fixed values and never call the fidelity
+    adjustment — normal_mode_inference.rs:113-133 "简化采样"); the engine
+    here applies the same offsets via constants.GLOBAL_SEED_OFFSET /
+    SEMANTIC_SEED_OFFSET. The strength fields feed
+    :func:`apply_voice_fidelity_adjustment` for callers that opt in.
+    """
+
+    global_randomness: float = 0.1
+    semantic_randomness: float = 0.4
+    use_independent_seeds: bool = True
+    global_seed_offset: int = 1000
+    semantic_seed_offset: int = 2000
+
+
+def apply_voice_fidelity_adjustment(temperature: float, top_p: float,
+                                    top_k: int, voice_fidelity: float,
+                                    stage_randomness: float):
+    """Conservative-sampling shaping from voice fidelity
+    (rwkv_sampler.rs:515-543, formula-exact).
+
+    High fidelity + low stage randomness → lower temperature, tighter
+    top_p, smaller top_k. Returns (temperature, top_p, top_k).
+    """
+    conservative = voice_fidelity * (1.0 - stage_randomness)
+    t = temperature * (0.5 + 0.5 * (1.0 - conservative))
+    p = top_p * (0.7 + 0.3 * (1.0 - conservative))
+    k = top_k
+    if k > 0:
+        k = max(1, int(k * (0.5 + 0.5 * (1.0 - conservative))))
+    return t, p, k

@@ -147,3 +147,26 @@ def test_sampling_strategies():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_with_strategy(logits, key, SamplingStrategy("bogus"))
+
+
+def test_voice_fidelity_adjustment_formula():
+    """Formula parity with rwkv_sampler.rs:515-543: high fidelity + low
+    randomness shrinks temperature/top_p/top_k; zero fidelity is identity."""
+    from rwkv_tts_tpu.ops.sampling import (LayeredRandomnessConfig,
+                                           apply_voice_fidelity_adjustment)
+
+    # identity when conservative factor is 0
+    t, p, k = apply_voice_fidelity_adjustment(1.0, 0.95, 80, 0.0, 0.4)
+    assert (t, p, k) == (1.0, 0.95, 80)
+    # reference defaults: fidelity .8, semantic randomness .4 → factor .48
+    t, p, k = apply_voice_fidelity_adjustment(1.0, 0.95, 80, 0.8, 0.4)
+    assert abs(t - (0.5 + 0.5 * 0.52)) < 1e-6
+    assert abs(p - 0.95 * (0.7 + 0.3 * 0.52)) < 1e-6
+    assert k == int(80 * (0.5 + 0.5 * 0.52))
+    # top_k floor is 1; top_k 0 (disabled) passes through
+    assert apply_voice_fidelity_adjustment(1.0, 1.0, 1, 1.0, 0.0)[2] == 1
+    assert apply_voice_fidelity_adjustment(1.0, 1.0, 0, 1.0, 0.0)[2] == 0
+    # defaults mirror rwkv_sampler.rs:265-277
+    cfg = LayeredRandomnessConfig()
+    assert (cfg.global_seed_offset, cfg.semantic_seed_offset) == (1000, 2000)
+    assert cfg.use_independent_seeds
