@@ -108,3 +108,63 @@ def test_long_prompt_admission(params, static_engine, cont):
     got = cont.generate(args)
     assert got.global_tokens == want.global_tokens
     assert got.semantic_tokens == want.semantic_tokens
+
+
+def test_bucketed_decode_matches_static_engine(params, static_engine):
+    """Occupancy bucketing (decode_block_bucketed): with 8 slots and
+    buckets (2, 4), a single request runs in the 2-slot compiled prefix
+    and a 3-way burst in the 4-slot one — token streams must be identical
+    to the static engine either way, and slots above the bucket must
+    survive untouched."""
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=8,
+                           slots=8, buckets=(2, 4))
+    try:
+        args = TtsArgs(text="bucket parity", seed=77, max_tokens=20)
+        want = static_engine.generate(args)
+        got = eng.generate(args)
+        assert got.global_tokens == want.global_tokens
+        assert got.semantic_tokens == want.semantic_tokens
+
+        # concurrent burst of three → bucket 4
+        reqs = [TtsArgs(text=f"burst {i}", seed=100 + i, max_tokens=16)
+                for i in range(3)]
+        wants = [static_engine.generate(r) for r in reqs]
+        events, results = [], {}
+
+        def mk(i):
+            ev = threading.Event()
+            events.append(ev)
+
+            def cb(res):
+                results[i] = res
+                ev.set()
+            return cb
+
+        for i, r in enumerate(reqs):
+            eng.submit(r, mk(i))
+        for ev in events:
+            assert ev.wait(120)
+        for i, w in enumerate(wants):
+            assert results[i].global_tokens == w.global_tokens
+            assert results[i].semantic_tokens == w.semantic_tokens
+    finally:
+        eng.stop()
+
+
+def test_bucket_selection_grows_and_shrinks(params):
+    """The driver picks the smallest bucket covering the highest live
+    slot; sequential requests after a burst drain back to the small
+    bucket (slot 0 is reused once free)."""
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=8,
+                           slots=8, buckets=(2, 4))
+    try:
+        for seed in (1, 2):
+            res = eng.generate(
+                TtsArgs(text="shrink", seed=seed, max_tokens=12))
+            assert len(res.global_tokens) == 32
+        # after drain all slots are free again → next request lands in
+        # slot 0 and the 2-bucket
+        with eng._lock:
+            assert not eng._live
+    finally:
+        eng.stop()
