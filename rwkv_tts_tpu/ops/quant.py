@@ -85,6 +85,8 @@ def qmatmul(x: jax.Array, w) -> jax.Array:
         )
         scale = sx * w["s"].astype(jnp.float32)[..., 0, :]
         return (y.astype(jnp.float32) * scale).astype(x.dtype)
+    if is_int4(w):
+        return _qmatmul_int4(x, w)
     if is_nf4(w):
         return (x @ dequantize_tensor_nf4(w, x.dtype)).astype(x.dtype)
     return x @ w.astype(x.dtype)
@@ -103,7 +105,8 @@ def quantize_rwkv_params(params: Dict[str, Any], quant_layers: int = -1,
     """
     if quant_layers == 0:
         return params
-    qt = quantize_tensor if kind == "int8" else quantize_tensor_nf4
+    qt = {"int8": quantize_tensor, "nf4": quantize_tensor_nf4,
+          "int4": quantize_tensor_int4}[kind]
     out = dict(params)
     blocks = dict(params["blocks"])
     # fused layout (models/rwkv7.fuse_params) carries zrkv instead of w_r/k/v
@@ -168,6 +171,152 @@ def dequantize_tensor_nf4(t: Dict[str, jax.Array],
 
 def is_nf4(leaf) -> bool:
     return isinstance(leaf, dict) and set(leaf.keys()) == {"q4", "s"}
+
+
+# --------------------------------------------------------------------------
+# int4 ("w4a16") weight quantization — the serving-grade 4-bit path.
+#
+# NF4 above matches the reference's storage format but is 12× slower than
+# int8 at decode (the 16-entry codebook gather dominates — docs/PERF.md).
+# This linear-int4 scheme needs NO gather: values unpack with two shifts and
+# dequantize with one multiply, so a Pallas kernel can stream the packed
+# bytes from HBM and expand them in VMEM — the decode step's weight traffic
+# halves vs int8 (2.95 GB → 1.48 GB at the flagship shape), which is the
+# whole cost of a small-batch decode step.
+#
+#   * symmetric 4-bit codes in [-7, 7], group-wise absmax scales along the
+#     input dim (INT4_GROUP rows per scale, per output channel);
+#   * packing pairs row j with row j + I/2 in one byte (hi/lo nibble) —
+#     unpacking yields two contiguous row-blocks, so the matmul is
+#     x[:, :I/2] @ W_hi + x[:, I/2:] @ W_lo with no row interleave (an
+#     in-kernel sublane shuffle Mosaic would reject);
+#   * activations stay bf16 (w4a16): at 4-bit weight error, dynamic act
+#     quantization adds nothing but another kernel.
+# --------------------------------------------------------------------------
+
+INT4_GROUP = 128
+
+
+def quantize_tensor_int4(w: jax.Array, group: int = INT4_GROUP
+                         ) -> Dict[str, jax.Array]:
+    """[..., I, O] float → {"q4p": uint8 [..., I/2, O], "s4": f32
+    [..., I/group, O]}. ``group`` shrinks to the largest divisor of I/2 ≤
+    its requested value (toy test widths); flagship widths use it as-is."""
+    wf = w.astype(jnp.float32)
+    *lead, I, O = wf.shape
+    assert I % 2 == 0, I
+    while (I // 2) % group:
+        group //= 2
+    assert group >= 1
+    blocks = wf.reshape(*lead, I // group, group, O)
+    absmax = jnp.max(jnp.abs(blocks), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(blocks / scale), -7, 7).astype(jnp.int32)
+    q = q.reshape(*lead, I, O)
+    hi, lo = q[..., : I // 2, :], q[..., I // 2:, :]
+    packed = (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.uint8)
+    return {"q4p": packed, "s4": scale[..., 0, :].reshape(
+        *lead, I // group, O)}
+
+
+def _nib(x):
+    """Sign-extend a 4-bit two's-complement nibble held in int32 ∈ [0,15]."""
+    return (x ^ 8) - 8
+
+
+def dequantize_tensor_int4(t: Dict[str, jax.Array],
+                           dtype=jnp.float32) -> jax.Array:
+    q4p, s4 = t["q4p"], t["s4"]
+    *lead, I2, O = q4p.shape
+    group = 2 * I2 // s4.shape[-2]
+    w32 = q4p.astype(jnp.int32)
+    hi = _nib(w32 >> 4)
+    lo = _nib(w32 & 0xF)
+    vals = jnp.concatenate([hi, lo], axis=-2).astype(jnp.float32)
+    blocks = vals.reshape(*lead, s4.shape[-2], group, O)
+    return (blocks * s4[..., None, :]).reshape(*lead, 2 * I2, O).astype(dtype)
+
+
+def is_int4(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4p", "s4"}
+
+
+def _qmm4_kernel(x_ref, wq_ref, ws_ref, o_ref):
+    """One N-tile of y = x @ dequant(wq). Full K resident: x [M, K] bf16,
+    wq [K/2, Nb] uint8 (hi nibble = row j, lo = row j + K/2), ws [K/group,
+    Nb] f32. Unpack + dequant in VMEM, two bf16 MXU dots, f32 accumulate."""
+    K2 = wq_ref.shape[0]
+    w32 = wq_ref[:].astype(jnp.int32)
+    s = ws_ref[:]                                    # [K/group, Nb]
+    gh = s.shape[0] // 2                             # groups per half
+    group = K2 // gh
+
+    def half(vals, s_half):
+        sf = jnp.broadcast_to(s_half[:, None, :],
+                              (gh, group, s_half.shape[-1]))
+        sf = sf.reshape(K2, s_half.shape[-1])
+        return (vals.astype(jnp.float32) * sf).astype(jnp.bfloat16)
+
+    w_hi = half(_nib(w32 >> 4), s[:gh])
+    w_lo = half(_nib(w32 & 0xF), s[gh:])
+    acc = jnp.dot(x_ref[:, :K2], w_hi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_ref[:, K2:], w_lo, preferred_element_type=jnp.float32)
+    o_ref[:] = acc
+
+
+def qmm4_pallas(x: jax.Array, wq: jax.Array, ws: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """x [M, K] → [M, N] f32 with int4-packed weights (see
+    :func:`quantize_tensor_int4`). K stays resident; M and N are gridded,
+    so both decode (M = batch) and prefill (M = B·T) shapes route here."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = x.shape
+    K2, N = wq.shape
+    # unpacked bf16 halves are the big VMEM tenants: 2·K2·block_n·2 bytes;
+    # keep them ≤ ~2 MB so in+out double buffering stays well inside 16 MB
+    block_n = 256 if K2 <= 2048 else 128
+    while N % block_n:
+        block_n //= 2
+    block_m = min(256, -(-M // 8) * 8)       # sublane-aligned
+    pad_m = (-M) % block_m
+    x = x.astype(jnp.bfloat16)
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    out = pl.pallas_call(
+        _qmm4_kernel,
+        grid=(Mp // block_m, N // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws.shape[0], block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        interpret=interpret,
+    )(x, wq, jnp.asarray(ws, jnp.float32))
+    return out[:M] if pad_m else out
+
+
+def _qmatmul_int4(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """int4 leaf dispatch: Pallas dequant-GEMM on TPU decode shapes, plain
+    dequantized matmul elsewhere (CPU tests / odd shapes)."""
+    wq, ws = w["q4p"], w["s4"]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if (wq.ndim == 2 and jax.default_backend() == "tpu"
+            and wq.shape[0] % 256 == 0 and wq.shape[1] % 128 == 0):
+        y = qmm4_pallas(x.reshape(M, x.shape[-1]), wq, ws)
+        return y.reshape(*lead, wq.shape[1]).astype(x.dtype)
+    return (x @ dequantize_tensor_int4(w, x.dtype)).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------

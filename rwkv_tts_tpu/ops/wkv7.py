@@ -337,6 +337,86 @@ def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 
 
 # --------------------------------------------------------------------------
+# Chunkwise-parallel WKV-7 (prefill). The recurrence
+#     S_t = S_{t-1} M_t + v_t k_tᵀ,   M_t = diag(exp(-exp(w_t))) + a_t b_tᵀ
+# is linear in S, so a length-T sequence splits into T/L chunks whose
+# internals are independent given the chunk-entry state:
+#
+#   phase A (parallel over B·n_c·H): from a ZERO state, the local run gives
+#     y_loc (within-chunk write contributions) and S_loc = Σ v k ᵀ M…M (the
+#     chunk's accumulated writes, propagated to its end). A second run with
+#     zero writes from an IDENTITY state gives the chunk transition operator
+#     P = M_1…M_L and, as its per-step "output", ρ_τ = (M_1…M_τ) r_τ — the
+#     key observation is that the running product P_τ obeys the SAME
+#     recurrence as the state with no writes, so the existing kernels serve
+#     both runs unchanged.
+#   phase B (sequential over n_c only): S_in[c+1] = S_in[c] · P[c] + S_loc[c]
+#     — one batched [N,N]@[N,N] matmul per chunk on the MXU.
+#   phase C (parallel): y_t = y_loc_t + S_in[c] ρ_τ — one batched matmul.
+#
+# Sequential depth drops from T steps to L (in-chunk) + T/L (chunk scan);
+# every step processes B·n_c·H units instead of B·H, which is what the
+# VPU/MXU want at small serving batch. Exact in real arithmetic; f32
+# rounding differs from the token-sequential path (tested to tolerance).
+# No decay-ratio/inverse tricks are needed — P is formed by forward
+# products only, so there is none of the 1/cumprod(decay) blowup a
+# UT-transform formulation would risk at L > 32.
+# --------------------------------------------------------------------------
+
+def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = 16,
+                 inner=None):
+    """Chunkwise-parallel WKV-7; semantics of :func:`wkv7_scan`.
+
+    r, w, k, v, a, b: [B, T, H, N] (w = log-log decay); state [B, H, N, N].
+    ``chunk`` must divide T (callers pad to prefill buckets); ``inner``
+    selects the phase-A primitive (defaults to :func:`wkv7_scan`;
+    pass :func:`wkv7_pallas_packed` on TPU).
+    Returns (y [B, T, H, N] f32, new_state [B, H, N, N] f32).
+    """
+    B, T, H, N = r.shape
+    if inner is None:
+        inner = wkv7_scan
+    if T % chunk or T <= chunk:
+        return inner(r, w, k, v, a, b, state)
+    L = chunk
+    n_c = T // L
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+
+    def resh(x):  # [B, T, H, N] -> [B·n_c, L, H, N]
+        return x.astype(f32).reshape(B * n_c, L, H, N)
+
+    zeros_s = jnp.zeros((B * n_c, H, N, N), f32)
+    eye_s = jnp.broadcast_to(jnp.eye(N, dtype=f32), (B * n_c, H, N, N))
+    zeros_seq = jnp.zeros((B * n_c, L, H, N), f32)
+
+    r2, w2, a2, b2 = resh(r), resh(w), resh(a), resh(b)
+    # local run: within-chunk writes only
+    y_loc, s_loc = inner(r2, w2, resh(k), resh(v), a2, b2, zeros_s)
+    # transition run: P_τ carried as a zero-write state from identity;
+    # its "output" is ρ_τ = P_τ r_τ and its final state is P = M_1…M_L
+    rho, P = inner(r2, w2, zeros_seq, zeros_seq, a2, b2, eye_s)
+
+    # phase B: chunk-level scan (the only sequential part)
+    P_c = jnp.moveaxis(P.reshape(B, n_c, H, N, N), 1, 0)       # [n_c, B, …]
+    s_loc_c = jnp.moveaxis(s_loc.reshape(B, n_c, H, N, N), 1, 0)
+
+    def body(S, xs):
+        P_i, sl_i = xs
+        S_next = jnp.einsum("bhij,bhjk->bhik", S, P_i, precision=hp) + sl_i
+        return S_next, S                     # emit the chunk-ENTRY state
+
+    S_final, S_in = jax.lax.scan(body, state.astype(f32), (P_c, s_loc_c))
+
+    # phase C: inter-chunk contribution for every position
+    rho_c = rho.reshape(B, n_c, L, H, N)
+    S_in = jnp.moveaxis(S_in, 0, 1)                            # [B, n_c, …]
+    y_inter = jnp.einsum("bchij,bclhj->bclhi", S_in, rho_c, precision=hp)
+    y = y_loc.reshape(B, n_c, L, H, N) + y_inter
+    return y.reshape(B, T, H, N), S_final
+
+
+# --------------------------------------------------------------------------
 # Packed-heads kernel: all H heads of one batch element share a single
 # [N, H·N] state block, so the lane dimension is H·N (≥128 — full VPU/MXU
 # width; the per-head kernel above only fills 64 of 128 lanes). The

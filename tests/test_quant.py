@@ -138,3 +138,92 @@ def test_qmm_pallas_matches_dequant():
         # x is cast to bf16 inside the kernel
         atol = np.abs(want).max() * 2e-2 + 1e-3
         np.testing.assert_allclose(got, want, atol=atol), (M, K, N)
+
+
+# -- int4 (w4a16) ----------------------------------------------------------
+
+def test_int4_roundtrip_error():
+    from rwkv_tts_tpu.ops.quant import (dequantize_tensor_int4,
+                                        quantize_tensor_int4)
+    w = jax.random.normal(jax.random.PRNGKey(7), (2, 256, 64)) * 0.1
+    q = quantize_tensor_int4(w)
+    assert q["q4p"].dtype == jnp.uint8
+    assert q["q4p"].shape == (2, 128, 64)          # two codes per byte
+    assert q["s4"].shape == (2, 2, 64)             # group=128
+    back = dequantize_tensor_int4(q)
+    err = float(jnp.sqrt(jnp.mean((back - w) ** 2)) / jnp.std(w))
+    # linear int4 with group-128 absmax scales: RMS ~ step/sqrt(12) with
+    # step = absmax/7 ~ 3sigma/7 on gaussian weights => ~0.124 sigma
+    assert err < 0.13, err
+
+
+def test_int4_pack_layout_pairs_halves():
+    """Byte row j must hold original rows (j | hi-nibble) and
+    (j + I/2 | lo-nibble) — the layout the Pallas kernel depends on."""
+    from rwkv_tts_tpu.ops.quant import dequantize_tensor_int4, quantize_tensor_int4
+    w = np.zeros((8, 4), np.float32)
+    w[1, 2] = 0.7        # row 1 → hi nibble of byte row 1
+    w[5, 2] = -0.7       # row 5 = 1 + I/2 → lo nibble of byte row 1
+    q = quantize_tensor_int4(jnp.asarray(w), group=4)
+    packed = np.asarray(q["q4p"])
+    assert packed[1, 2] != 0
+    back = np.asarray(dequantize_tensor_int4(q))
+    np.testing.assert_allclose(back, w, atol=0.06)
+
+
+def test_int4_qmatmul_matches_dequant():
+    from rwkv_tts_tpu.ops.quant import (dequantize_tensor_int4,
+                                        quantize_tensor_int4)
+    w = jax.random.normal(jax.random.PRNGKey(8), (256, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 256))
+    q = quantize_tensor_int4(w)
+    y_q = qmatmul(x, q)
+    y_ref = x @ dequantize_tensor_int4(q)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int4_forward_close_to_fp():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    qparams = quantize_rwkv_params(params, kind="int4")
+    tokens = jnp.array([[5, 17, 300, 42, 7]])
+    state = rwkv7.init_state(CFG, 1)
+    lf, _ = rwkv7.forward(params, tokens, state, CFG)
+    lq, st_q = rwkv7.forward(qparams, tokens, state, CFG)
+    corr = np.corrcoef(np.asarray(lf[0]), np.asarray(lq[0]))[0, 1]
+    # random init is worst-case for 4-bit (same caveat as NF4 above)
+    assert corr > 0.9, corr
+    lq2, _ = rwkv7.step(qparams, jnp.array([3]), st_q, CFG)
+    assert bool(jnp.all(jnp.isfinite(lq2)))
+
+
+def test_int4_memory_quartered():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params, kind="int4")
+    def nbytes(t):
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(t))
+    keys = ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")
+    fp = nbytes({k: params["blocks"][k] for k in keys})
+    i4 = nbytes({k: q["blocks"][k] for k in keys})
+    assert i4 < fp * 0.16
+
+
+def test_qmm4_pallas_matches_dequant():
+    """The int4 Pallas dequant-GEMM must match the dequantized matmul to
+    bf16-activation tolerance across decode tile geometries (incl. an
+    odd-N head-slice-like shape)."""
+    from rwkv_tts_tpu.ops.quant import (dequantize_tensor_int4, qmm4_pallas,
+                                        quantize_tensor_int4)
+
+    interp = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    for M, K, N in [(8, 512, 384), (64, 1024, 128), (16, 256, 640)]:
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+        x = rng.normal(size=(M, K)).astype(np.float32)
+        q = quantize_tensor_int4(jnp.asarray(w))
+        want = np.asarray(jnp.asarray(x) @ dequantize_tensor_int4(q))
+        got = np.asarray(qmm4_pallas(jnp.asarray(x), q["q4p"], q["s4"],
+                                     interpret=interp))
+        atol = np.abs(want).max() * 2e-2 + 1e-3
+        np.testing.assert_allclose(got, want, atol=atol), (M, K, N)

@@ -237,3 +237,33 @@ def test_packed_kernel_wide_model_blocks():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_matches_scan():
+    """Chunkwise-parallel formulation must reproduce the sequential scan:
+    nonzero entry state, several chunk sizes, non-divisible fallback."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_chunked, wkv7_scan
+
+    rng = np.random.default_rng(3)
+    B, T, H, N = 2, 64, 3, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = wkv7_scan(*args)
+    for chunk in (8, 16, 32):
+        y, s = wkv7_chunked(*args, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                                   rtol=3e-4, atol=3e-4, err_msg=f"chunk={chunk}")
+    # T=10 not divisible by 16 -> sequential fallback, still exact
+    short = tuple(x[:, :8] if x.ndim == 4 else x for x in args[:6]) + (args[6],)
+    ys, ss = wkv7_chunked(*short, chunk=16)
+    wy, ws = wkv7_scan(*short)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(wy), rtol=3e-4, atol=3e-4)
