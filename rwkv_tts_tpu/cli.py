@@ -90,7 +90,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser("rwkv-tts-tpu")
     p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
     p.add_argument("--raf-dir", default="assets/raf")
-    p.add_argument("--quant-type", choices=["none", "int8", "nf4", "sf4"], default="none")
+    p.add_argument("--quant-type", choices=["none", "int8", "int4", "nf4", "sf4"], default="none")
     p.add_argument("--allow-random-codec", action="store_true",
                    help="proceed with random codec weights when the real "
                         "BiCodec/wav2vec2 files are missing (dev only)")

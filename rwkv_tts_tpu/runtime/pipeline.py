@@ -95,12 +95,14 @@ class TtsPipeline:
         lm_params = rwkv7.fuse_params(lm_params, lm_cfg)
         if vocab_path:
             kw.setdefault("tokenizer", load_tokenizer(vocab_path))
-        if quant_type in ("int8", "nf4", "sf4"):
+        if quant_type in ("int8", "int4", "nf4", "sf4"):
             from ..ops.quant import quantize_rwkv_params
             if quant_type == "sf4":
                 # web-rwkv's SF4 is an internal float4 format; NF4 covers
                 # the same 4-bit memory/quality point (flag parity:
-                # bin/server.rs:1203-1233)
+                # bin/server.rs:1203-1233). For a 4-bit point that is also
+                # FAST at decode, prefer --quant-type int4 (linear codes +
+                # group scales, Pallas dequant-GEMM — no codebook gather).
                 quant_type = "nf4"
             lm_params = quantize_rwkv_params(lm_params,
                                              quant_layers=quant_layers,

@@ -42,31 +42,43 @@ class StreamChunk:
 class StreamingVocoder:
     """Incremental tokens→audio for one utterance."""
 
+    # (context, lookahead, max first-chunk) per latency mode; "exact" uses
+    # the decoder's receptive field for both (bit-identical windows).
+    LATENCY_PRESETS = {"low": (32, 16, 32), "ultra": (16, 8, 16)}
+
     def __init__(self, params, cfg: BiCodecConfig, global_tokens: List[int],
                  chunk_tokens: int = 32, context_tokens: Optional[int] = None,
                  lookahead_tokens: Optional[int] = None,
-                 low_latency: bool = False):
+                 low_latency: bool = False, latency_mode: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.global_tokens = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
                               for t in (global_tokens or [0] * 32)]
-        self.chunk = chunk_tokens
         # default context/lookahead = the decoder's receptive field, so
         # emitted samples are bit-identical to a full bucketed decode.
-        # ``low_latency`` trades that exactness for time-to-first-audio:
+        # ``latency_mode`` trades that exactness for time-to-first-audio:
         # first audio needs chunk+lookahead REAL tokens, and the full
         # receptive field is large (prenet ConvNeXt stacks), so exact mode
-        # waits ~2 s of tokens before the first chunk. The short window
-        # still covers the wave generator's own receptive field; what it
-        # truncates is the prenet's long smooth conditioning tail —
-        # audible-artifact-free in practice, but not bit-exact.
+        # waits ~2 s of tokens before the first chunk. The short windows
+        # still cover the wave generator's own receptive field; what they
+        # truncate is the prenet's long smooth conditioning tail —
+        # audible-artifact-free in practice, but not bit-exact. "ultra"
+        # additionally shrinks the first chunk to 16 tokens (320 ms of
+        # audio): first sound needs only 24 decode steps past TAG_1.
+        if latency_mode is None:
+            latency_mode = "low" if low_latency else "exact"
+        if latency_mode not in ("exact",) and latency_mode not in self.LATENCY_PRESETS:
+            raise ValueError(f"unknown latency_mode {latency_mode!r}")
         self.receptive = bicodec.receptive_latents(cfg)
-        if low_latency:
+        if latency_mode in self.LATENCY_PRESETS:
+            ctx_d, la_d, ck_d = self.LATENCY_PRESETS[latency_mode]
+            chunk_tokens = min(chunk_tokens, ck_d)
             context_tokens = (context_tokens if context_tokens is not None
-                              else min(32, self.receptive))
+                              else min(ctx_d, self.receptive))
             lookahead_tokens = (lookahead_tokens
                                 if lookahead_tokens is not None
-                                else min(16, self.receptive))
+                                else min(la_d, self.receptive))
+        self.chunk = chunk_tokens
         self.context = (context_tokens if context_tokens is not None
                         else self.receptive)
         # the vocoder's convs are centered (SAME), so output near a chunk's
@@ -125,7 +137,9 @@ class StreamingVocoder:
 def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
                       args, chunk_tokens: int = 32,
                       timeout: float = 600.0,
-                      low_latency: bool = False) -> Iterator[StreamChunk]:
+                      low_latency: bool = False,
+                      latency_mode: Optional[str] = None
+                      ) -> Iterator[StreamChunk]:
     """Generator yielding audio chunks for one request.
 
     For normal-mode requests the speaker (global) tokens only exist once the
@@ -161,7 +175,8 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             if vocoder is None:
                 vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
                                            res.global_tokens, chunk_tokens,
-                                           low_latency=low_latency)
+                                           low_latency=low_latency,
+                                           latency_mode=latency_mode)
             audio = vocoder.push([], flush=True)
             yield StreamChunk(seq=seq, audio=audio, final=True)
             return
@@ -170,7 +185,8 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             live_globals = _current_globals(continuous_engine, args)
             vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
                                        live_globals, chunk_tokens,
-                                       low_latency=low_latency)
+                                       low_latency=low_latency,
+                                       latency_mode=latency_mode)
         audio = vocoder.push(item)
         if audio.size:
             yield StreamChunk(seq=seq, audio=audio, final=False)

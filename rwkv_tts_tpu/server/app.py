@@ -168,6 +168,9 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
         return _err(f"invalid parameter: {e}", status=400)
     except FileNotFoundError as e:
         return _err(str(e), status=404)
+    latency_mode = payload.get("latency_mode")
+    if latency_mode is not None and latency_mode not in ("exact", "low", "ultra"):
+        return _err("latency_mode must be exact|low|ultra", status=400)
     cont = _get_continuous(app)
     pipe: TtsPipeline = app["pipeline"]
 
@@ -183,7 +186,8 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
         try:
             for chunk in stream_synthesize(
                     cont, pipe.bicodec_params, pipe.bicodec_cfg, args,
-                    low_latency=bool(payload.get("low_latency", False))):
+                    low_latency=bool(payload.get("low_latency", False)),
+                    latency_mode=latency_mode):
                 loop.call_soon_threadsafe(aq.put_nowait, chunk)
         except Exception as e:  # noqa: BLE001
             loop.call_soon_threadsafe(aq.put_nowait, e)
@@ -487,7 +491,7 @@ def main(argv=None):
     p.add_argument("--batch-timeout", type=float, default=20.0,
                    help="collect window, ms")
     p.add_argument("--inference-timeout", type=float, default=120000.0)
-    p.add_argument("--quant-type", choices=["none", "int8", "nf4", "sf4"], default="none")
+    p.add_argument("--quant-type", choices=["none", "int8", "int4", "nf4", "sf4"], default="none")
     p.add_argument("--quant-layers", type=int, default=0)
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--no-download", action="store_true",

@@ -344,3 +344,26 @@ def test_streaming_low_latency_option(tmp_path):
         pcm = b"".join(b64.b64decode(c.get("audio_base64", "")) for c in chunks)
         assert len(pcm) > 0 and len(pcm) % 2 == 0
     run_client(tmp_path, go)
+
+
+def test_streaming_ultra_latency_mode(tmp_path):
+    async def go(client):
+        import base64 as b64
+        import aiohttp
+        r = await client.post("/api/tts/stream",
+                              json={"text": "fastest stream", "seed": 11,
+                                    "latency_mode": "ultra"},
+                              timeout=aiohttp.ClientTimeout(total=900))
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            if line.strip():
+                chunks.append(json.loads(line))
+        assert chunks and chunks[-1]["final"]
+        pcm = b"".join(b64.b64decode(c.get("audio_base64", "")) for c in chunks)
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        # invalid mode is rejected up front
+        r2 = await client.post("/api/tts/stream",
+                               json={"text": "x", "latency_mode": "warp"})
+        assert r2.status == 400
+    run_client(tmp_path, go)

@@ -88,3 +88,33 @@ def test_low_latency_mode_close_to_exact(bc_params):
     err = np.abs(streamed - full)
     assert float(err.mean()) < 0.05
     assert np.all(np.isfinite(streamed))
+
+
+def test_ultra_latency_mode(bc_params):
+    """latency_mode='ultra': 16-token first chunk with 16/8 windows — first
+    audio needs only 24 real tokens. Output sized exactly, finite, and close
+    to the full decode (same argument as the low mode)."""
+    rng = np.random.default_rng(2)
+    g = list(rng.integers(0, 4096, 32))
+    sem = list(rng.integers(0, 128, 100))
+    full = bicodec.detokenize(bc_params, g, sem, BC_CFG, bucket=4)[0]
+
+    sv = StreamingVocoder(bc_params, BC_CFG, g, latency_mode="ultra")
+    assert (sv.chunk, sv.context, sv.lookahead) == (16, 16, 8)
+    # first audio appears as soon as chunk+lookahead=24 tokens exist
+    first = sv.push(sem[:24])
+    assert first.shape == (16 * 320,)
+    parts = [first]
+    for i in range(24, 100, 10):
+        parts.append(sv.push(sem[i:i + 10]))
+    parts.append(sv.push([], flush=True))
+    streamed = np.concatenate(parts)
+    assert streamed.shape == full.shape
+    # random-init codec is worst-case for the truncated prenet tail; bound
+    # the deviation relative to the signal scale rather than absolutely
+    err = np.abs(streamed - full)
+    assert float(err.mean()) < 0.5 * float(np.abs(full).mean() + 1e-9)
+    assert np.all(np.isfinite(streamed))
+
+    with pytest.raises(ValueError):
+        StreamingVocoder(bc_params, BC_CFG, g, latency_mode="warp")
