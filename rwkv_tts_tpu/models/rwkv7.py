@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from ..config import RwkvConfig
 from ..ops.quant import qmatmul
-from ..ops.wkv7 import (wkv7_scan, wkv7_pallas_packed, wkv7_single,
-                        wkv7_single_bt_pallas)
+from ..ops.wkv7 import (wkv7_scan, wkv7_pallas_packed, wkv7_prefill_tpu,
+                        wkv7_single, wkv7_single_bt_pallas)
 
 Params = Dict[str, Any]
 State = Dict[str, jax.Array]
@@ -368,7 +368,10 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
     def hv(t):  # [B, T, C] -> [B, T, H, N]
         return t.reshape(B, T, H, N)
 
-    wkv_fn = wkv7_pallas_packed if use_pallas else wkv7_scan
+    # TPU prefill routes by shape: sequence bt kernel at large batch,
+    # chunkwise-parallel (lanes = B·chunks) at small batch — see
+    # ops/wkv7.wkv7_prefill_tpu. CPU/tests keep the sequential scan oracle.
+    wkv_fn = wkv7_prefill_tpu if use_pallas else wkv7_scan
     y, wkv_state = wkv_fn(
         hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v.astype(jnp.float32)),
         hv(-kk), hv(b_in), wkv_state,

@@ -337,7 +337,106 @@ def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 
 
 # --------------------------------------------------------------------------
-# Chunkwise-parallel WKV-7 (prefill). The recurrence
+# Batch-in-lanes SEQUENCE kernel (prefill). The packed-heads kernel below
+# executes B·T sequential inner steps per layer (its grid is (B, T/t_block)
+# and TPU grid cells run serially on the core) — at B=128, T=64 that is
+# 8192 steps/layer, ~4.3 µs each ⇒ ~1.1 s of a 12 s serving run just for
+# prefill WKV. This kernel instead processes ALL batch lanes per step
+# (state slab [Hb, N, N, B], lanes = B like the decode bt kernel), so the
+# step count drops to (H/Hb)·T per layer — 8× fewer at B=128 — and every
+# op runs full-lane-width. Sequence is walked in t-blocks with the state
+# carried in a VMEM scratch across blocks (same pattern as the packed
+# kernel); per-head inner loop keeps live temporaries at [N, N, B].
+# For B < 128 use :func:`wkv7_chunked` with this as the inner primitive:
+# chunking multiplies the lane dim by T/chunk, restoring full width.
+# --------------------------------------------------------------------------
+
+def _wkv7_seq_bt_kernel(r_ref, d_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+                        y_ref, s_out_ref):
+    """Blocks: seq [Tb, Hb, N, B] (d = decay, precomputed), state
+    [Hb, N, N, B]. Grid (H/Hb, T/Tb): t minor, so the OUTPUT state block —
+    which doubles as the running state, saving a scratch copy's VMEM —
+    stays resident across the t-blocks of one head-block."""
+    Tb, Hb = r_ref.shape[0], r_ref.shape[1]
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        s_out_ref[:] = s0_ref[:].astype(jnp.float32)
+
+    def tok(t, _):
+        def head(h, _):
+            s = s_out_ref[h]                          # [N, N, B] f32
+            d = d_ref[t, h]                           # [N, B]
+            a = a_ref[t, h]; b = b_ref[t, h]; k = k_ref[t, h]
+            v = v_ref[t, h]; r = r_ref[t, h]
+            sa = jnp.sum(s * a[None, :, :], axis=1)   # [N, B]
+            s = (s * d[None, :, :] + sa[:, None, :] * b[None, :, :]
+                 + v[:, None, :] * k[None, :, :])
+            s_out_ref[h] = s
+            y_ref[t, h] = jnp.sum(s * r[None, :, :], axis=1)
+            return 0
+        jax.lax.fori_loop(0, Hb, head, 0)
+        return 0
+
+    jax.lax.fori_loop(0, Tb, tok, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
+    """Batch-in-lanes sequence WKV-7; semantics of :func:`wkv7_scan`.
+
+    r..b: [B, T, H, N]; state [B, H, N, N]. Returns (y [B, T, H, N] f32,
+    new_state [B, H, N, N] f32). Intended for B a multiple of 128 (lanes
+    full); smaller B works but pads lanes — route those through
+    :func:`wkv7_chunked` instead.
+    """
+    B, T, H, N = r.shape
+    f32 = jnp.float32
+    decay = jnp.exp(-jnp.exp(w.astype(f32)))
+
+    def bt(x):  # [B, T, H, N] -> [T, H, N, B]
+        return jnp.transpose(x.astype(f32), (1, 2, 3, 0))
+
+    s_bt = jnp.transpose(state.astype(f32), (1, 2, 3, 0))   # [H, N, N, B]
+
+    # VMEM accounting (measured against the compiler's scoped-vmem OOMs):
+    # state in AND out blocks are EACH double-buffered (4 × [Hb,N,N,B]
+    # f32), 6 seq in blocks [Tb,Hb,N,B] f32 double-buffered, y likewise.
+    # Choose the largest (Hb, Tb) under a 14 MB budget.
+    def vmem_bytes(hb, tb_c):
+        return 4 * (4 * hb * N * N * B + 14 * tb_c * hb * N * B)
+
+    Hb, Tb = 1, 1
+    for hb in (4, 2, 1):
+        if H % hb:
+            continue
+        for tb_c in (16, 8, 4, 2, 1):
+            if T % tb_c:
+                continue
+            if vmem_bytes(hb, tb_c) <= 14 * (1 << 20):
+                if hb * tb_c > Hb * Tb:
+                    Hb, Tb = hb, tb_c
+                break
+
+    seq_spec = pl.BlockSpec((Tb, Hb, N, B), lambda h, t: (t, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Hb, N, N, B), lambda h, t: (h, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    y, s_out = pl.pallas_call(
+        _wkv7_seq_bt_kernel,
+        grid=(H // Hb, T // Tb),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, H, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), f32),
+        ],
+        interpret=interpret,
+    )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b), s_bt)
+    return (jnp.transpose(y, (3, 0, 1, 2)),
+            jnp.transpose(s_out, (3, 0, 1, 2)))
 #     S_t = S_{t-1} M_t + v_t k_tᵀ,   M_t = diag(exp(-exp(w_t))) + a_t b_tᵀ
 # is linear in S, so a length-T sequence splits into T/L chunks whose
 # internals are independent given the chunk-entry state:
@@ -414,6 +513,26 @@ def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = 16,
     y_inter = jnp.einsum("bchij,bclhj->bclhi", S_in, rho_c, precision=hp)
     y = y_loc.reshape(B, n_c, L, H, N) + y_inter
     return y.reshape(B, T, H, N), S_final
+
+
+def wkv7_prefill_tpu(r, w, k, v, a, b, state):
+    """TPU prefill dispatch: pick the fastest exact formulation by shape.
+
+    * B ≥ 64 — the sequence bt kernel directly (lanes ≥ half full; step
+      count (H/Hb)·T per layer vs the packed kernel's B·T);
+    * B < 64 — chunkwise-parallel with the sequence kernel as phase-A
+      inner: chunks multiply the lane dim to ≥ 128 (full VPU width), and
+      only the chunk-level [N,N] matmul scan stays sequential;
+    * awkward T (no chunk divides it) — packed-heads fallback.
+    """
+    B, T, H, N = r.shape
+    if B >= 64:
+        return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
+    for L in (32, 16, 8, 4, 2):
+        if T % L == 0 and T > L and B * (T // L) >= 128:
+            return wkv7_chunked(r, w, k, v, a, b, state, chunk=L,
+                                inner=wkv7_seq_bt_pallas)
+    return wkv7_pallas_packed(r, w, k, v, a, b, state)
 
 
 # --------------------------------------------------------------------------

@@ -267,3 +267,56 @@ def test_chunked_matches_scan():
     ys, ss = wkv7_chunked(*short, chunk=16)
     wy, ws = wkv7_scan(*short)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(wy), rtol=3e-4, atol=3e-4)
+
+
+def test_seq_bt_matches_scan():
+    """Sequence bt kernel (prefill): exact vs the scan oracle, nonzero
+    entry state, T crossing several t-blocks."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_scan, wkv7_seq_bt_pallas
+
+    rng = np.random.default_rng(5)
+    B, T, H, N = 4, 16, 4, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = wkv7_scan(*args)
+    y, s = wkv7_seq_bt_pallas(*args,
+                              interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_with_seq_bt_inner():
+    """The chunked wrapper with the sequence kernel as phase-A inner (the
+    small-batch TPU prefill path) matches the scan oracle."""
+    import functools
+    from rwkv_tts_tpu.ops.wkv7 import (wkv7_chunked, wkv7_scan,
+                                       wkv7_seq_bt_pallas)
+
+    rng = np.random.default_rng(6)
+    B, T, H, N = 2, 32, 2, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = wkv7_scan(*args)
+    inner = functools.partial(wkv7_seq_bt_pallas,
+                              interpret=jax.default_backend() != "tpu")
+    y, s = wkv7_chunked(*args, chunk=8, inner=inner)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=3e-4, atol=3e-4)
