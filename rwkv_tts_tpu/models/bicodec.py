@@ -96,10 +96,36 @@ def _rms_norm(x, g, eps=1e-8):
     return (n * scale * g.astype(jnp.float32)).astype(x.dtype)
 
 
+def _conv1d_im2col(x, w, b, dilation, padding):
+    """Stride-1 conv1d as an explicit patches @ weights GEMM.
+
+    Built to chase the 4× bf16 MXU rate that XLA's conv lowering leaves on
+    the table — and MEASURED SLOWER on v5e (202 vs 136 ms for the full
+    8×512 decode): the [B, T, K·C] patch materialization + transpose costs
+    more HBM than the MXU saves, and bf16 error compounds ~25% RMS through
+    the four upsampling stages. Kept as tuning infrastructure (numerics
+    tested equal to :func:`_conv1d`); not on any dispatch path —
+    docs/PERF.md "measured and rejected"."""
+    B, Ci, T = x.shape
+    O, _, K = w.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    t_out = T + 2 * padding - dilation * (K - 1)
+    taps = [xp[:, :, i * dilation: i * dilation + t_out] for i in range(K)]
+    patches = jnp.stack(taps, axis=1).reshape(B, K * Ci, t_out)
+    pm = jnp.moveaxis(patches, 1, 2)                     # [B, T_out, K·Ci]
+    wm = jnp.transpose(w, (2, 1, 0)).reshape(K * Ci, O).astype(x.dtype)
+    y = jax.lax.dot_general(pm, wm, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)[None, None, :]
+    return jnp.moveaxis(y, 1, 2).astype(x.dtype)
+
+
 def _conv1d(x, w, b=None, stride=1, dilation=1, groups=1, padding=0):
     """x [B, C, T], w [O, I/groups, K], symmetric int padding. Accumulates
-    in f32 (MXU native) and returns ``x.dtype`` — under the bf16 compute
-    policy the convs run at the 4× bf16 MXU rate with f32 accumulation."""
+    in f32 (MXU native) and returns ``x.dtype``. Under the bf16 compute
+    policy the convs run at the bf16 operand width with f32 accumulation
+    (the im2col GEMM alternative measured slower — see above)."""
     out = jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride,),
         padding=[(padding, padding)] if isinstance(padding, int) else padding,

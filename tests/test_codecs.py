@@ -156,3 +156,24 @@ def test_pipeline_warmup_smoke(bc_params):
     times = pipe.warmup(detok_buckets=(64,))
     assert "prefill_16" in times and "semantic_normal" in times \
         and "detokenize_64" in times
+
+
+def test_conv1d_im2col_matches_native():
+    """The im2col GEMM formulation (bf16-policy fast path) must equal the
+    native conv lowering up to dot-order reassociation — all the wave
+    generator's dilation/padding geometries."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rwkv_tts_tpu.models.bicodec import _conv1d, _conv1d_im2col
+
+    rng = np.random.default_rng(0)
+    for Ci, O, K, d in [(128, 64, 7, 1), (256, 256, 7, 3), (128, 128, 7, 9),
+                        (192, 128, 3, 1)]:
+        pad = (K - 1) * d // 2
+        x = jnp.asarray(rng.normal(size=(2, Ci, 50)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(O, Ci, K)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+        want = np.asarray(_conv1d(x, w, b, dilation=d, padding=pad))
+        got = np.asarray(_conv1d_im2col(x, w, b, d, pad))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
