@@ -204,12 +204,15 @@ def fuse_params(params: Params, cfg: RwkvConfig) -> Params:
     return out
 
 
-def _fused_projections(lp, h, xx, cfg, cdt):
+def _fused_projections(lp, h, xx, cfg, cdt, raw: bool = False):
     """Shared fused time-mix math for step/forward (see fuse_params).
 
     h, xx: [..., C] (xx = prev − h). Returns (r, k, v, w, a, v_res_gate, g)
     with the same semantics as the unfused seven-matmul chain; the LoRA
-    second stage runs as one block-diagonal f32 matmul."""
+    second stage runs as one block-diagonal f32 matmul. With ``raw`` the
+    post-LoRA biases/activations are left to the caller: returns
+    (r, k, v, lo) where lo is the raw [..., 4C] second-stage output — the
+    fused decode-step kernel applies them in-VMEM (ops/wkv7)."""
     C = cfg.n_embd
     z = jnp.concatenate([h, xx], axis=-1)
     rkv = qmatmul(z, lp["zrkv"])
@@ -225,6 +228,8 @@ def _fused_projections(lp, h, xx, cfg, cdt):
         jax.nn.sigmoid(u[..., dw + da + dv:]),
     ], axis=-1)
     lo = act @ lp["lora2"]
+    if raw:
+        return r, k, v, lo
     w = -jax.nn.softplus(-(lp["w0"] + lo[..., :C])) - 0.5
     a = jax.nn.sigmoid(lp["a0"] + lo[..., C:2 * C])
     v_res_gate = jax.nn.sigmoid(lp["v0"] + lo[..., 2 * C:3 * C])
@@ -237,6 +242,15 @@ def _fused_projections(lp, h, xx, cfg, cdt):
 # the jnp chain's 1.07 (B=8) / 2.93 (B=32) / 5.15 (B=64) / 16.2 (B=128).
 # Crossover ≈ 48; dispatch on the (static) batch at trace time.
 BT_MIN_BATCH = 64
+
+# Fused-soup decode step (ops/wkv7.wkv7_step_fused_bt_pallas): absorbs
+# the per-head elementwise chain into the bt WKV kernel. MEASURED NO
+# FASTER at the flagship shape (16.60 → 16.47 ms/step, B=128): the
+# per-head slice of the soup costs less in XLA than estimated, and the
+# kernel's extra operand transposes + per-head broadcast dots give it
+# back. Default OFF (keeps serving tokens on the established path);
+# kept as parity-tested tuning infrastructure — docs/PERF.md.
+STEP_FUSED = False
 
 
 def wkv_bt_active(use_pallas: bool, batch: int) -> bool:
@@ -519,6 +533,8 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
     bp = params["blocks"]
 
+    bt_fused = wkv_bt_active(use_pallas, B) and STEP_FUSED
+
     def layer_body(carry, inputs):
         x, v_first, idx = carry
         lp, att_x, ffn_x, wkv = inputs
@@ -526,6 +542,45 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
         h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         xx = att_x.astype(cdt) - h
+        if bt_fused and "zrkv" in lp:
+            # fused serving path: the per-head soup (decay transform,
+            # iclr/v-gate sigmoids, key-shaping l2norm, v-residual blend,
+            # group norm, rk bonus, output gate) runs INSIDE the bt WKV
+            # kernel — each [B, C] operand crosses HBM once instead of
+            # the ~25 small XLA passes of the unfused chain.
+            f32 = jnp.float32
+            r, k, v, lo = _fused_projections(lp, h, xx, cfg, cdt, raw=True)
+            v_f32 = v.astype(f32)
+
+            def btt(t):
+                return jnp.transpose(t.astype(f32).reshape(B, H, N),
+                                     (1, 2, 0))
+
+            params8 = jnp.stack([
+                lp["k_k"], lp["k_a"], lp["w0"], lp["a0"], lp["v0"],
+                lp["r_k"].reshape(-1), lp["ln_x_w"], lp["ln_x_b"],
+            ]).astype(f32).reshape(8, H, N)
+            from ..ops.wkv7 import wkv7_step_fused_bt_pallas
+            out_bt, wkv = wkv7_step_fused_bt_pallas(
+                btt(r), btt(lo[..., :C]), btt(lo[..., C:2 * C]),
+                btt(lo[..., 2 * C:3 * C]), btt(k), btt(v),
+                btt(lo[..., 3 * C:]), btt(v_first), wkv, params8,
+                jnp.where(is_first, 0.0, 1.0),
+                gn_eps=cfg.group_norm_eps)
+            wkv = wkv.astype(state_dt)
+            v_first = jnp.where(is_first, v_f32, v_first)
+            y_g = jnp.transpose(out_bt, (2, 0, 1)).reshape(B, C)
+            att = qmatmul(y_g.astype(cdt), lp["w_o"])
+            x = x + att
+            new_att_x = h.astype(f32)
+
+            h2 = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            xk2 = h2 + (ffn_x.astype(cdt) - h2) * lp["ffn_x_k"].astype(cdt)
+            ffn = qmatmul(jnp.square(jax.nn.relu(qmatmul(xk2, lp["ffn_k"]))),
+                          lp["ffn_v"])
+            x = x + ffn
+            return (x, v_first, idx + 1), (new_att_x, h2.astype(f32), wkv)
+
         if "zrkv" in lp:
             r, k, v, w, a, v_res_gate, g = _fused_projections(
                 lp, h, xx, cfg, cdt)

@@ -308,8 +308,9 @@ def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
     f32 = jnp.float32
     # 2 MB state blocks: in+out double-buffered (4 resident) + one f32
     # [N, N, B] loop temporary keeps scoped VMEM ≈ 8 + 2 MB < 16 MB.
+    # Lanes pad to 128, so B < 128 pays the 128-lane footprint.
     elem = jnp.dtype(state.dtype).itemsize
-    cap = max(1, (1 << 21) // (N * N * B * elem))
+    cap = max(1, (1 << 21) // (N * N * (-(-B // 128) * 128) * elem))
     Hb = 1
     for h in (8, 4, 2):
         if h <= cap and H % h == 0:
@@ -402,10 +403,13 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 
     # VMEM accounting (measured against the compiler's scoped-vmem OOMs):
     # state in AND out blocks are EACH double-buffered (4 × [Hb,N,N,B]
-    # f32), 6 seq in blocks [Tb,Hb,N,B] f32 double-buffered, y likewise.
-    # Choose the largest (Hb, Tb) under a 14 MB budget.
+    # f32), 6 seq in blocks [Tb,Hb,N,B] f32 double-buffered, y likewise —
+    # and the LANE dim pads to 128, so B < 128 still pays the 128-lane
+    # footprint. Choose the largest (Hb, Tb) under a 14 MB budget.
+    Bp = -(-B // 128) * 128
+
     def vmem_bytes(hb, tb_c):
-        return 4 * (4 * hb * N * N * B + 14 * tb_c * hb * N * B)
+        return 4 * (4 * hb * N * N * Bp + 14 * tb_c * hb * N * Bp)
 
     Hb, Tb = 1, 1
     for hb in (4, 2, 1):
@@ -515,18 +519,151 @@ def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = 16,
     return y.reshape(B, T, H, N), S_final
 
 
+# --------------------------------------------------------------------------
+# Fused decode-step kernel: the bt WKV update PLUS the per-head elementwise
+# soup around it. At batch 128 the decode step spends ~6.8 ms in ~30 small
+# [B, C] passes per layer (docs/PERF.md); the slice of it that is per-head
+# math — decay softplus/exp, iclr/v-gate sigmoids, key shaping l2-norm,
+# v-residual blend, post-WKV group norm, rk bonus, output gating — moves
+# in here, reading each operand from HBM once. Sub-head scalars ([B] per
+# head: l2 norm, GN mean/rstd, rk bonus) broadcast back over N with the
+# ones-matmul trick (Mosaic cannot relayout [1, B] → [N, B] directly).
+# --------------------------------------------------------------------------
+
+def _wkv7_step_fused_bt_kernel(nf_ref, r_ref, low_ref, loa_ref, lov_ref,
+                               k_ref, v_ref, g_ref, vf_ref, s_ref, pp_ref,
+                               out_ref, s_out_ref, *, gn_eps):
+    """Per-head fused step. Blocks: seq [Hb, N, B] f32 ×8, state
+    [Hb, N, N, B], params pack [8, Hb, N] f32 (k_k, k_a, w0, a0, v0, r_k,
+    ln_x_w, ln_x_b), nf: [1] SMEM f32 (0.0 on the v_first-capture layer,
+    else 1.0)."""
+    Hb = s_ref.shape[0]
+    N = r_ref.shape[1]
+    f32 = jnp.float32
+    notfirst = nf_ref[0]
+    ones = jnp.ones((N, 1), f32)
+    hp = jax.lax.Precision.HIGHEST
+    # the params pack arrives UNBLOCKED ([8, H, N] — blocking its middle
+    # dim by Hb < 8 violates the (8, 128) tile rule); index by absolute
+    # head
+    h0 = pl.program_id(0) * Hb
+
+    def bc(row1b):                            # [1, B] -> [N, B]
+        # ones-matmul broadcast: Mosaic cannot relayout a sublane-
+        # replicated [1, B] row onto [N, B] directly
+        return jax.lax.dot_general(
+            ones, row1b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hp)
+
+    def head(h, _):
+        col = lambda i: pp_ref[i, h0 + h][:, None]        # [N, 1]
+        s = s_ref[h].astype(f32)                          # [N, N, B]
+        r = r_ref[h]
+        w = -jax.nn.softplus(-(col(2) + low_ref[h])) - 0.5
+        d = jnp.exp(-jnp.exp(w))
+        iclr = jax.nn.sigmoid(col(3) + loa_ref[h])
+        gate = jax.nn.sigmoid(col(4) + lov_ref[h]) * notfirst
+        v_eff = v_ref[h] + (vf_ref[h] - v_ref[h]) * gate
+        kk0 = k_ref[h] * col(0)
+        inv = jax.lax.rsqrt(
+            jnp.sum(kk0 * kk0, axis=0, keepdims=True) + 1e-12)
+        kk = kk0 * bc(inv)
+        k_in = k_ref[h] * (1.0 + (iclr - 1.0) * col(1))
+        b_in = kk * iclr
+
+        sa = jnp.sum(s * (-kk)[None, :, :], axis=1)       # [N, B]
+        s = (s * d[None, :, :] + sa[:, None, :] * b_in[None, :, :]
+             + v_eff[:, None, :] * k_in[None, :, :])
+        s_out_ref[h] = s.astype(s_out_ref.dtype)
+        y = jnp.sum(s * r[None, :, :], axis=1)            # [N, B]
+
+        # GN stats via MXU column-sum dots: a plain axis-0 reduction of y
+        # (itself born from the axis-1 state reduction) hits a Mosaic
+        # "invalid relayout" — the dot launders the layout and sums in one
+        onr = jnp.ones((1, N), f32)
+
+        def csum(t):                          # [N, B] -> [1, B]
+            return jax.lax.dot_general(
+                onr, t, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=hp)
+
+        mu = csum(y) * (1.0 / N)
+        yc = y - bc(mu)
+        var = csum(yc * yc) * (1.0 / N)
+        yn = yc * bc(jax.lax.rsqrt(var + gn_eps))
+        yn = yn * col(6) + col(7)
+        rk = jnp.sum(r * k_in * col(5), axis=0, keepdims=True)
+        out_ref[h] = (yn + bc(rk) * v_eff) * g_ref[h]
+        return 0
+
+    jax.lax.fori_loop(0, Hb, head, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("gn_eps", "interpret"))
+def wkv7_step_fused_bt_pallas(r, lo_w, lo_a, lo_v, k, v, g, v_first, state,
+                              params8, notfirst, gn_eps: float = 64e-5,
+                              interpret=False):
+    """Fused decode step (see kernel above).
+
+    r, lo_w, lo_a, lo_v, k, v, g, v_first: [H, N, B] f32 (bt layout; lo_*
+    are the raw LoRA second-stage outputs, pre-bias/activation);
+    state [H, N, N, B]; params8 [8, H, N] f32 stacked per-head vectors
+    (k_k, k_a, w0, a0, v0, r_k, ln_x_w, ln_x_b); notfirst [1] f32.
+    Returns (out [H, N, B] f32 — normalized, bonused, gated attention
+    output ready for w_o — and new_state [H, N, N, B] in state.dtype).
+    Semantics mirror models/rwkv7.step's unfused chain (tested)."""
+    from jax.experimental.pallas import tpu as pltpu_  # noqa: F401
+
+    H, N, B = r.shape
+    f32 = jnp.float32
+    elem = jnp.dtype(state.dtype).itemsize
+    # padded-lane footprint (see wkv7_seq_bt_pallas)
+    cap = max(1, (1 << 21) // (N * N * (-(-B // 128) * 128) * elem))
+    Hb = 1
+    for h in (8, 4, 2):
+        if h <= cap and H % h == 0:
+            Hb = h
+            break
+
+    seq_spec = pl.BlockSpec((Hb, N, B), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Hb, N, N, B), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    pp_spec = pl.BlockSpec((8, H, N), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    nf_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out, s_out = pl.pallas_call(
+        functools.partial(_wkv7_step_fused_bt_kernel, gn_eps=gn_eps),
+        grid=(H // Hb,),
+        in_specs=[nf_spec] + [seq_spec] * 8 + [state_spec, pp_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), state.dtype),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(notfirst, f32).reshape(1),
+      r.astype(f32), lo_w.astype(f32), lo_a.astype(f32), lo_v.astype(f32),
+      k.astype(f32), v.astype(f32), g.astype(f32), v_first.astype(f32),
+      state, params8.astype(f32))
+    return out, s_out
+
+
 def wkv7_prefill_tpu(r, w, k, v, a, b, state):
     """TPU prefill dispatch: pick the fastest exact formulation by shape.
 
-    * B ≥ 64 — the sequence bt kernel directly (lanes ≥ half full; step
-      count (H/Hb)·T per layer vs the packed kernel's B·T);
-    * B < 64 — chunkwise-parallel with the sequence kernel as phase-A
-      inner: chunks multiply the lane dim to ≥ 128 (full VPU width), and
-      only the chunk-level [N,N] matmul scan stays sequential;
+    * B ≥ 128 — the sequence bt kernel directly (full lanes; step count
+      (H/Hb)·T per layer vs the packed kernel's B·T);
+    * B < 128 — chunkwise-parallel with the sequence kernel as phase-A
+      inner: chunks multiply the lane dim to ≥ 128 (full VPU width — a
+      partially-filled lane dim still pays the full 128-lane VMEM and
+      VPU cost), and only the chunk-level [N,N] matmul scan stays
+      sequential;
     * awkward T (no chunk divides it) — packed-heads fallback.
     """
     B, T, H, N = r.shape
-    if B >= 64:
+    if B >= 128:
         return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
     for L in (32, 16, 8, 4, 2):
         if T % L == 0 and T > L and B * (T // L) >= 128:

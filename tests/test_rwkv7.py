@@ -195,3 +195,51 @@ def test_fused_projections_match_unfused():
     lg_q, _ = rwkv7.step(qf, tok, got_st, cfg)
     assert lg_q.shape == want_lg2.shape
     assert bool(jnp.all(jnp.isfinite(lg_q)))
+
+
+def test_step_fused_serving_path_matches_unfused(monkeypatch):
+    """The serving decode step (bt-active batch + fused projections) must
+    produce the same logits/state through the fused soup kernel as through
+    the unfused XLA chain. Kernel runs in interpret mode on CPU."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwkv_tts_tpu.config import RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.ops import wkv7 as wkv7mod
+
+    cfg = RwkvConfig(n_layer=2, n_embd=64, head_size=16, vocab_size=512,
+                     padded_vocab_size=512, decay_lora=16, a_lora=16,
+                     v_lora=16, gate_lora=16, dtype="float32",
+                     param_dtype="float32")
+    B = 64                                    # >= BT_MIN_BATCH
+    params = rwkv7.fuse_params(
+        rwkv7.init_params(cfg, jax.random.PRNGKey(0)), cfg)
+    tok = jnp.asarray(np.arange(B) % 500, jnp.int32)
+    state = rwkv7.init_state(cfg, B)
+
+    # warm the state so v_first/group-norm paths see non-trivial values
+    _, state = rwkv7.step(params, tok, state, cfg, use_pallas=False)
+
+    want_logits, want_state = rwkv7.step(params, tok, state, cfg,
+                                         use_pallas=False)
+
+    monkeypatch.setattr(rwkv7, "STEP_FUSED", True)   # default off (PERF.md)
+    monkeypatch.setattr(
+        wkv7mod, "wkv7_step_fused_bt_pallas",
+        functools.partial(wkv7mod.wkv7_step_fused_bt_pallas,
+                          interpret=True))
+    st_bt = rwkv7.state_to_bt(state)
+    got_logits, got_state = rwkv7.step(params, tok, st_bt, cfg,
+                                       use_pallas=True)
+    got_state = rwkv7.state_from_bt(got_state)
+
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_state["wkv"]),
+                               np.asarray(want_state["wkv"]),
+                               rtol=2e-3, atol=2e-3)

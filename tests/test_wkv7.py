@@ -320,3 +320,74 @@ def test_chunked_with_seq_bt_inner():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_step_fused_bt_matches_unfused_chain():
+    """The fused decode-step kernel (decay/sigmoids/l2norm/v-blend + WKV +
+    group-norm/bonus/gate) must match the model's unfused op chain."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_single, wkv7_step_fused_bt_pallas
+
+    rng = np.random.default_rng(9)
+    B, H, N = 4, 3, 16
+    C = H * N
+    f32 = np.float32
+    r, k, v, v_first, g = (rng.normal(size=(B, C)).astype(f32) * 0.5
+                           for _ in range(5))
+    lo_w, lo_a, lo_v = (rng.normal(size=(B, C)).astype(f32)
+                        for _ in range(3))
+    k_k = rng.uniform(0.5, 1.0, C).astype(f32)
+    k_a = rng.uniform(0.5, 1.0, C).astype(f32)
+    w0 = rng.normal(size=C).astype(f32) - 4.0
+    a0, v0 = (rng.normal(size=C).astype(f32) * 0.1 for _ in range(2))
+    r_k = rng.normal(size=C).astype(f32) * 0.3
+    ln_w = rng.uniform(0.8, 1.2, C).astype(f32)
+    ln_b = rng.normal(size=C).astype(f32) * 0.1
+    state = rng.normal(size=(B, H, N, N)).astype(f32) * 0.2
+    eps = 64e-5
+
+    # ---- unfused oracle (mirrors models/rwkv7.step's bt-less chain) ----
+    def hv(t):
+        return t.reshape(B, H, N)
+
+    w = -np.logaddexp(0, -(w0 + lo_w)) - 0.5          # -softplus(-x)
+    iclr = 1.0 / (1.0 + np.exp(-(a0 + lo_a)))
+    gate = 1.0 / (1.0 + np.exp(-(v0 + lo_v)))
+    v_eff = v + (v_first - v) * gate
+    kk0 = (k * k_k).reshape(B, H, N)
+    kk = kk0 / np.sqrt((kk0 ** 2).sum(-1, keepdims=True) + 1e-12)
+    k_in = (k * (1 + (iclr - 1) * k_a)).reshape(B, H, N)
+    b_in = kk * iclr.reshape(B, H, N)
+    y, s2 = wkv7_single(*map(jnp.asarray, (
+        hv(r), hv(w), k_in, hv(v_eff), -kk, b_in, state)))
+    y = np.asarray(y)                                  # [B, H, N]
+    mu = y.mean(-1, keepdims=True)
+    var = y.var(-1, keepdims=True)
+    yn = (y - mu) / np.sqrt(var + eps)
+    yn = yn * ln_w.reshape(1, H, N) + ln_b.reshape(1, H, N)
+    rk = (hv(r) * k_in * r_k.reshape(1, H, N)).sum(-1, keepdims=True)
+    want = ((yn + rk * hv(v_eff)) * hv(g)).reshape(B, C)
+
+    # ---- fused kernel (bt layout) ----
+    def bt(t):
+        return jnp.asarray(np.transpose(t.reshape(B, H, N), (1, 2, 0)))
+
+    params8 = jnp.asarray(np.stack(
+        [x.reshape(H, N) for x in (k_k, k_a, w0, a0, v0, r_k, ln_w, ln_b)]))
+    out, s_out = wkv7_step_fused_bt_pallas(
+        bt(r), bt(lo_w), bt(lo_a), bt(lo_v), bt(k), bt(v), bt(g),
+        bt(v_first), jnp.asarray(np.transpose(state, (1, 2, 3, 0))),
+        params8, 1.0, gn_eps=eps,
+        interpret=jax.default_backend() != "tpu")
+    got = np.transpose(np.asarray(out), (2, 0, 1)).reshape(B, C)
+    got_s = np.transpose(np.asarray(s_out), (3, 0, 1, 2))
+
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_s, np.asarray(s2), rtol=2e-4, atol=2e-4)
+
+    # notfirst = 0 captures v (gate off): v_eff == v
+    out0, _ = wkv7_step_fused_bt_pallas(
+        bt(r), bt(lo_w), bt(lo_a), bt(lo_v), bt(k), bt(v), bt(g),
+        bt(np.zeros_like(v_first)), jnp.asarray(np.transpose(state, (1, 2, 3, 0))),
+        params8, 0.0, gn_eps=eps,
+        interpret=jax.default_backend() != "tpu")
+    assert np.all(np.isfinite(np.asarray(out0)))
