@@ -220,6 +220,37 @@ def _insert_slot(state, logits, new_state, new_logits, slot):
     return state, logits
 
 
+@jax.jit
+def _insert_burst(state, logits, new_state, new_logits, idx):
+    """Scatter a whole admission burst in ONE dispatch: new_state leaves
+    [L, M, …] land at slots idx [M] (duplicate idx entries carry identical
+    values — the burst is padded by repetition — so the scatter stays
+    deterministic)."""
+    state = jax.tree_util.tree_map(
+        lambda full, new: full.at[:, idx].set(new.astype(full.dtype)),
+        state, new_state)
+    logits = logits.at[idx].set(new_logits)
+    return state, logits
+
+
+@jax.jit
+def _admit_update(slots, idx, stage, limit, hard_min, zs, gkeys, skeys):
+    """Batched slot-field reset for an admission burst — one dispatch for
+    all keys instead of ~12 tiny device ops per request (each of which
+    costs a full round trip on a remote-tunnel TPU)."""
+    zero = jnp.zeros_like(stage)
+    out = dict(slots)
+    for k, v in (("stage", stage), ("override", zero - 1), ("n_glob", zero),
+                 ("n_step", zero), ("limit", limit), ("hard_min", hard_min),
+                 ("nwin", zero)):
+        out[k] = slots[k].at[idx].set(v.astype(slots[k].dtype))
+    out["zs"] = slots["zs"].at[idx].set(zs)
+    out["win"] = slots["win"].at[idx].set(False)
+    out["gkey"] = slots["gkey"].at[idx].set(gkeys)
+    out["skey"] = slots["skey"].at[idx].set(skeys)
+    return out
+
+
 @dataclasses.dataclass
 class _Live:
     request: TtsArgs
@@ -394,59 +425,98 @@ class ContinuousEngine:
         if not incoming:
             return
         # one batched chunked prefill for the whole admission burst (ragged
-        # lengths are handled by the masked prefill), then per-slot scatter
+        # lengths are handled by the masked prefill). The burst pads to a
+        # power-of-two bucket by REPEATING the last request, so prefill and
+        # the scatters compile once per bucket instead of once per burst
+        # size, and every device-side admission cost is O(1 dispatches) per
+        # burst — a per-request scatter loop costs ~12 round trips per
+        # request on a remote-tunnel TPU (measured: it dominated the
+        # continuous engine's wall clock there).
         prompts, texts = [], []
         for _, (args, _, _) in incoming:
             p, t = self.inner.build_prompt(args)
             prompts.append(p)
             texts.append(t)
-        stb = rwkv7.init_state(self.cfg, len(prompts))
-        lgb, stb = self.inner.prefill(prompts, stb)
+        m = len(incoming)
+        mb = 1
+        while mb < m:
+            mb *= 2
+        mb = min(mb, self.B)
+        pad = mb - m
+        prompts_p = prompts + [prompts[-1]] * pad
+        stb = rwkv7.init_state(self.cfg, mb)
+        lgb, stb = self.inner.prefill(prompts_p, stb)
         lgb = lgb[..., : self.logits.shape[-1]]
 
+        # host-side per-request values (padding repeats the last request —
+        # duplicate scatter indices then write identical values)
+        slots_np, stages, limits, hmins, zss, gkeys, skeys = \
+            [], [], [], [], [], [], []
         for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
             resolved = args
-            prompt, text_ids = prompts[j], texts[j]
-            st1 = jax.tree_util.tree_map(lambda x: x[:, j:j + 1], stb)
-            self.state, self.logits = self._insert(
-                self.state, self.logits, st1, lgb[j:j + 1], slot)
-
             seed = resolved.seed if resolved.seed is not None else \
                 int.from_bytes(__import__("os").urandom(4), "little")
             zs = bool(resolved.zero_shot)
             limit = min(resolved.max_tokens, C.MAX_SEMANTIC_TOKENS,
                         self.engine_cfg.max_semantic_tokens)
             if zs:
-                tlen = len(text_ids)
+                tlen = len(texts[j])
                 min_len = min(max(tlen // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
                 est = int(np.ceil(tlen * C.ZS_HARD_MIN_FACTOR))
                 hard_min = min(int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC),
                                max(min_len, est))
             else:
                 hard_min = 0
+            slots_np.append(slot)
+            stages.append(SEMANTIC if zs else GLOBAL)
+            limits.append(limit)
+            hmins.append(hard_min)
+            zss.append(zs)
+            gkeys.append(raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET))
+            skeys.append(raw_threefry_key(seed + C.SEMANTIC_SEED_OFFSET))
 
+        def padded(lst):
+            return np.asarray(lst + [lst[-1]] * pad)
+
+        idx = jnp.asarray(padded(slots_np), jnp.int32)
+        if self.mesh is None:
+            self.state, self.logits = _insert_burst(
+                self.state, self.logits, stb, lgb, idx)
+            self.slots = _admit_update(
+                self.slots, idx,
+                jnp.asarray(padded(stages), jnp.int32),
+                jnp.asarray(padded(limits), jnp.int32),
+                jnp.asarray(padded(hmins), jnp.int32),
+                jnp.asarray(padded(zss), bool),
+                jnp.asarray(np.stack(gkeys + [gkeys[-1]] * pad)),
+                jnp.asarray(np.stack(skeys + [skeys[-1]] * pad)))
+        else:
+            # sharded batch: per-slot scatters through the shard-pinned
+            # insert (admission rate is not the bottleneck on a local mesh)
             s = self.slots
-            upd = {
-                "stage": SEMANTIC if zs else GLOBAL,
-                "override": -1, "n_glob": 0, "n_step": 0,
-                "limit": limit, "hard_min": hard_min, "zs": zs,
-                "nwin": 0,
-            }
-            for k, v in upd.items():
-                s[k] = s[k].at[slot].set(v)
-            s["win"] = s["win"].at[slot].set(False)
-            s["gkey"] = s["gkey"].at[slot].set(
-                raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET))
-            s["skey"] = s["skey"].at[slot].set(
-                raw_threefry_key(seed + C.SEMANTIC_SEED_OFFSET))
+            for j, (slot, _) in enumerate(incoming):
+                st1 = jax.tree_util.tree_map(lambda x: x[:, j:j + 1], stb)
+                self.state, self.logits = self._insert(
+                    self.state, self.logits, st1, lgb[j:j + 1], slot)
+                upd = {"stage": stages[j], "override": -1, "n_glob": 0,
+                       "n_step": 0, "limit": limits[j],
+                       "hard_min": hmins[j], "zs": zss[j], "nwin": 0}
+                for k, v in upd.items():
+                    s[k] = s[k].at[slot].set(v)
+                s["win"] = s["win"].at[slot].set(False)
+                s["gkey"] = s["gkey"].at[slot].set(gkeys[j])
+                s["skey"] = s["skey"].at[slot].set(skeys[j])
 
+        for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
+            resolved = args
+            zs = zss[j]
             ref_g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
                      for t in (resolved.ref_global_tokens or [])] if zs else []
             with self._lock:
                 self._live[slot] = _Live(
                     request=resolved, result_cb=result_cb, chunk_cb=chunk_cb,
                     global_tokens=list(ref_g), semantic_tokens=[],
-                    prefill_tokens=len(prompt), zero_shot=zs,
+                    prefill_tokens=len(prompts[j]), zero_shot=zs,
                     t_start=time.perf_counter(),
                     admit_seq=self._block_seq,
                 )

@@ -11,7 +11,13 @@ Prints one JSON line:
   {"requests": N, "audio_sec": A, "wall_s_llm": W, "wall_s_e2e": W2,
    "xrt_continuous_e2e": A/W2, ...}
 
-Usage: python tools/bench_continuous.py [n_requests] [slots]
+Usage: python tools/bench_continuous.py [n_requests] [slots] [block]
+
+Caveat (this environment): the axon tunnel pays tens of ms of RTT per
+decode-block dispatch; on a locally-attached TPU that tax vanishes.
+Compare block=32 vs block=64 runs — if throughput scales with block
+size, the gap to bench.py's static number is dispatch RTT, not engine
+overhead.
 """
 
 import dataclasses
@@ -39,6 +45,7 @@ from rwkv_tts_tpu.models import bicodec, rwkv7
 def main():
     n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     on_tpu = jax.default_backend() == "tpu"
 
     cfg = dataclasses.replace(RwkvConfig(), state_dtype="bfloat16")
@@ -51,7 +58,7 @@ def main():
     from rwkv_tts_tpu.runtime.continuous import ContinuousEngine
     ecfg = EngineConfig(max_semantic_tokens=512, batch_size=slots)
     eng = ContinuousEngine(qparams, cfg, ecfg, use_pallas=on_tpu,
-                           block=32, slots=slots)
+                           block=block, slots=slots)
 
     # mixed lengths: 128/256/384/512-token caps, round-robin; varied texts
     words = ("the quick brown fox jumps over the lazy dog and keeps "
@@ -121,7 +128,7 @@ def main():
         "backend": jax.default_backend(),
         "requests": n_req,
         "slots": slots,
-        "block": 32,
+        "block": block,
         "token_caps": caps,
         "tokens_total": int(sum(tok_counts)),
         "audio_sec": round(audio_sec, 2),
