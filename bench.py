@@ -85,6 +85,7 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
         sem, sem_lens, state = semantic_stage(
             params, state, logits, keys, limits, hard_min,
             cfg, decode_steps, False, use_pallas=PALLAS_STEP,
+            feed_tag1=True,
         )
         return glob, sem, sem_lens
 
@@ -153,7 +154,7 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
                                                cfg, use_pallas=PALLAS_STEP)
         sem, sem_lens, state = semantic_stage(
             params, state, logits, keys, limits, hard_min, cfg, steps,
-            zero_shot, use_pallas=PALLAS_STEP)
+            zero_shot, use_pallas=PALLAS_STEP, feed_tag1=not zero_shot)
         wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 

@@ -650,6 +650,138 @@ def wkv7_step_fused_bt_pallas(r, lo_w, lo_a, lo_v, k, v, g, v_first, state,
     return out, s_out
 
 
+def _wkv7_chunk_pair_bt_kernel(r_ref, d_ref, k_ref, v_ref, a_ref, b_ref,
+                               y_ref, rho_ref, s_out_ref, p_out_ref):
+    """Phase A of the chunkwise decomposition, both runs in ONE kernel:
+    the S slab accumulates within-chunk writes from a ZERO state while the
+    P slab carries the transition product from an IDENTITY state — they
+    share the r/w/a/b DMA and the token loop (the two-run formulation
+    paid those twice). Blocks: seq [Tb, Hb, N, B]; slabs [Hb, N, N, B],
+    accumulated in the output refs (t minor in the grid). rho_t = P_t r_t
+    rides along as a second per-token output."""
+    Tb, Hb = r_ref.shape[0], r_ref.shape[1]
+    N = r_ref.shape[2]
+    tb = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(tb == 0)
+    def _():
+        s_out_ref[:] = jnp.zeros_like(s_out_ref)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Hb, N, N, 1), 1)
+        colk = jax.lax.broadcasted_iota(jnp.int32, (Hb, N, N, 1), 2)
+        p_out_ref[:] = jnp.broadcast_to(
+            (row == colk).astype(f32), p_out_ref.shape)
+
+    def tok(t, _):
+        def head(h, _):
+            d = d_ref[t, h]
+            a = a_ref[t, h]; b = b_ref[t, h]; k = k_ref[t, h]
+            v = v_ref[t, h]; r = r_ref[t, h]
+            s = s_out_ref[h]
+            sa = jnp.sum(s * a[None, :, :], axis=1)
+            s = (s * d[None, :, :] + sa[:, None, :] * b[None, :, :]
+                 + v[:, None, :] * k[None, :, :])
+            s_out_ref[h] = s
+            y_ref[t, h] = jnp.sum(s * r[None, :, :], axis=1)
+            p = p_out_ref[h]
+            pa = jnp.sum(p * a[None, :, :], axis=1)
+            p = p * d[None, :, :] + pa[:, None, :] * b[None, :, :]
+            p_out_ref[h] = p
+            rho_ref[t, h] = jnp.sum(p * r[None, :, :], axis=1)
+            return 0
+        jax.lax.fori_loop(0, Hb, head, 0)
+        return 0
+
+    jax.lax.fori_loop(0, Tb, tok, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_chunk_pair_bt_pallas(r, w, k, v, a, b, interpret=False):
+    """Run phase A's local run (zero init) AND transition run (identity
+    init, zero writes) in one kernel pass. Inputs [B, T, H, N]; returns
+    (y_loc, rho [B, T, H, N] f32, s_loc, P [B, H, N, N] f32)."""
+    B, T, H, N = r.shape
+    f32 = jnp.float32
+    decay = jnp.exp(-jnp.exp(w.astype(f32)))
+
+    def bt(x):
+        return jnp.transpose(x.astype(f32), (1, 2, 3, 0))
+
+    # VMEM: TWO accumulated slabs (each double-buffered) + 6 seq blocks +
+    # 2 per-token outputs, at the padded 128-lane footprint.
+    Bp = -(-B // 128) * 128
+
+    def vmem_bytes(hb, tb_c):
+        return 4 * (8 * hb * N * N * Bp + 16 * tb_c * hb * N * Bp)
+
+    Hb, Tb = 1, 1
+    for hb in (4, 2, 1):
+        if H % hb:
+            continue
+        for tb_c in (16, 8, 4, 2, 1):
+            if T % tb_c:
+                continue
+            if vmem_bytes(hb, tb_c) <= 14 * (1 << 20):
+                if hb * tb_c > Hb * Tb:
+                    Hb, Tb = hb, tb_c
+                break
+
+    seq_spec = pl.BlockSpec((Tb, Hb, N, B), lambda h, t: (t, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Hb, N, N, B), lambda h, t: (h, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    y, rho, s_out, p_out = pl.pallas_call(
+        _wkv7_chunk_pair_bt_kernel,
+        grid=(H // Hb, T // Tb),
+        in_specs=[seq_spec] * 6,
+        out_specs=[seq_spec, seq_spec, state_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, H, N, B), f32),
+            jax.ShapeDtypeStruct((T, H, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), f32),
+        ],
+        interpret=interpret,
+    )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b))
+    tr = lambda x: jnp.transpose(x, (3, 0, 1, 2))
+    return tr(y), tr(rho), tr(s_out), tr(p_out)
+
+
+def wkv7_chunked_fused(r, w, k, v, a, b, state, chunk: int,
+                       interpret: bool = False):
+    """Chunkwise-parallel WKV-7 with the paired phase-A kernel (see
+    :func:`wkv7_chunked` for the math; this fuses its two inner runs)."""
+    B, T, H, N = r.shape
+    L = chunk
+    n_c = T // L
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+
+    def resh(x):
+        return x.astype(f32).reshape(B * n_c, L, H, N)
+
+    y_loc, rho, s_loc, P = wkv7_chunk_pair_bt_pallas(
+        resh(r), resh(w), resh(k), resh(v), resh(a), resh(b),
+        interpret=interpret)
+
+    P_c = jnp.moveaxis(P.reshape(B, n_c, H, N, N), 1, 0)
+    s_loc_c = jnp.moveaxis(s_loc.reshape(B, n_c, H, N, N), 1, 0)
+
+    def body(S, xs):
+        P_i, sl_i = xs
+        S_next = jnp.einsum("bhij,bhjk->bhik", S, P_i, precision=hp) + sl_i
+        return S_next, S
+
+    S_final, S_in = jax.lax.scan(body, state.astype(f32), (P_c, s_loc_c))
+
+    rho_c = rho.reshape(B, n_c, L, H, N)
+    S_in = jnp.moveaxis(S_in, 0, 1)
+    y_inter = jnp.einsum("bchij,bclhj->bclhi", S_in, rho_c, precision=hp)
+    y = y_loc.reshape(B, n_c, L, H, N) + y_inter
+    return y.reshape(B, T, H, N), S_final
+
+
 def wkv7_prefill_tpu(r, w, k, v, a, b, state):
     """TPU prefill dispatch: pick the fastest exact formulation by shape.
 
@@ -667,8 +799,7 @@ def wkv7_prefill_tpu(r, w, k, v, a, b, state):
         return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
     for L in (32, 16, 8, 4, 2):
         if T % L == 0 and T > L and B * (T // L) >= 128:
-            return wkv7_chunked(r, w, k, v, a, b, state, chunk=L,
-                                inner=wkv7_seq_bt_pallas)
+            return wkv7_chunked_fused(r, w, k, v, a, b, state, chunk=L)
     return wkv7_pallas_packed(r, w, k, v, a, b, state)
 
 

@@ -116,14 +116,17 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "zero_shot",
-                                             "use_pallas"))
+                                             "use_pallas", "feed_tag1"))
 def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
                    cfg: RwkvConfig, max_steps: int, zero_shot: bool,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False, feed_tag1: bool = False):
     """Generate semantic tokens until per-slot EOS / per-slot limit.
 
     limits:   [B] int32 — per-request cap (min(max_tokens, 2048))
     hard_min: [B] int32 — EOS forbidden before this step (0 in normal mode)
+    feed_tag1: consume the TAG_1 separator as step −1 INSIDE this program
+    (normal mode; ``first_logits`` is then ignored) — one device dispatch
+    instead of a standalone step between the stages.
 
     Returns (tokens [B, max_steps], lengths [B], state).
     """
@@ -191,6 +194,11 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
     bt = rwkv7.wkv_bt_active(use_pallas, B)
     if bt:
         state = rwkv7.state_to_bt(state)
+    if feed_tag1:
+        tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
+        first_logits, state = rwkv7.step(params, tag1, state, cfg,
+                                         head_slice=hs,
+                                         use_pallas=use_pallas)
     carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
@@ -362,22 +370,15 @@ class TtsEngine:
                                            glob_keys, cfg,
                                            use_pallas=self.use_pallas_step)
 
-        tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
-        # the next stage samples from the semantic prefix only — skip the
-        # full-vocab head matmul on the TAG_1 step as well. jnp WKV path:
-        # a lone step isn't worth the state layout round trip the bt
-        # kernel requires.
-        logits, state = rwkv7.step(
-            self.params, tag1, state, cfg,
-            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size),
-            use_pallas=False)
-
+        # TAG_1 is consumed INSIDE the semantic-stage program
+        # (feed_tag1) — head-sliced like every decode step, and one
+        # device dispatch instead of a standalone step between stages.
         sem_keys = jnp.asarray(np.stack(
             [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
         sem, sem_lens, state = semantic_stage(
             self.params, state, logits, sem_keys, limits, hard_min,
             cfg, ecfg.max_semantic_tokens, False,
-            use_pallas=self.use_pallas_step,
+            use_pallas=self.use_pallas_step, feed_tag1=True,
         )
 
         glob_np, sem_np, len_np = np.asarray(glob), np.asarray(sem), np.asarray(sem_lens)

@@ -391,3 +391,29 @@ def test_step_fused_bt_matches_unfused_chain():
         params8, 0.0, gn_eps=eps,
         interpret=jax.default_backend() != "tpu")
     assert np.all(np.isfinite(np.asarray(out0)))
+
+
+def test_chunked_fused_pair_matches_scan():
+    """The paired phase-A kernel (one pass for both the local and
+    transition runs) must reproduce the sequential scan."""
+    import functools
+    from rwkv_tts_tpu.ops import wkv7 as W
+
+    rng = np.random.default_rng(11)
+    B, T, H, N = 2, 32, 2, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = W.wkv7_scan(*args)
+    interp = jax.default_backend() != "tpu"
+    y, s = W.wkv7_chunked_fused(*args, chunk=8, interpret=interp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=3e-4, atol=3e-4)
