@@ -347,19 +347,20 @@ def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 # step count drops to (H/Hb)·T per layer — 8× fewer at B=128 — and every
 # op runs full-lane-width. Sequence is walked in t-blocks with the state
 # carried in a VMEM scratch across blocks (same pattern as the packed
-# kernel); per-head inner loop keeps live temporaries at [N, N, B].
-# For B < 128 use :func:`wkv7_chunked` with this as the inner primitive:
-# chunking multiplies the lane dim by T/chunk, restoring full width.
+# kernel); per-head inner loop keeps live temporaries at [N, N, Bb]. The
+# lane dim is blocked at 128, so any B (or B·n_c from the chunked
+# wrapper) stays within the VMEM budget.
 # --------------------------------------------------------------------------
 
 def _wkv7_seq_bt_kernel(r_ref, d_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
                         y_ref, s_out_ref):
-    """Blocks: seq [Tb, Hb, N, B] (d = decay, precomputed), state
-    [Hb, N, N, B]. Grid (H/Hb, T/Tb): t minor, so the OUTPUT state block —
-    which doubles as the running state, saving a scratch copy's VMEM —
-    stays resident across the t-blocks of one head-block."""
+    """Blocks: seq [Tb, Hb, N, Bb] (d = decay, precomputed), state
+    [Hb, N, N, Bb]. Grid (lanes/Bb, H/Hb, T/Tb): t minor, so the OUTPUT
+    state block — which doubles as the running state, saving a scratch
+    copy's VMEM — stays resident across the t-blocks of one (lane-block,
+    head-block)."""
     Tb, Hb = r_ref.shape[0], r_ref.shape[1]
-    tb = pl.program_id(1)
+    tb = pl.program_id(2)
 
     @pl.when(tb == 0)
     def _():
@@ -388,9 +389,9 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
     """Batch-in-lanes sequence WKV-7; semantics of :func:`wkv7_scan`.
 
     r..b: [B, T, H, N]; state [B, H, N, N]. Returns (y [B, T, H, N] f32,
-    new_state [B, H, N, N] f32). Intended for B a multiple of 128 (lanes
-    full); smaller B works but pads lanes — route those through
-    :func:`wkv7_chunked` instead.
+    new_state [B, H, N, N] f32). The lane (batch) dim is blocked at 128,
+    so ANY B is VMEM-safe; B < 128 pads lanes (cost of the full 128-lane
+    block) — each lane's math is independent of the lane count.
     """
     B, T, H, N = r.shape
     f32 = jnp.float32
@@ -401,16 +402,45 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 
     s_bt = jnp.transpose(state.astype(f32), (1, 2, 3, 0))   # [H, N, N, B]
 
-    # VMEM accounting (measured against the compiler's scoped-vmem OOMs):
-    # state in AND out blocks are EACH double-buffered (4 × [Hb,N,N,B]
-    # f32), 6 seq in blocks [Tb,Hb,N,B] f32 double-buffered, y likewise —
-    # and the LANE dim pads to 128, so B < 128 still pays the 128-lane
-    # footprint. Choose the largest (Hb, Tb) under a 14 MB budget.
-    Bp = -(-B // 128) * 128
+    Bb, n_lb = _lane_blocks(B)
+    Hb, Tb = _pick_hb_tb(
+        lambda hb, tb_c: 4 * (4 * hb * N * N * 128 + 14 * tb_c * hb * N * 128),
+        H, T)
 
-    def vmem_bytes(hb, tb_c):
-        return 4 * (4 * hb * N * N * Bp + 14 * tb_c * hb * N * Bp)
+    seq_spec = pl.BlockSpec((Tb, Hb, N, Bb), lambda l, h, t: (t, h, 0, l),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((Hb, N, N, Bb), lambda l, h, t: (h, 0, 0, l),
+                              memory_space=pltpu.VMEM)
 
+    y, s_out = pl.pallas_call(
+        _wkv7_seq_bt_kernel,
+        grid=(n_lb, H // Hb, T // Tb),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, H, N, B), f32),
+            jax.ShapeDtypeStruct((H, N, N, B), f32),
+        ],
+        interpret=interpret,
+    )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b), s_bt)
+    return (jnp.transpose(y, (3, 0, 1, 2)),
+            jnp.transpose(s_out, (3, 0, 1, 2)))
+
+
+def _lane_blocks(B: int):
+    """Lane-dim blocking: 128-lane blocks when B divides cleanly, one
+    (padded) block otherwise. Keeps every slab at the 128-lane VMEM
+    footprint regardless of how many chunk-instances the caller packs."""
+    if B % 128 == 0:
+        return 128, B // 128
+    return B, 1
+
+
+def _pick_hb_tb(vmem_bytes, H: int, T: int):
+    """Largest (Hb, Tb) under a 14 MB scoped-VMEM budget (16 MB limit
+    minus slack). ``vmem_bytes(hb, tb)`` models the kernel's footprint at
+    the padded 128-lane width; (1, 1) always fits by construction of the
+    kernels' block shapes."""
     Hb, Tb = 1, 1
     for hb in (4, 2, 1):
         if H % hb:
@@ -422,25 +452,11 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
                 if hb * tb_c > Hb * Tb:
                     Hb, Tb = hb, tb_c
                 break
+    return Hb, Tb
 
-    seq_spec = pl.BlockSpec((Tb, Hb, N, B), lambda h, t: (t, h, 0, 0),
-                            memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec((Hb, N, N, B), lambda h, t: (h, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
 
-    y, s_out = pl.pallas_call(
-        _wkv7_seq_bt_kernel,
-        grid=(H // Hb, T // Tb),
-        in_specs=[seq_spec] * 6 + [state_spec],
-        out_specs=[seq_spec, state_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, H, N, B), f32),
-            jax.ShapeDtypeStruct((H, N, N, B), f32),
-        ],
-        interpret=interpret,
-    )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b), s_bt)
-    return (jnp.transpose(y, (3, 0, 1, 2)),
-            jnp.transpose(s_out, (3, 0, 1, 2)))
+# --------------------------------------------------------------------------
+# Chunkwise-parallel WKV-7 (prefill). The recurrence
 #     S_t = S_{t-1} M_t + v_t k_tᵀ,   M_t = diag(exp(-exp(w_t))) + a_t b_tᵀ
 # is linear in S, so a length-T sequence splits into T/L chunks whose
 # internals are independent given the chunk-entry state:
@@ -484,7 +500,6 @@ def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = 16,
     L = chunk
     n_c = T // L
     f32 = jnp.float32
-    hp = jax.lax.Precision.HIGHEST
 
     def resh(x):  # [B, T, H, N] -> [B·n_c, L, H, N]
         return x.astype(f32).reshape(B * n_c, L, H, N)
@@ -499,6 +514,18 @@ def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = 16,
     # transition run: P_τ carried as a zero-write state from identity;
     # its "output" is ρ_τ = P_τ r_τ and its final state is P = M_1…M_L
     rho, P = inner(r2, w2, zeros_seq, zeros_seq, a2, b2, eye_s)
+    return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
+
+
+def _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N):
+    """Phases B and C of the chunkwise decomposition (shared by the
+    generic two-run path and the fused pair-kernel path).
+
+    y_loc/rho: [B·n_c, L, H, N]; s_loc/P: [B·n_c, H, N, N];
+    state: [B, H, N, N] chunk-entry state of the whole sequence."""
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    n_c = T // L
 
     # phase B: chunk-level scan (the only sequential part)
     P_c = jnp.moveaxis(P.reshape(B, n_c, H, N, N), 1, 0)       # [n_c, B, …]
@@ -658,10 +685,11 @@ def _wkv7_chunk_pair_bt_kernel(r_ref, d_ref, k_ref, v_ref, a_ref, b_ref,
     share the r/w/a/b DMA and the token loop (the two-run formulation
     paid those twice). Blocks: seq [Tb, Hb, N, B]; slabs [Hb, N, N, B],
     accumulated in the output refs (t minor in the grid). rho_t = P_t r_t
-    rides along as a second per-token output."""
+    rides along as a second per-token output. Grid (lanes/Bb, H/Hb, T/Tb),
+    t minor."""
     Tb, Hb = r_ref.shape[0], r_ref.shape[1]
     N = r_ref.shape[2]
-    tb = pl.program_id(1)
+    tb = pl.program_id(2)
     f32 = jnp.float32
 
     @pl.when(tb == 0)
@@ -708,32 +736,20 @@ def wkv7_chunk_pair_bt_pallas(r, w, k, v, a, b, interpret=False):
         return jnp.transpose(x.astype(f32), (1, 2, 3, 0))
 
     # VMEM: TWO accumulated slabs (each double-buffered) + 6 seq blocks +
-    # 2 per-token outputs, at the padded 128-lane footprint.
-    Bp = -(-B // 128) * 128
+    # 2 per-token outputs, at the (lane-blocked) 128-lane footprint.
+    Bb, n_lb = _lane_blocks(B)
+    Hb, Tb = _pick_hb_tb(
+        lambda hb, tb_c: 4 * (8 * hb * N * N * 128 + 16 * tb_c * hb * N * 128),
+        H, T)
 
-    def vmem_bytes(hb, tb_c):
-        return 4 * (8 * hb * N * N * Bp + 16 * tb_c * hb * N * Bp)
-
-    Hb, Tb = 1, 1
-    for hb in (4, 2, 1):
-        if H % hb:
-            continue
-        for tb_c in (16, 8, 4, 2, 1):
-            if T % tb_c:
-                continue
-            if vmem_bytes(hb, tb_c) <= 14 * (1 << 20):
-                if hb * tb_c > Hb * Tb:
-                    Hb, Tb = hb, tb_c
-                break
-
-    seq_spec = pl.BlockSpec((Tb, Hb, N, B), lambda h, t: (t, h, 0, 0),
+    seq_spec = pl.BlockSpec((Tb, Hb, N, Bb), lambda l, h, t: (t, h, 0, l),
                             memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec((Hb, N, N, B), lambda h, t: (h, 0, 0, 0),
+    state_spec = pl.BlockSpec((Hb, N, N, Bb), lambda l, h, t: (h, 0, 0, l),
                               memory_space=pltpu.VMEM)
 
     y, rho, s_out, p_out = pl.pallas_call(
         _wkv7_chunk_pair_bt_kernel,
-        grid=(H // Hb, T // Tb),
+        grid=(n_lb, H // Hb, T // Tb),
         in_specs=[seq_spec] * 6,
         out_specs=[seq_spec, seq_spec, state_spec, state_spec],
         out_shape=[
@@ -756,7 +772,6 @@ def wkv7_chunked_fused(r, w, k, v, a, b, state, chunk: int,
     L = chunk
     n_c = T // L
     f32 = jnp.float32
-    hp = jax.lax.Precision.HIGHEST
 
     def resh(x):
         return x.astype(f32).reshape(B * n_c, L, H, N)
@@ -764,42 +779,55 @@ def wkv7_chunked_fused(r, w, k, v, a, b, state, chunk: int,
     y_loc, rho, s_loc, P = wkv7_chunk_pair_bt_pallas(
         resh(r), resh(w), resh(k), resh(v), resh(a), resh(b),
         interpret=interpret)
+    return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
 
-    P_c = jnp.moveaxis(P.reshape(B, n_c, H, N, N), 1, 0)
-    s_loc_c = jnp.moveaxis(s_loc.reshape(B, n_c, H, N, N), 1, 0)
 
-    def body(S, xs):
-        P_i, sl_i = xs
-        S_next = jnp.einsum("bhij,bhjk->bhik", S, P_i, precision=hp) + sl_i
-        return S_next, S
+def prefill_chunk_for(T: int):
+    """Chunk length for the chunkwise prefill: a pure function of T.
 
-    S_final, S_in = jax.lax.scan(body, state.astype(f32), (P_c, s_loc_c))
+    Every lane's math in the chunked decomposition is independent of the
+    lane count, so with L = f(T) the prefill numerics are identical
+    whether a request is prefilled alone or inside any batch/admission
+    burst of the same T bucket (the static and continuous engines must
+    stay token-identical — CLAUDE.md; a request's T bucket depends only
+    on its own prompt, never on its batch-mates).
 
-    rho_c = rho.reshape(B, n_c, L, H, N)
-    S_in = jnp.moveaxis(S_in, 0, 1)
-    y_inter = jnp.einsum("bchij,bclhj->bclhi", S_in, rho_c, precision=hp)
-    y = y_loc.reshape(B, n_c, L, H, N) + y_inter
-    return y.reshape(B, T, H, N), S_final
+    Why not a constant L: the phase-B/C combine materializes per-chunk
+    [N, N] states — O(B·n_c·H·N²) HBM — so n_c must stay bounded as T
+    grows (measured: fixed L=4 at T≥512 exceeds HBM). L ≈ T/16 keeps
+    n_c ≈ 16; the lane-blocked phase-A kernel then sees B·n_c ≤ ~2k
+    lanes, each block at the fixed 128-lane VMEM footprint.
+    """
+    if T % 4 != 0 or T <= 4:
+        return None
+    L = 4
+    while L * 2 <= T // 16 and T % (L * 2) == 0:
+        L *= 2
+    return L
 
 
 def wkv7_prefill_tpu(r, w, k, v, a, b, state):
     """TPU prefill dispatch: pick the fastest exact formulation by shape.
 
-    * B ≥ 128 — the sequence bt kernel directly (full lanes; step count
-      (H/Hb)·T per layer vs the packed kernel's B·T);
-    * B < 128 — chunkwise-parallel with the sequence kernel as phase-A
-      inner: chunks multiply the lane dim to ≥ 128 (full VPU width — a
-      partially-filled lane dim still pays the full 128-lane VMEM and
-      VPU cost), and only the chunk-level [N,N] matmul scan stays
-      sequential;
-    * awkward T (no chunk divides it) — packed-heads fallback.
+    * B < 128 — chunkwise-parallel with the paired phase-A kernel at the
+      batch-invariant chunk length :func:`prefill_chunk_for` (numerics
+      depend only on T — see there);
+    * B ≥ 128 — the sequence bt kernel directly: lanes are already full,
+      so chunking buys no phase-A parallelism (B·T/128 ≥ T steps) and
+      its phase-B/C combine costs O(B·n_c·H·N²) HBM traffic (measured
+      8.7× slower at B=128/T=64). Per-lane math is still lane-count
+      independent, so numerics are invariant for any B ≥ 128; the
+      boundary itself only matters offline — serving batches are ≤ 8–32
+      (config.EngineConfig.batch_size / BatchConfig.max_batch_size);
+    * awkward T (4 ∤ T) — packed-heads fallback (per-element sequential
+      math, also batch-size-independent).
     """
     B, T, H, N = r.shape
+    L = prefill_chunk_for(T)
     if B >= 128:
         return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
-    for L in (32, 16, 8, 4, 2):
-        if T % L == 0 and T > L and B * (T // L) >= 128:
-            return wkv7_chunked_fused(r, w, k, v, a, b, state, chunk=L)
+    if L is not None:
+        return wkv7_chunked_fused(r, w, k, v, a, b, state, chunk=L)
     return wkv7_pallas_packed(r, w, k, v, a, b, state)
 
 

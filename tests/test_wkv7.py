@@ -417,3 +417,41 @@ def test_chunked_fused_pair_matches_scan():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_prefill_chunk_is_batch_invariant():
+    """Engine token-identity (CLAUDE.md) requires prefill numerics to be
+    independent of how many requests share the batch: the chunk length is
+    a pure function of T, and a request's rows through the chunked
+    decomposition must be bitwise-equal at different batch sizes."""
+    from rwkv_tts_tpu.ops import wkv7 as W
+
+    # chunk length is a pure function of T (never of B) — and bounded n_c
+    assert W.prefill_chunk_for(16) == 4
+    assert W.prefill_chunk_for(64) == 4
+    assert W.prefill_chunk_for(256) == 16
+    assert W.prefill_chunk_for(1024) == 64
+    assert W.prefill_chunk_for(6) is None
+
+    rng = np.random.default_rng(12)
+    T, H, N = 16, 2, 16
+    one = [rng.normal(size=(1, T, H, N)).astype(np.float32) * 0.3
+           for _ in range(4)]
+    r, k, v, a = one
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, (1, T, H, N)).astype(np.float32)
+    w = -np.exp(rng.normal(size=(1, T, H, N))).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(1, H, N, N)).astype(np.float32) * 0.1
+
+    def run(batch):
+        tile = lambda x: jnp.asarray(np.tile(x, (batch,) + (1,) * (x.ndim - 1)))
+        y, s = W.wkv7_chunked_fused(
+            tile(r), tile(w), tile(k), tile(v), tile(a), tile(b), tile(s0),
+            chunk=W.prefill_chunk_for(T),
+            interpret=jax.default_backend() != "tpu")
+        return np.asarray(y[0]), np.asarray(s[0])
+
+    y1, s1 = run(1)
+    y8, s8 = run(8)
+    np.testing.assert_array_equal(y1, y8)
+    np.testing.assert_array_equal(s1, s8)

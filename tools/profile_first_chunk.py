@@ -5,8 +5,8 @@ times each stage separately on the real chip:
 
   * prefill          64-token masked batched forward
   * global stage     32 sequential decode steps (scan)
-  * TAG_1 step       one decode step
-  * semantic stage   48 sequential decode steps (while_loop + sampler)
+  * semantic stage   TAG_1 (folded, feed_tag1) + 48 sequential decode
+                     steps (while_loop + sampler) — matches the engine
   * vocode window    one 80-token windowed BiCodec decode (batch 1)
 
 Usage: python tools/profile_first_chunk.py [batch] [sem_steps]
@@ -89,23 +89,13 @@ def main():
                                          use_pallas=on_tpu)
     jax.block_until_ready(logits2)
 
-    # 3. TAG_1 step (jnp path, as the engine does)
-    tag1 = jnp.full((batch,), C.TTS_TAG_1, jnp.int32)
-
-    def run_tag1():
-        return rwkv7.step(qparams, tag1, state2, cfg, head_slice=hs,
-                          use_pallas=False)[0]
-    t_tag1 = timeit(run_tag1, tag="tag1")
-    logits3, state3 = rwkv7.step(qparams, tag1, state2, cfg, head_slice=hs,
-                                 use_pallas=False)
-    jax.block_until_ready(logits3)
-
-    # 4. semantic stage (48 steps)
+    # 3. semantic stage (TAG_1 folded + 48 steps, as the engine runs it)
     def run_sem():
-        return semantic_stage(qparams, state3, logits3, keys, limits,
+        return semantic_stage(qparams, state2, logits2, keys, limits,
                               hard_min, cfg, steps, False,
-                              use_pallas=on_tpu)[0]
-    t_sem = timeit(run_sem, tag=f"semantic{steps}")
+                              use_pallas=on_tpu, feed_tag1=True)[0]
+    t_sem = timeit(run_sem, tag=f"semantic{steps}+tag1")
+    t_tag1 = 0.0
 
     # 5. vocoder window (batch 1, 80 tokens)
     g_toks = jnp.zeros((1, C.GLOBAL_TOKENS_SIZE), jnp.int32)
@@ -120,9 +110,8 @@ def main():
     print(f"\nprefill({PREFILL})   : {t_pre*1e3:8.1f} ms")
     print(f"global (32)   : {t_glob*1e3:8.1f} ms  "
           f"({t_glob/32*1e3:.2f} ms/step)")
-    print(f"TAG_1 step    : {t_tag1*1e3:8.1f} ms")
-    print(f"semantic({steps})  : {t_sem*1e3:8.1f} ms  "
-          f"({t_sem/steps*1e3:.2f} ms/step)")
+    print(f"semantic({steps}+TAG_1): {t_sem*1e3:8.1f} ms  "
+          f"({t_sem/(steps+1)*1e3:.2f} ms/step)")
     print(f"vocode window : {t_voc*1e3:8.1f} ms")
     print(f"TOTAL         : {total*1e3:8.1f} ms "
           f"(bench first_chunk was 562.9)")
