@@ -54,6 +54,16 @@ PALLAS_STEP = jax.default_backend() == "tpu"
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 
+def _sync(x):
+    """Timing fence: fetch a single element. ``block_until_ready`` has
+    been observed returning before execution completes through the axon
+    tunnel for some programs (tools/profile_decode.py saw 0.003 ms/step
+    nonsense); a device_get cannot return early. Costs one ~35 ms RTT per
+    fence — negligible against the multi-second timed regions, and part
+    of delivering the audio anyway for the first-chunk figure."""
+    return jax.device_get(x.ravel()[:1])
+
+
 def make_inputs(batch, decode_steps):
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
@@ -102,21 +112,21 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
         return outs[-1]
 
     glob, sem, sem_lens = lm("warm")               # compile + warm up
-    sem.block_until_ready()
+    _sync(sem)
     assert int(jnp.min(sem_lens)) == decode_steps, "decode stopped early"
     wav = detok(glob, sem)                         # compile vocoder
-    wav.block_until_ready()
+    _sync(wav)
 
     t0 = time.perf_counter()
     for _ in range(n_iter):
         glob, sem, _ = lm("lm")
-    sem.block_until_ready()
+    _sync(sem)
     wall_lm = (time.perf_counter() - t0) / n_iter
 
     t0 = time.perf_counter()
     for _ in range(n_iter):
         wav = detok(glob, sem)
-    wav.block_until_ready()
+    _sync(wav)
     wall_detok = (time.perf_counter() - t0) / n_iter
 
     audio_sec = batch * decode_steps / C.TOKENS_PER_SECOND
@@ -158,11 +168,11 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
         wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 
-    run().block_until_ready()           # compile
+    _sync(run())                        # compile
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        run().block_until_ready()
+        _sync(run())
         best = min(best, (time.perf_counter() - t0) * 1000.0)
     return best
 
