@@ -22,6 +22,7 @@ models/convert.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -30,7 +31,8 @@ import jax.numpy as jnp
 from ..config import RwkvConfig
 from ..ops.quant import qmatmul
 from ..ops.wkv7 import (wkv7_scan, wkv7_pallas_packed, wkv7_prefill_tpu,
-                        wkv7_single, wkv7_single_bt_pallas)
+                        wkv7_single, wkv7_single_bt_pallas,
+                        wkv7_single_bt_stack)
 
 Params = Dict[str, Any]
 State = Dict[str, jax.Array]
@@ -251,6 +253,15 @@ BT_MIN_BATCH = 64
 # back. Default OFF (keeps serving tokens on the established path);
 # kept as parity-tested tuning infrastructure — docs/PERF.md.
 STEP_FUSED = False
+
+# Unroll factor for the decode step's layer scan. The per-step "soup"
+# (norms/LoRAs/lerps on [B, C] operands) launches ~20 fusions per layer;
+# unrolling lets XLA fuse across layer boundaries and cuts launch count.
+# Tunable via env for A/B runs on the chip.
+STEP_UNROLL = int(os.environ.get("RWKV_STEP_UNROLL", "1"))
+
+# Profiling-only: skip the WKV kernel in the decode step (see step()).
+_ABLATE_WKV = os.environ.get("RWKV_ABLATE_WKV") == "1"
 
 
 def wkv_bt_active(use_pallas: bool, batch: int) -> bool:
@@ -534,10 +545,20 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     bp = params["blocks"]
 
     bt_fused = wkv_bt_active(use_pallas, B) and STEP_FUSED
+    # default bt serving mode: the in-place stack kernel (the per-layer
+    # kernel + scan xs/ys costs 3 extra state round trips per step)
+    bt_stack = wkv_bt_active(use_pallas, B) and not bt_fused
 
     def layer_body(carry, inputs):
-        x, v_first, idx = carry
-        lp, att_x, ffn_x, wkv = inputs
+        if bt_stack:
+            # the full wkv stack rides the CARRY and is updated in place
+            # by the stack kernel (see wkv7_single_bt_stack) — no per-layer
+            # slice/update-slice, no per-step full-stack copy
+            x, v_first, idx, wkv = carry
+            lp, att_x, ffn_x = inputs
+        else:
+            x, v_first, idx = carry
+            lp, att_x, ffn_x, wkv = inputs
         is_first = idx == 0
 
         h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
@@ -629,11 +650,24 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             # six small [B, H, N] seq inputs transpose per step
             def bt(t):
                 return jnp.transpose(t.reshape(B, H, N), (1, 2, 0))
-            y, wkv = wkv7_single_bt_pallas(
-                bt(r.astype(jnp.float32)), bt(w), bt(k_in), bt(v),
-                bt(-kk), bt(kk * a), wkv,
-            )
-            wkv = wkv.astype(state_dt)
+            if _ABLATE_WKV:
+                # profiling-only passthrough (RWKV_ABLATE_WKV=1): keeps all
+                # operand producers alive but skips the kernel, isolating
+                # its in-context cost. NEVER a serving configuration.
+                y = bt(v) + 1e-30 * (bt(r.astype(jnp.float32)) + bt(w)
+                                     + bt(k_in) + bt(-kk) + bt(kk * a))
+            elif bt_stack:
+                y, wkv = wkv7_single_bt_stack(
+                    bt(r.astype(jnp.float32)), bt(w), bt(k_in), bt(v),
+                    bt(-kk), bt(kk * a), wkv, idx,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                y, wkv = wkv7_single_bt_pallas(
+                    bt(r.astype(jnp.float32)), bt(w), bt(k_in), bt(v),
+                    bt(-kk), bt(kk * a), wkv,
+                )
+                wkv = wkv.astype(state_dt)
             y = jnp.transpose(y, (2, 0, 1)).reshape(B, C)
         else:
             y, wkv = wkv7_single(
@@ -658,14 +692,25 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         x = x + ffn
         new_ffn_x = h2.astype(jnp.float32)
 
+        if bt_stack:
+            return (x, v_first, idx + 1, wkv), (new_att_x, new_ffn_x)
         return (x, v_first, idx + 1), (new_att_x, new_ffn_x, wkv)
 
     v_first0 = jnp.zeros((B, C), jnp.float32)
-    (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
-        layer_body,
-        (x, v_first0, jnp.int32(0)),
-        (bp, state["att_x"], state["ffn_x"], state["wkv"]),
-    )
+    if bt_stack:
+        (x, _, _, wkvs), (att_xs, ffn_xs) = jax.lax.scan(
+            layer_body,
+            (x, v_first0, jnp.int32(0), state["wkv"]),
+            (bp, state["att_x"], state["ffn_x"]),
+            unroll=STEP_UNROLL,
+        )
+    else:
+        (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+            layer_body,
+            (x, v_first0, jnp.int32(0)),
+            (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+            unroll=STEP_UNROLL,
+        )
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     head = params["head"]
     if head_slice is not None:

@@ -337,6 +337,86 @@ def wkv7_single_bt_pallas(r, w, k, v, a, b, state, interpret=False):
     return y, s_out
 
 
+def _wkv7_single_bt_stack_kernel(l_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
+                                 b_ref, s_ref, y_ref, s_out_ref):
+    """Same math as :func:`_wkv7_single_bt_kernel`, but the state blocks
+    address layer ``l_ref[0]`` of the FULL [L, H, N, N, B] stack (scalar-
+    prefetched index), so blocks are [1, Hb, N, N, B]."""
+    Hb = r_ref.shape[0]
+
+    def body(h, _):
+        s = s_ref[0, h].astype(jnp.float32)                  # [N, N, B]
+        d = jnp.exp(-jnp.exp(w_ref[h]))
+        a = a_ref[h]; b = b_ref[h]; k = k_ref[h]
+        v = v_ref[h]; r = r_ref[h]
+        sa = jnp.sum(s * a[None, :, :], axis=1)              # [N, B]
+        s = (s * d[None, :, :] + sa[:, None, :] * b[None, :, :]
+             + v[:, None, :] * k[None, :, :])
+        y_ref[h] = jnp.sum(s * r[None, :, :], axis=1)
+        s_out_ref[0, h] = s.astype(s_out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, Hb, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wkv7_single_bt_stack(r, w, k, v, a, b, state_stack, layer,
+                         interpret=False):
+    """In-place decode WKV on the FULL layer stack.
+
+    r..b: [H, N, B]; state_stack: [L, H, N, N, B] (any float dtype — cast
+    to f32 in VMEM); layer: scalar int32. Returns (y [H, N, B] f32,
+    new_stack) where ``new_stack`` is ALIASED to ``state_stack``'s buffer
+    (``input_output_aliases``): only layer ``layer``'s slab is rewritten,
+    the rest is preserved without being copied.
+
+    Why this exists: calling the per-layer kernel inside the layer scan
+    makes XLA materialize a dynamic-slice of the state before the custom
+    call, dynamic-update-slice the result back, AND copy the full stack
+    once per decode step to thread the scan carry — 3× extra round trips
+    of the dominant decode traffic (measured: the bt step spent 9.4 ms in
+    context vs 3.0 ms inside the kernel at B=128, the difference being
+    exactly these copies — docs/PERF.md). Addressing the stack in-kernel
+    via a scalar-prefetched layer index + output aliasing makes the state
+    cross HBM exactly once each way per step.
+    """
+    H, N, B = r.shape
+    f32 = jnp.float32
+    elem = jnp.dtype(state_stack.dtype).itemsize
+    cap = max(1, (1 << 21) // (N * N * (-(-B // 128) * 128) * elem))
+    Hb = 1
+    for h in (8, 4, 2):
+        if h <= cap and H % h == 0:
+            Hb = h
+            break
+
+    seq_spec = pl.BlockSpec((Hb, N, B), lambda i, l: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, Hb, N, N, B),
+                              lambda i, l: (l[0], i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H // Hb,),
+        in_specs=[seq_spec] * 6 + [state_spec],
+        out_specs=[seq_spec, state_spec],
+    )
+    y, s_out = pl.pallas_call(
+        _wkv7_single_bt_stack_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, N, B), f32),
+            jax.ShapeDtypeStruct(state_stack.shape, state_stack.dtype),
+        ],
+        # inputs are [layer, r, w, k, v, a, b, state]; outputs [y, state]
+        input_output_aliases={7: 1},
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
+      r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),
+      a.astype(f32), b.astype(f32), state_stack)
+    return y, s_out
+
+
 # --------------------------------------------------------------------------
 # Batch-in-lanes SEQUENCE kernel (prefill). The packed-heads kernel below
 # executes B·T sequential inner steps per layer (its grid is (B, T/t_block)

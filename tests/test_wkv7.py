@@ -455,3 +455,44 @@ def test_prefill_chunk_is_batch_invariant():
     y8, s8 = run(8)
     np.testing.assert_array_equal(y1, y8)
     np.testing.assert_array_equal(s1, s8)
+
+
+def test_single_bt_stack_in_place():
+    """The in-place stack decode kernel (wkv7_single_bt_stack): updates
+    exactly layer ``l``'s slab of the full [L, H, N, N, B] state stack
+    (aliased buffer), matches the per-layer kernel's math, and preserves
+    every other layer's slab."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_single_bt, wkv7_single_bt_stack
+
+    L = 3
+    r, w, k, v, a, b, s0 = _rand_inputs(T=1, B=3, H=4, seed=21)
+    interp = jax.default_backend() != "tpu"
+
+    def to_bt(x):        # [B, H, N] -> [H, N, B]
+        return jnp.transpose(jnp.asarray(x[:, 0]), (1, 2, 0))
+
+    bt_args = tuple(to_bt(x) for x in (r, w, k, v, a, b))
+    rng = np.random.default_rng(5)
+    for sdt in (jnp.float32, jnp.bfloat16):
+        stack = jnp.asarray(
+            rng.normal(size=(L,) + bt_args[0].shape[:2]
+                       + (bt_args[0].shape[1], bt_args[0].shape[2]))
+            .astype(np.float32) * 0.2).astype(sdt)  # [L, H, N, N, B]
+        for layer in (0, 2):
+            y_ref, s_ref = wkv7_single_bt(*bt_args,
+                                          stack[layer].astype(jnp.float32))
+            y, stack2 = wkv7_single_bt_stack(*bt_args, stack,
+                                             jnp.int32(layer),
+                                             interpret=interp)
+            assert stack2.dtype == sdt
+            tol = 2e-2 if sdt == jnp.bfloat16 else 1e-5
+            np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                       rtol=tol, atol=tol)
+            np.testing.assert_allclose(
+                np.asarray(stack2[layer], np.float32),
+                np.asarray(s_ref.astype(sdt), np.float32),
+                rtol=tol, atol=tol)
+            for other in range(L):       # untouched slabs preserved
+                if other != layer:
+                    np.testing.assert_array_equal(
+                        np.asarray(stack2[other]), np.asarray(stack[other]))
