@@ -197,6 +197,11 @@ class BiCodecConfig:
     dec_rates: Tuple[int, ...] = (8, 5, 4, 2)          # ∏ = 320 = hop
     dec_kernels: Tuple[int, ...] = (16, 11, 8, 4)
     dtype: str = "float32"
+    # wave-generator conv backend: "native" (XLA conv_general_dilated) or
+    # "mxu" (ops/conv1d Pallas kernel, bf16 operands / f32 accumulation,
+    # accuracy-gated by tests/test_codecs.py). Per-shape dispatch inside
+    # models/bicodec._wavegen_conv; see docs/PERF.md for measurements.
+    conv_impl: str = "native"
 
     @property
     def global_codebook(self) -> int:

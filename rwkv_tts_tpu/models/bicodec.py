@@ -455,25 +455,50 @@ def prenet_forward(p, zq, cond, cfg: BiCodecConfig):
     return jnp.moveaxis(h, 1, 2)
 
 
-def _residual_unit(p, x, dilation):
+def _wavegen_conv(cfg: BiCodecConfig):
+    """Conv backend for the wave generator, per ``cfg.conv_impl``.
+
+    "mxu" routes the stride-1 k7/k1 convs (the generator's FLOP bulk —
+    docs/PERF.md "BiCodec vocoder precision policy") to the Pallas
+    bf16-MXU kernel (ops/conv1d.conv1d_mxu); tconvs, the 1-channel
+    output conv and any grouped conv stay on the XLA path. CPU (tests)
+    runs the kernel in interpret mode so the policy stays testable."""
+    if cfg.conv_impl != "mxu":
+        return _conv1d
+    from ..ops.conv1d import conv1d_mxu
+    interp = jax.default_backend() != "tpu"
+
+    def conv(x, w, b=None, stride=1, dilation=1, groups=1, padding=0):
+        O, Ci, K = w.shape
+        if stride == 1 and groups == 1 and O >= 96 and Ci >= 96:
+            return conv1d_mxu(x, w, b, dilation=dilation, padding=padding,
+                              compute_dtype=jnp.bfloat16, out_dtype=x.dtype,
+                              interpret=interp)
+        return _conv1d(x, w, b, stride, dilation, groups, padding)
+
+    return conv
+
+
+def _residual_unit(p, x, dilation, conv=_conv1d):
     k = p["w1"].shape[-1]
     h = _snake(x, p["alpha1"])
-    h = _conv1d(h, p["w1"], p["b1"], dilation=dilation,
-                padding=(k - 1) * dilation // 2)
+    h = conv(h, p["w1"], p["b1"], dilation=dilation,
+             padding=(k - 1) * dilation // 2)
     h = _snake(h, p["alpha2"])
-    h = _conv1d(h, p["w2"], p["b2"])
+    h = conv(h, p["w2"], p["b2"])
     return x + h
 
 
 def wave_generator(p, x, cfg: BiCodecConfig):
     """x [B, 1024, S] → wav [B, S·320] in (−1, 1). DAC-style decoder."""
-    h = _conv1d(x, p["in_w"], p["in_b"], padding=p["in_w"].shape[-1] // 2)
+    conv = _wavegen_conv(cfg)
+    h = conv(x, p["in_w"], p["in_b"], padding=p["in_w"].shape[-1] // 2)
     for blk, rate, k in zip(p["blocks"], cfg.dec_rates, cfg.dec_kernels):
         h = _snake(h, blk["alpha"])
         h = _tconv1d(h, blk["up_w"], blk["up_b"], stride=rate,
                      padding=(k - rate) // 2)
         for ru, d in zip(blk["res"], (1, 3, 9)):
-            h = _residual_unit(ru, h, d)
+            h = _residual_unit(ru, h, d, conv=conv)
     h = _snake(h, p["alpha_out"])
     h = _conv1d(h, p["out_w"], p["out_b"], padding=p["out_w"].shape[-1] // 2)
     return jnp.tanh(h[:, 0, :].astype(jnp.float32))

@@ -118,6 +118,11 @@ class TtsPipeline:
         codec_dtype = kw.pop("codec_dtype", None)
         if codec_dtype is not None:
             bc_cfg = dataclasses.replace(bc_cfg, dtype=codec_dtype)
+        # ``codec_conv_impl`` selects the wave-generator conv backend
+        # ("native" | "mxu" — models/bicodec._wavegen_conv).
+        codec_conv_impl = kw.pop("codec_conv_impl", None)
+        if codec_conv_impl is not None:
+            bc_cfg = dataclasses.replace(bc_cfg, conv_impl=codec_conv_impl)
         return cls(lm_params, lm_cfg, bc_params, bc_cfg, w2v_params, w2v_cfg,
                    voice_store=VoiceStore(raf_dir), **kw)
 

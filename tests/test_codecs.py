@@ -109,6 +109,33 @@ def test_bicodec_decode_bf16_close_to_f32(bc_params):
     assert c > 0.999, f"bf16/f32 waveform correlation {c}"
 
 
+def test_bicodec_decode_mxu_conv_close_to_native():
+    """conv_impl="mxu" (the Pallas bf16 wave-generator conv backend,
+    models/bicodec._wavegen_conv) must track the native-conv f32 decode.
+    Uses a mid-size decoder so the >=96-channel dispatch threshold is
+    actually crossed at three stages (incl. dilations 1/3/9); on CPU the
+    kernel runs in interpret mode."""
+    import dataclasses
+    cfg = BiCodecConfig.tiny(feat_dim=64, semantic_codebook=128,
+                             dec_channels=384)
+    params = bicodec.init_params(cfg, jax.random.PRNGKey(11))
+    params = jax.tree_util.tree_map(
+        lambda a: (a * 0.5).astype(a.dtype)
+        if a.dtype == jnp.float32 else a, params)
+    S = 16
+    g = jax.random.randint(jax.random.PRNGKey(12), (1, 32), 0, 4096)
+    s = jax.random.randint(jax.random.PRNGKey(13), (1, S), 0, 128)
+    ref = np.asarray(bicodec.decode(params, g, s, cfg))
+    cfg_mxu = dataclasses.replace(cfg, conv_impl="mxu")
+    got = np.asarray(bicodec.decode(params, g, s, cfg_mxu))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 0.05 * scale, (
+        f"mxu vocoder diverged: max err {np.max(np.abs(got - ref))} "
+        f"vs signal {scale}")
+    c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999, f"mxu/native waveform correlation {c}"
+
+
 def test_detokenize_wrapper_pads_and_trims(bc_params):
     g = list(range(32))
     s = list(range(50))         # not a multiple of the bucket
