@@ -745,7 +745,13 @@ class OnnxBiCodec:
     def decode(self, global_tokens, semantic_tokens):
         g = jnp.asarray(global_tokens)[:, None, :].astype(jnp.int64)
         s = jnp.asarray(semantic_tokens).astype(jnp.int64)
-        return jnp.asarray(self.detok(global_tokens=g, semantic_tokens=s))
+        wav = jnp.asarray(self.detok(global_tokens=g, semantic_tokens=s))
+        # normalize to [B, W]: the export's wav_rec rank is unconstrained
+        # (the C++ sibling flattens it, sparktts.cpp:267) — some exports
+        # carry a size-1 channel axis that downstream [:, :S*hop] /
+        # streaming-window slices must not see.
+        B = s.shape[0]
+        return wav.reshape(B, -1)
 
 
 # --------------------------------------------------------------------------

@@ -101,6 +101,13 @@ def load_bicodec(codec_dir: str, cfg: Optional[BiCodecConfig] = None,
 
 
 def _bicodec_parity(native, graphs, cfg, tol=5e-3) -> bool:
+    """Cross-validate the native import against the transpiled graphs on
+    BOTH directions. Decode compares waveforms; encode compares the
+    discrete tokens (the encode side carries the RECONSTRUCTION guesses —
+    ECAPA skip wiring, perceiver norm placement, FSQ flatten — that only
+    the real export can confirm, so decode parity alone must not admit
+    the native path: wrong encode wiring silently breaks every cloned
+    voice)."""
     import jax.numpy as jnp
 
     from . import bicodec
@@ -111,11 +118,43 @@ def _bicodec_parity(native, graphs, cfg, tol=5e-3) -> bool:
         w_native = np.asarray(bicodec.decode(native, g, s, cfg))
         w_onnx = np.asarray(graphs.decode(g, s)).reshape(w_native.shape)
     except Exception as e:
-        log.error("BiCodec parity check failed to run: %s", e)
+        log.error("BiCodec decode parity check failed to run: %s", e)
         return False
     err = float(np.max(np.abs(w_native - w_onnx)))
-    log.info("BiCodec native-vs-ONNX max abs err: %.2e", err)
-    return err < tol
+    log.info("BiCodec decode native-vs-ONNX max abs err: %.2e", err)
+    if err >= tol:
+        return False
+
+    if graphs.tok is None:
+        log.warning("BiCodec encode parity skipped (no tokenize graph): "
+                    "native encode wiring is UNVERIFIED")
+        return True
+    feat = jnp.asarray(rng.standard_normal((1, 50, cfg.feat_dim)),
+                       jnp.float32)
+    mel = jnp.asarray(
+        rng.standard_normal((1, cfg.mel_bins, cfg.ref_mel_frames)),
+        jnp.float32)
+    try:
+        sem_n, glob_n = bicodec.encode(native, feat, mel, cfg)
+        sem_o, glob_o = graphs.encode(feat, mel)
+        sem_n, glob_n = np.asarray(sem_n).ravel(), np.asarray(glob_n).ravel()
+        sem_o, glob_o = np.asarray(sem_o).ravel(), np.asarray(glob_o).ravel()
+    except Exception as e:
+        log.error("BiCodec encode parity check failed to run: %s", e)
+        return False
+    if sem_n.shape != sem_o.shape or glob_n.shape != glob_o.shape:
+        log.error("BiCodec encode parity: shape mismatch (semantic %s vs "
+                  "%s, global %s vs %s)", sem_n.shape, sem_o.shape,
+                  glob_n.shape, glob_o.shape)
+        return False
+    # discrete tokens: allow a small near-tie quantization slack (fp
+    # reorders can flip an argmin on a near-tie); a miswired path agrees
+    # at chance level, far below the gate
+    sem_match = float(np.mean(sem_n == sem_o)) if sem_n.size else 1.0
+    glob_match = float(np.mean(glob_n == glob_o)) if glob_n.size else 1.0
+    log.info("BiCodec encode native-vs-ONNX token match: semantic %.1f%%, "
+             "global %.1f%%", 100 * sem_match, 100 * glob_match)
+    return sem_match >= 0.9 and glob_match >= 0.9
 
 
 def load_w2v(codec_dir: str, cfg: Optional[Wav2Vec2Config] = None):

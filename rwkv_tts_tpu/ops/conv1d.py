@@ -51,14 +51,18 @@ def _conv1d_windows_kernel(x_ref, w_ref, b_ref, y_ref, *, K, dil, t_blk,
     whole cell, so partial sums never touch HBM (the failure mode of the
     in-XLA tap-unroll)."""
     x = x_ref[0, 0] if x_ref.ndim == 4 else x_ref[0]      # [Ci, Tw]
+    # precision=HIGHEST: f32 operands otherwise lower to single-pass
+    # bf16-precision MXU dots on real TPU (CLAUDE.md rule; no-op for bf16
+    # operands, which hit the native MXU rate either way).
+    hi = jax.lax.Precision.HIGHEST
     acc = jax.lax.dot_general(
         w_ref[0], x[:, :t_blk], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [O_blk, T_blk]
+        preferred_element_type=jnp.float32, precision=hi) # [O_blk, T_blk]
     for k in range(1, K):
         acc += jax.lax.dot_general(
             w_ref[k], x[:, k * dil: k * dil + t_blk],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=hi)
     y_ref[0] = (acc + b_ref[...]).astype(out_dtype)
 
 

@@ -208,12 +208,13 @@ def wkv7_single_pallas(r, w, k, v, a, b, state, interpret=False):
     """
     B, H, N = r.shape
     f32 = jnp.float32
-    # largest block that divides B, bounded by a ~2 MB bf16 state block:
+    # largest block that divides B, bounded by a ~2 MB state block:
     # in+out state blocks are double-buffered (4 copies resident) and the
     # f32 loop temporaries add ~1 MB, so 2 MB/block keeps the scoped VMEM
-    # footprint ≈9 MB < the 16 MB limit (G=16 at flagship shape OOMs at
-    # 17.4 MB — measured).
-    cap = max(1, (1 << 20) // (H * N * N))
+    # footprint ≈9 MB < the 16 MB limit (G=16 at flagship bf16 shape OOMs
+    # at 17.4 MB — measured). Sized in bytes so an f32 state halves G
+    # instead of doubling the resident blocks.
+    cap = max(1, (2 << 20) // (H * N * N * state.dtype.itemsize))
     G = 1
     for g in (16, 8, 4, 2):
         if g <= cap and B % g == 0:
@@ -483,8 +484,9 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
     s_bt = jnp.transpose(state.astype(f32), (1, 2, 3, 0))   # [H, N, N, B]
 
     Bb, n_lb = _lane_blocks(B)
+    lanes = -(-Bb // 128) * 128          # Mosaic pads lanes to 128 multiples
     Hb, Tb = _pick_hb_tb(
-        lambda hb, tb_c: 4 * (4 * hb * N * N * 128 + 14 * tb_c * hb * N * 128),
+        lambda hb, tb_c: 4 * (4 * hb * N * N + 14 * tb_c * hb * N) * lanes,
         H, T)
 
     seq_spec = pl.BlockSpec((Tb, Hb, N, Bb), lambda l, h, t: (t, h, 0, l),
@@ -519,8 +521,9 @@ def _lane_blocks(B: int):
 def _pick_hb_tb(vmem_bytes, H: int, T: int):
     """Largest (Hb, Tb) under a 14 MB scoped-VMEM budget (16 MB limit
     minus slack). ``vmem_bytes(hb, tb)`` models the kernel's footprint at
-    the padded 128-lane width; (1, 1) always fits by construction of the
-    kernels' block shapes."""
+    the caller's lane-block width padded to a 128 multiple (Mosaic pads
+    the lane dim, so e.g. a single 192-lane block occupies 256 lanes);
+    (1, 1) always fits by construction of the kernels' block shapes."""
     Hb, Tb = 1, 1
     for hb in (4, 2, 1):
         if H % hb:
@@ -816,10 +819,11 @@ def wkv7_chunk_pair_bt_pallas(r, w, k, v, a, b, interpret=False):
         return jnp.transpose(x.astype(f32), (1, 2, 3, 0))
 
     # VMEM: TWO accumulated slabs (each double-buffered) + 6 seq blocks +
-    # 2 per-token outputs, at the (lane-blocked) 128-lane footprint.
+    # 2 per-token outputs, at the (lane-blocked, 128-padded) lane footprint.
     Bb, n_lb = _lane_blocks(B)
+    lanes = -(-Bb // 128) * 128          # Mosaic pads lanes to 128 multiples
     Hb, Tb = _pick_hb_tb(
-        lambda hb, tb_c: 4 * (8 * hb * N * N * 128 + 16 * tb_c * hb * N * 128),
+        lambda hb, tb_c: 4 * (8 * hb * N * N + 16 * tb_c * hb * N) * lanes,
         H, T)
 
     seq_spec = pl.BlockSpec((Tb, Hb, N, Bb), lambda l, h, t: (t, h, 0, l),
@@ -866,11 +870,18 @@ def prefill_chunk_for(T: int):
     """Chunk length for the chunkwise prefill: a pure function of T.
 
     Every lane's math in the chunked decomposition is independent of the
-    lane count, so with L = f(T) the prefill numerics are identical
-    whether a request is prefilled alone or inside any batch/admission
-    burst of the same T bucket (the static and continuous engines must
-    stay token-identical — CLAUDE.md; a request's T bucket depends only
-    on its own prompt, never on its batch-mates).
+    lane count, so with L = f(T) the prefill numerics are identical for
+    every request prefilled at the same T bucket, regardless of batch
+    size or burst composition. The T bucket itself is chosen from the
+    BATCH-MAX prompt length (engine.py:prefill), so on TPU a request's
+    chunk boundaries — and hence f32 reduction order — can still shift
+    with its batch-mates: near-tie samples may then differ between
+    groupings (e.g. static vs continuous engines, which batch
+    differently). That is the same accepted deviation class as occupancy
+    buckets and the B≥128 kernel-dispatch boundary (see
+    runtime/continuous.decode_block_bucketed and wkv7_prefill_tpu);
+    CPU parity tests pin use_pallas=False, where the scan path is
+    bit-identical across all groupings.
 
     Why not a constant L: the phase-B/C combine materializes per-chunk
     [N, N] states — O(B·n_c·H·N²) HBM — so n_c must stay bounded as T

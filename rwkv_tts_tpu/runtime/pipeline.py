@@ -292,16 +292,24 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     modes = (False, True) if zero_shot_too else (False,)
     for zs in modes:
         t0 = time.perf_counter()
+        # feed_tag1 is a static argname and must match the serving call
+        # exactly (normal mode folds TAG_1 into the stage, zero-shot does
+        # not — engine.py:353,378); a mismatched variant compiles a
+        # program no serving path ever runs.
         sem, lens, _ = semantic_stage(
             eng.params, st2, lg2, keys, limits, jnp.zeros((B,), jnp.int32),
-            cfg, ecfg.max_semantic_tokens, zs, use_pallas=eng.use_pallas_step)
+            cfg, ecfg.max_semantic_tokens, zs, use_pallas=eng.use_pallas_step,
+            feed_tag1=not zs)
         sem.block_until_ready()
         out[f"semantic_{'zs' if zs else 'normal'}"] = \
             round(time.perf_counter() - t0, 2)
     for S in detok_buckets:
         t0 = time.perf_counter()
+        # default bucket ladder, same as serving: detokenize pads to
+        # S + receptive_latents and buckets on DETOKENIZE_BUCKETS, so a
+        # fixed bucket=(S,) here would compile shapes serving never uses.
         bicodec.detokenize(self.bicodec_params, [0] * 32, [0] * S,
-                           self.bicodec_cfg, bucket=(S,))
+                           self.bicodec_cfg)
         out[f"detokenize_{S}"] = round(time.perf_counter() - t0, 2)
     return out
 

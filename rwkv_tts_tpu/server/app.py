@@ -37,6 +37,17 @@ import tempfile
 import time
 import uuid
 
+# Platform override BEFORE any package import (package modules keep
+# module-level device constants, so the backend initializes at import
+# time). The plain JAX_PLATFORMS env var is not enough on hosts whose
+# sitecustomize re-pins it (this repo's TPU-tunnel environment does);
+# jax.config wins over the env var, so RWKV_TTS_PLATFORM=cpu reliably
+# gets a CPU server for dev/CI.
+if os.environ.get("RWKV_TTS_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["RWKV_TTS_PLATFORM"])
+
 from aiohttp import web
 
 from .. import constants as C

@@ -185,6 +185,49 @@ def test_pipeline_warmup_smoke(bc_params):
         and "detokenize_64" in times
 
 
+def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
+    """Warmup must call the stage/vocoder programs with the SAME static
+    arguments serving uses, or the compile it pays for is wasted and the
+    first request stalls on a fresh compile: normal mode passes
+    feed_tag1=True (engine.py), zero-shot False; detokenize must bucket
+    on the serving DETOKENIZE_BUCKETS ladder, not a fixed shape."""
+    import jax
+    from rwkv_tts_tpu.config import EngineConfig, RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.runtime import engine as eng_mod
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+
+    lm_cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=1000,
+                        padded_vocab_size=1024, decay_lora=16, a_lora=16,
+                        v_lora=8, gate_lora=16, dtype="float32",
+                        param_dtype="float32")
+    pipe = TtsPipeline(
+        rwkv7.init_params(lm_cfg, jax.random.PRNGKey(0)), lm_cfg,
+        bc_params, BC_CFG, voice_store=None,
+        engine_cfg=EngineConfig(prefill_buckets=(16,),
+                                max_semantic_tokens=8),
+        use_pallas=False)
+
+    seen = []
+    real_stage = eng_mod.semantic_stage
+    monkeypatch.setattr(
+        eng_mod, "semantic_stage",
+        lambda *a, **kw: seen.append((a[8], kw.get("feed_tag1", False)))
+        or real_stage(*a, **kw))
+    real_detok = bicodec.detokenize
+    detok_buckets = []
+    monkeypatch.setattr(
+        bicodec, "detokenize",
+        lambda params, g, s, cfg, **kw: detok_buckets.append(
+            kw.get("bucket", bicodec.DETOKENIZE_BUCKETS))
+        or real_detok(params, g, s, cfg, **kw))
+
+    pipe.warmup(detok_buckets=(64,))
+    # (zero_shot, feed_tag1): serving pairs only — engine.py:353,378
+    assert (False, True) in seen and (True, False) in seen
+    assert all(b == bicodec.DETOKENIZE_BUCKETS for b in detok_buckets)
+
+
 def test_conv1d_im2col_matches_native():
     """The im2col GEMM formulation (bf16-policy fast path) must equal the
     native conv lowering up to dot-order reassociation — all the wave
