@@ -159,6 +159,42 @@ def test_missing_codec_raises_or_warns(tmp_path, caplog):
     assert any("RANDOM codec weights" in r.message for r in caplog.records)
 
 
+def test_onnx_decode_normalizes_3d_wav_rec(model_dir, torch_model, tmp_path):
+    """The exported wav_rec rank is unconstrained (the C++ sibling
+    flattens whatever comes out, sparktts.cpp:267). An export that keeps
+    a size-1 channel axis must still yield [B, W] from OnnxBiCodec.decode
+    — downstream detokenize/streaming slice [:, :S*hop] and a silent
+    [1, 1, W] would slice the channel axis instead."""
+
+    class _Detok3D(nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, global_tokens, semantic_tokens):
+            return self.m.detokenize(
+                semantic_tokens, global_tokens.squeeze(1)).unsqueeze(1)
+
+    g = torch.randint(0, CFG.global_codebook, (1, 1, 32))
+    s = torch.randint(0, CFG.semantic_codebook, (1, 24))
+    with torch.no_grad():
+        torch.onnx.export(
+            _Detok3D(torch_model), (g, s),
+            str(tmp_path / "BiCodecDetokenize.onnx"),
+            input_names=["global_tokens", "semantic_tokens"],
+            output_names=["wav_rec"],
+            dynamic_axes={"semantic_tokens": {1: "S"},
+                          "wav_rec": {2: "N"}},
+            opset_version=17, dynamo=False)
+    codec = bc.OnnxBiCodec(None, str(tmp_path / "BiCodecDetokenize.onnx"))
+    wav = np.asarray(codec.decode(jnp.asarray(g.squeeze(1).numpy()),
+                                  jnp.asarray(s.numpy())))
+    assert wav.shape == (1, 24 * 320)
+    full = bc.detokenize(codec, list(g[0, 0].numpy()), list(s[0].numpy()),
+                         CFG, bucket=16)
+    assert full.shape == (1, 24 * 320) and np.all(np.isfinite(full))
+
+
 def test_detokenize_wrapper_uses_onnx_codec(model_dir, torch_model):
     codec = bc.OnnxBiCodec(str(model_dir / "BiCodecTokenize.onnx"),
                            str(model_dir / "BiCodecDetokenize.onnx"))
