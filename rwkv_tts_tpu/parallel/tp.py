@@ -1,0 +1,241 @@
+"""Tensor-parallel RWKV-7 decode: shard the LAYER weights, not just the
+vocab head.
+
+Why this exists: the single-chip decode step is weight-load bound — at the
+flagship shape ~3.6 of ~5.9 ms/step is streaming the 2.9 GB of int8 layer
+weights through the MXU pipe (docs/PERF.md), so the first-chunk latency
+floor (~420 ms) cannot move on one chip. The ``parallel/mesh.py`` rules
+shard only the embedding/head over the ``model`` axis, which divides the
+78k-row head but leaves every layer weight replicated: a TP group still
+streams the full 2.9 GB per step. This module adds real Megatron-style
+tensor parallelism over the HEAD dimension so a TP=k slice streams 1/k of
+the weights per chip per step.
+
+Sharding plan (heads are the natural split — WKV, group-norm, the rk
+bonus, and the output gate are all per-head local):
+
+  * column-parallel (out dim = head space, sharded): w_r/w_k/w_v, the
+    LoRA second stages w2/a2/v2/g2, per-channel head-space vectors
+    (w0/a0/v0/k_k/k_a/ln_x_w/ln_x_b), r_k, ffn_k;
+  * row-parallel (in dim = head space, sharded; partial sums psum over
+    the ``model`` axis): w_o, ffn_v — two psums of [B, C] per layer, the
+    classic 2-collectives-per-block Megatron pattern riding ICI;
+  * replicated: the residual stream x, layernorms, token-shift mixes,
+    LoRA first stages (tiny), embedding rows;
+  * head: row-parallel over C ([C/k, V] per chip) — composes with
+    ``head_slice`` (the sampleable TTS prefix) and divides the head's
+    weight traffic, unlike vocab-column sharding where the <8320 prefix
+    lives entirely on shard 0.
+
+The recurrent state shards over BOTH mesh axes: wkv [L, B, H, N, N] →
+(None, data, model, None, None).
+
+The reference has no analog (single GPU, SURVEY.md §2.4); this is the
+framework's path below the single-chip first-chunk floor. Token parity
+with the unsharded step is tested on the virtual CPU mesh
+(tests/test_tp.py); per-step ICI cost is 2·L psums of [B, C] + one
+[B, head_slice] psum (~100-200 µs at B=8/L=32 on a v5e slice), against
+~2.7 ms/step of weight stream saved at TP=4.
+
+Quantized (int8/int4) and fused (zrkv) serving layouts are not yet
+TP-sharded — this path targets the small-batch latency mode, which runs
+the plain-weight jnp WKV chain anyway (ops/wkv7.BT_MIN_BATCH).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RwkvConfig
+from ..models.rwkv7 import Params, State, _group_norm, _l2norm_heads, _layer_norm
+from ..ops.quant import qmatmul
+from ..ops.wkv7 import wkv7_single
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+# blocks-dict leaf → PartitionSpec (raw/unfused layout; leading L axis)
+_BLOCK_SPECS: Dict[str, P] = {
+    # column-parallel projections (out dim = head space)
+    "w_r": P(None, None, MODEL_AXIS),
+    "w_k": P(None, None, MODEL_AXIS),
+    "w_v": P(None, None, MODEL_AXIS),
+    "w2": P(None, None, MODEL_AXIS),
+    "a2": P(None, None, MODEL_AXIS),
+    "v2": P(None, None, MODEL_AXIS),
+    "g2": P(None, None, MODEL_AXIS),
+    "ffn_k": P(None, None, MODEL_AXIS),
+    # row-parallel (in dim = head space; psum after)
+    "w_o": P(None, MODEL_AXIS, None),
+    "ffn_v": P(None, MODEL_AXIS, None),
+    # per-channel head-space vectors
+    "w0": P(None, MODEL_AXIS),
+    "a0": P(None, MODEL_AXIS),
+    "v0": P(None, MODEL_AXIS),
+    "k_k": P(None, MODEL_AXIS),
+    "k_a": P(None, MODEL_AXIS),
+    "ln_x_w": P(None, MODEL_AXIS),
+    "ln_x_b": P(None, MODEL_AXIS),
+    "r_k": P(None, MODEL_AXIS, None),            # [L, H, N]
+}
+
+
+def tp_param_specs(params: Params):
+    """PartitionSpec pytree for a RAW (unfused, unquantized) params tree."""
+    def spec_for(path, x):
+        name = str(getattr(path[-1], "key", path[-1]))
+        top = str(getattr(path[0], "key", path[0]))
+        if top == "head":
+            return P(MODEL_AXIS, None)            # row-parallel [C, V]
+        if top == "blocks" and name in _BLOCK_SPECS:
+            return _BLOCK_SPECS[name]
+        return P(*([None] * x.ndim))              # replicated
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_state_specs(state: State):
+    """wkv shards over (data, model); shift states over data only."""
+    return {
+        "att_x": P(None, DATA_AXIS, None),
+        "ffn_x": P(None, DATA_AXIS, None),
+        "wkv": P(None, DATA_AXIS, MODEL_AXIS, None, None),
+    }
+
+
+def shard_params_tp(mesh: Mesh, params: Params) -> Params:
+    specs = tp_param_specs(params)
+    return jax.device_put(
+        params,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                               is_leaf=lambda x: isinstance(x, P)))
+
+
+def shard_state_tp(mesh: Mesh, state: State) -> State:
+    specs = tp_state_specs(state)
+    return jax.device_put(
+        state,
+        jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                               is_leaf=lambda x: isinstance(x, P)))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "head_slice"))
+def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
+            mesh: Mesh, head_slice: Optional[int] = None
+            ) -> Tuple[jax.Array, State]:
+    """Tensor-parallel single-token decode step.
+
+    Semantics of models/rwkv7.step (unfused path): token [B] → logits
+    [B, head_slice or V] and the updated recurrent state — but every
+    device of the ``model`` axis holds (and streams) only its head shard
+    of the layer weights. f32 partial-sum order differs from the
+    unsharded dot, so near-tie samples may flip — the same deviation
+    class as every other batch-shape boundary (ops/wkv7.prefill_chunk_for).
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    H, N, C = cfg.n_head, cfg.head_size, cfg.n_embd
+    if H % tp:
+        raise ValueError(f"n_head={H} not divisible by model axis {tp}")
+    H_loc = H // tp
+    C_loc = H_loc * N
+    C_row = C // tp
+    cdt = jnp.dtype(cfg.dtype)
+    state_dt = jnp.dtype(cfg.state_dtype)
+    f32 = jnp.float32
+
+    p_specs = tp_param_specs(params)
+    s_specs = tp_state_specs(state)
+
+    def inner(params, token, state):
+        midx = jax.lax.axis_index(MODEL_AXIS)
+        B = token.shape[0]
+        x = params["emb"][token].astype(cdt)
+        x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+        bp = params["blocks"]
+
+        def layer_body(carry, inputs):
+            x, v_first, idx = carry
+            lp, att_x, ffn_x, wkv = inputs
+            is_first = idx == 0
+
+            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            xx = att_x.astype(cdt) - h
+            xr = h + xx * lp["x_r"].astype(cdt)
+            xw = h + xx * lp["x_w"].astype(cdt)
+            xk = h + xx * lp["x_k"].astype(cdt)
+            xv = h + xx * lp["x_v"].astype(cdt)
+            xa = h + xx * lp["x_a"].astype(cdt)
+            xg = h + xx * lp["x_g"].astype(cdt)
+
+            r = qmatmul(xr, lp["w_r"])                     # [B, C_loc]
+            w_lora = jnp.tanh(xw.astype(f32) @ lp["w1"].astype(f32))
+            w = -jax.nn.softplus(
+                -(lp["w0"] + w_lora @ lp["w2"].astype(f32))) - 0.5
+            k = qmatmul(xk, lp["w_k"])
+            v = qmatmul(xv, lp["w_v"])
+            v_res_gate = jax.nn.sigmoid(
+                lp["v0"]
+                + (xv.astype(f32) @ lp["v1"].astype(f32))
+                @ lp["v2"].astype(f32))
+            a = jax.nn.sigmoid(
+                lp["a0"]
+                + (xa.astype(f32) @ lp["a1"].astype(f32))
+                @ lp["a2"].astype(f32))
+            g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
+
+            v_first = jnp.where(is_first, v.astype(f32), v_first)
+            v = jnp.where(
+                is_first, v.astype(f32),
+                v.astype(f32) + (v_first - v.astype(f32)) * v_res_gate)
+
+            kk = _l2norm_heads(k.astype(f32) * lp["k_k"], H_loc, N)
+            k_in = k.astype(f32) * (1.0 + (a - 1.0) * lp["k_a"])
+
+            def hv(t):
+                return t.reshape(B, H_loc, N)
+
+            y, wkv = wkv7_single(
+                hv(r.astype(f32)), hv(w), hv(k_in), hv(v),
+                hv(-kk), hv(kk * a), wkv)
+            wkv = wkv.astype(state_dt)
+            y = y.reshape(B, C_loc)
+            y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H_loc,
+                            cfg.group_norm_eps)
+            rk = (hv(r.astype(f32)) * hv(k_in) * lp["r_k"][None]).sum(
+                axis=-1, keepdims=True)
+            y = y.astype(f32) + (rk * hv(v)).reshape(B, C_loc)
+            att = jax.lax.psum(qmatmul(y.astype(cdt) * g, lp["w_o"]),
+                               MODEL_AXIS)
+            x = x + att
+            new_att_x = h.astype(f32)
+
+            h2 = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            xk2 = h2 + (ffn_x.astype(cdt) - h2) * lp["ffn_x_k"].astype(cdt)
+            hid = jnp.square(jax.nn.relu(qmatmul(xk2, lp["ffn_k"])))
+            ffn = jax.lax.psum(qmatmul(hid, lp["ffn_v"]), MODEL_AXIS)
+            x = x + ffn
+            return (x, v_first, idx + 1), (new_att_x, h2.astype(f32), wkv)
+
+        v_first0 = jnp.zeros((B, C_loc), f32)
+        (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+            layer_body,
+            (x, v_first0, jnp.int32(0)),
+            (bp, state["att_x"], state["ffn_x"], state["wkv"]))
+
+        x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+        # row-parallel head: my C/tp slice of x against my [C/tp, V] rows
+        xs = jax.lax.dynamic_slice_in_dim(x, midx * C_row, C_row, axis=-1)
+        hw = params["head"]
+        if head_slice is not None:
+            hw = hw[:, :head_slice]
+        logits = jax.lax.psum(qmatmul(xs, hw), MODEL_AXIS).astype(f32)
+        return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(p_specs, P(DATA_AXIS), s_specs),
+        out_specs=(P(DATA_AXIS, None), s_specs),
+        check_vma=False,
+    )(params, token, state)

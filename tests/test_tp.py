@@ -1,0 +1,93 @@
+"""Tensor-parallel decode step (parallel/tp.py) on the virtual CPU mesh:
+layer weights sharded over the model axis must reproduce the unsharded
+step's logits/state/tokens."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwkv_tts_tpu.config import RwkvConfig
+from rwkv_tts_tpu.models import rwkv7
+from rwkv_tts_tpu.parallel import mesh as meshlib
+from rwkv_tts_tpu.parallel import tp
+
+CFG = RwkvConfig(
+    n_layer=2, n_embd=256, head_size=64, vocab_size=1000,
+    padded_vocab_size=1024, decay_lora=32, a_lora=32, v_lora=16,
+    gate_lora=32, dtype="float32", param_dtype="float32",
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    B = 8
+    tokens = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(1), (4, B), 0, 1000))
+    return params, tokens
+
+
+def _reference(params, tokens):
+    state = rwkv7.init_state(CFG, tokens.shape[1])
+    outs = []
+    for t in tokens:
+        logits, state = rwkv7.step(params, jnp.asarray(t), state, CFG)
+        outs.append(np.asarray(logits))
+    return outs, state
+
+
+@pytest.mark.parametrize("mp", [2, 4])
+def test_step_tp_matches_unsharded(setup, mp):
+    params, tokens = setup
+    want, want_state = _reference(params, tokens)
+
+    m = meshlib.make_mesh(8, model_parallel=mp)
+    sp = tp.shard_params_tp(m, params)
+    state = tp.shard_state_tp(m, rwkv7.init_state(CFG, tokens.shape[1]))
+    for i, t in enumerate(tokens):
+        logits, state = tp.step_tp(sp, jnp.asarray(t), state, CFG, m)
+        got = np.asarray(logits)
+        # psum partial-sum order reorders the f32 contraction — closeness
+        # plus token agreement is the bar (same as the CPU-vs-TPU class)
+        np.testing.assert_allclose(got, want[i], rtol=1e-2, atol=1e-3,
+                                   err_msg=f"step {i}")
+        np.testing.assert_array_equal(got.argmax(-1), want[i].argmax(-1))
+    for k in ("att_x", "ffn_x", "wkv"):
+        np.testing.assert_allclose(
+            np.asarray(state[k]), np.asarray(want_state[k]),
+            rtol=1e-2, atol=1e-3, err_msg=k)
+
+
+def test_step_tp_head_slice(setup):
+    params, tokens = setup
+    m = meshlib.make_mesh(8, model_parallel=2)
+    sp = tp.shard_params_tp(m, params)
+    state = tp.shard_state_tp(m, rwkv7.init_state(CFG, tokens.shape[1]))
+    logits, _ = tp.step_tp(sp, jnp.asarray(tokens[0]), state, CFG, m,
+                           head_slice=512)
+    assert logits.shape == (tokens.shape[1], 512)
+    full, _ = tp.step_tp(sp, jnp.asarray(tokens[0]), state, CFG, m)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(full)[:, :512], rtol=1e-5)
+
+
+def test_tp_weight_bytes_per_device_shrink(setup):
+    """The point of the module: each model-shard holds ~1/tp of the layer
+    weights (the decode step's weight stream)."""
+    params, _ = setup
+    m = meshlib.make_mesh(8, model_parallel=4)
+    sp = tp.shard_params_tp(m, params)
+
+    def shard_bytes(x):
+        db = x.sharding.shard_shape(x.shape)
+        return int(np.prod(db)) * x.dtype.itemsize
+
+    big = ("w_r", "w_k", "w_v", "w_o", "ffn_k", "ffn_v")
+    for name in big:
+        x = sp["blocks"][name]
+        assert shard_bytes(x) * 4 == x.nbytes, name
+    assert shard_bytes(sp["head"]) * 4 == sp["head"].nbytes
