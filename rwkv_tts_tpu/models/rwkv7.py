@@ -325,7 +325,7 @@ def _l2norm_heads(x, H, N, eps=1e-12):
 
 
 def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
-              mask=None, last_idx=None):
+              mask=None, last_idx=None, n_head=None):
     """RWKV-7 attention-analog. x: [B, T, C]; shift_x: [B, C] (last token of
     the previous chunk); wkv_state: [B, H, N, N]. Returns
     (out, new_shift, new_wkv_state, v_first).
@@ -335,9 +335,16 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
     state is gathered from ``last_idx`` [B] (index of each slot's last real
     token) instead of position T-1. This makes right-padded variable-length
     batched prefill exact.
+
+    ``n_head`` overrides cfg.n_head for tensor-parallel callers whose
+    block leaves hold only the local head shard (parallel/tp.py): the
+    head-space width is then H·N ≠ C and ``out`` is a partial sum the
+    caller must psum over the model axis.
     """
     B, T, C = x.shape
-    H, N = cfg.n_head, cfg.head_size
+    H = n_head if n_head is not None else cfg.n_head
+    N = cfg.head_size
+    C_head = H * N
     cdt = x.dtype
 
     xprev = jnp.concatenate([shift_x[:, None, :].astype(cdt), x[:, :-1]], axis=1)
@@ -401,14 +408,15 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
         hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v.astype(jnp.float32)),
         hv(-kk), hv(b_in), wkv_state,
     )
-    y = y.reshape(B, T, C)
+    y = y.reshape(B, T, C_head)
 
     y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
     # bonus: per-head (r·k·r_k) v
     rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None, None]).sum(
         axis=-1, keepdims=True
     )
-    y = y.astype(jnp.float32) + (rk * hv(v.astype(jnp.float32))).reshape(B, T, C)
+    y = y.astype(jnp.float32) + (rk * hv(v.astype(jnp.float32))).reshape(
+        B, T, C_head)
     out = qmatmul(y.astype(cdt) * g, lp["w_o"])
 
     if last_idx is None:

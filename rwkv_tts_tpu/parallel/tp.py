@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RwkvConfig
-from ..models.rwkv7 import Params, State, _group_norm, _l2norm_heads, _layer_norm
+from ..models.rwkv7 import (Params, State, _channel_mix, _group_norm,
+                            _l2norm_heads, _layer_norm, _time_mix)
 from ..ops.quant import qmatmul
 from ..ops.wkv7 import wkv7_single
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -239,3 +240,101 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         out_specs=(P(DATA_AXIS, None), s_specs),
         check_vma=False,
     )(params, token, state)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "last_only"))
+def forward_tp(params: Params, tokens: jax.Array, state: State,
+               cfg: RwkvConfig, mesh: Mesh, last_only: bool = True,
+               lengths: Optional[jax.Array] = None
+               ) -> Tuple[jax.Array, State]:
+    """Tensor-parallel chunked prefill: semantics of models/rwkv7.forward
+    (masked variable-length, last_only) with the layer weights sharded as
+    in :func:`step_tp`. Reuses the model's _time_mix/_channel_mix with the
+    local head count; their outputs are partial sums psum'ed here."""
+    tp = mesh.shape[MODEL_AXIS]
+    H_loc = cfg.n_head // tp
+    C = cfg.n_embd
+    C_row = C // tp
+    cdt = jnp.dtype(cfg.dtype)
+    f32 = jnp.float32
+
+    p_specs = tp_param_specs(params)
+    s_specs = tp_state_specs(state)
+    len_spec = P(DATA_AXIS)
+
+    def inner(params, tokens, state, lengths):
+        midx = jax.lax.axis_index(MODEL_AXIS)
+        B, T = tokens.shape
+        if lengths is not None:
+            mask = (jnp.arange(T)[None, :] < lengths[:, None])
+            last_idx = jnp.clip(lengths - 1, 0, T - 1)
+        else:
+            mask = None
+            last_idx = None
+        x = params["emb"][tokens].astype(cdt)
+        x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+        bp = params["blocks"]
+        v_first0 = jnp.zeros((B, T, H_loc * cfg.head_size), f32)
+
+        def layer_body(carry, inputs):
+            x, v_first, idx = carry
+            lp, att_x, ffn_x, wkv = inputs
+            is_first = idx == 0
+            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            att, att_x, wkv, v_first = _time_mix(
+                lp, h, att_x, wkv, v_first, is_first, cfg, False,
+                mask=mask, last_idx=last_idx, n_head=H_loc)
+            x = x + jax.lax.psum(att, MODEL_AXIS)
+            h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            ffn, ffn_x = _channel_mix(lp, h, ffn_x, mask=mask,
+                                      last_idx=last_idx)
+            x = x + jax.lax.psum(ffn, MODEL_AXIS)
+            return (x, v_first, idx + 1), (att_x, ffn_x, wkv)
+
+        (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+            layer_body,
+            (x, v_first0, jnp.int32(0)),
+            (bp, state["att_x"], state["ffn_x"],
+             state["wkv"].astype(f32)))
+        wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
+
+        x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+        if last_only:
+            if last_idx is not None:
+                x = jnp.take_along_axis(
+                    x, last_idx[:, None, None], axis=1)[:, 0]
+            else:
+                x = x[:, -1, :]
+        xs = jax.lax.dynamic_slice_in_dim(x, midx * C_row, C_row, axis=-1)
+        logits = jax.lax.psum(qmatmul(xs, params["head"]),
+                              MODEL_AXIS).astype(f32)
+        return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
+
+    if lengths is None:
+        def inner2(params, tokens, state):
+            return inner(params, tokens, state, None)
+        return jax.shard_map(
+            inner2, mesh=mesh,
+            in_specs=(p_specs, P(DATA_AXIS, None), s_specs),
+            out_specs=(P(DATA_AXIS, None), s_specs),
+            check_vma=False,
+        )(params, tokens, state)
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(p_specs, P(DATA_AXIS, None), s_specs, len_spec),
+        out_specs=(P(DATA_AXIS, None), s_specs),
+        check_vma=False,
+    )(params, tokens, state, lengths)
+
+
+@functools.lru_cache(maxsize=8)
+def make_step_fn(cfg: RwkvConfig, mesh: Mesh):
+    """A STABLE (cached) decode-step hook for the engine stages:
+    ``step_fn(params, token, state, head_slice)``. Stages treat step_fn as
+    a static jit arg, so the same (cfg, mesh) must always yield the same
+    object — hence the lru_cache."""
+    def step_fn(params, token, state, head_slice):
+        return step_tp(params, token, state, cfg, mesh,
+                       head_slice=head_slice)
+    return step_fn

@@ -79,31 +79,43 @@ def _sample_batch(logits, keys, temperature, top_p, top_k):
     return jax.vmap(sample_token)(probs, keys)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "step_fn"))
 def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, step_fn=None):
     """Generate exactly 32 global (speaker) tokens.
 
     carry: (state, logits, i); emits raw global ids [B, 32]; each sampled id
     is fed back +GLOBAL_TOKEN_OFFSET. Returns (tokens, state, logits_after)
     where logits_after corresponds to the model having consumed the last
     global token (ready for TAG_1).
+
+    ``step_fn`` (static, optional): replaces the decode step with a custom
+    ``(params, token, state, head_slice) -> (logits, state)`` — the hook
+    the tensor-parallel serving path uses (parallel/tp.make_step_fn);
+    ``use_pallas``/bt layout wrapping are bypassed then (the TP step owns
+    its own layout). Must be a stable object (cached) or every call
+    recompiles.
     """
     gk = C.GLOBAL_SAMPLING
 
     hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+
+    def _step(params, tok, state):
+        if step_fn is not None:
+            return step_fn(params, tok, state, hs)
+        return rwkv7.step(params, tok, state, cfg, head_slice=hs,
+                          use_pallas=use_pallas)
 
     def body(carry, i):
         state, logits = carry
         keys = _fold_keys(base_keys, i)
         tok = _sample_batch(_mask_global(logits), keys,
                             gk["temperature"], gk["top_p"], gk["top_k"])
-        logits, state = rwkv7.step(params, tok + C.GLOBAL_TOKEN_OFFSET,
-                                   state, cfg, head_slice=hs,
-                                   use_pallas=use_pallas)
+        logits, state = _step(params, tok + C.GLOBAL_TOKEN_OFFSET, state)
         return (state, logits), tok
 
-    bt = rwkv7.wkv_bt_active(use_pallas, first_logits.shape[0])
+    bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas,
+                                                 first_logits.shape[0])
     if bt:
         state = rwkv7.state_to_bt(state)
     (state, logits), toks = jax.lax.scan(
@@ -116,10 +128,12 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "zero_shot",
-                                             "use_pallas", "feed_tag1"))
+                                             "use_pallas", "feed_tag1",
+                                             "step_fn"))
 def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
                    cfg: RwkvConfig, max_steps: int, zero_shot: bool,
-                   use_pallas: bool = False, feed_tag1: bool = False):
+                   use_pallas: bool = False, feed_tag1: bool = False,
+                   step_fn=None):
     """Generate semantic tokens until per-slot EOS / per-slot limit.
 
     limits:   [B] int32 — per-request cap (min(max_tokens, 2048))
@@ -127,11 +141,19 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
     feed_tag1: consume the TAG_1 separator as step −1 INSIDE this program
     (normal mode; ``first_logits`` is then ignored) — one device dispatch
     instead of a standalone step between the stages.
+    step_fn: custom decode step hook, see :func:`global_stage`.
 
     Returns (tokens [B, max_steps], lengths [B], state).
     """
     B = first_logits.shape[0]
     sk = C.SEMANTIC_SAMPLING
+    _hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+
+    def _step(params, tok, state):
+        if step_fn is not None:
+            return step_fn(params, tok, state, _hs)
+        return rwkv7.step(params, tok, state, cfg, head_slice=_hs,
+                          use_pallas=use_pallas)
 
     buf0 = jnp.zeros((B, max_steps), jnp.int32)
     win0 = jnp.zeros((B, C.ZS_EOS_WINDOW), jnp.bool_)   # rolling non-EOS window
@@ -184,21 +206,16 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         # feed the raw token back (semantic domain uses raw ids,
         # normal_mode_inference.rs:389-390); done slots feed a harmless 0
         feed = jnp.where(emit, tok, 0)
-        logits, state = rwkv7.step(params, feed, state, cfg,
-                                   head_slice=min(SEMANTIC_SLICE,
-                                                  cfg.padded_vocab_size),
-                                   use_pallas=use_pallas)
+        logits, state = _step(params, feed, state)
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
-    hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
-    bt = rwkv7.wkv_bt_active(use_pallas, B)
+    hs = _hs
+    bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas, B)
     if bt:
         state = rwkv7.state_to_bt(state)
     if feed_tag1:
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
-        first_logits, state = rwkv7.step(params, tag1, state, cfg,
-                                         head_slice=hs,
-                                         use_pallas=use_pallas)
+        first_logits, state = _step(params, tag1, state)
     carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)

@@ -75,6 +75,50 @@ def test_step_tp_head_slice(setup):
                                np.asarray(full)[:, :512], rtol=1e-5)
 
 
+def test_tp_full_generation_token_identical(setup):
+    """The first-chunk path end-to-end under TP: masked variable-length
+    prefill (forward_tp) → 32-token global stage → semantic stage with
+    TAG_1 folded in, through the production stages via their step_fn hook.
+    Token streams must match the unsharded engine stages."""
+    from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
+
+    params, _ = setup
+    B, T = 8, 16
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (B, T), 0, 1000)
+    lengths = jnp.asarray([16, 9, 12, 16, 5, 7, 16, 11], jnp.int32)
+    keys = jnp.asarray(np.stack(
+        [np.array([0, s], np.uint32) for s in range(B)]))
+    limits = jnp.full((B,), 10, jnp.int32)
+    hard_min = jnp.zeros((B,), jnp.int32)
+
+    def run(prefill, stage_params, step_fn=None, **put):
+        state = rwkv7.init_state(CFG, B)
+        if "state" in put:
+            state = put["state"](state)
+        logits, state = prefill(state)
+        glob, state, lg = global_stage(stage_params, state, logits, keys,
+                                       CFG, step_fn=step_fn)
+        sem, lens, _ = semantic_stage(stage_params, state, lg, keys, limits,
+                                      hard_min, CFG, 10, False,
+                                      feed_tag1=True, step_fn=step_fn)
+        return np.asarray(glob), np.asarray(sem), np.asarray(lens)
+
+    want = run(lambda st: rwkv7.forward(params, tokens, st, CFG,
+                                        lengths=lengths), params)
+
+    m = meshlib.make_mesh(8, model_parallel=2)
+    sp = tp.shard_params_tp(m, params)
+    stok = jax.device_put(tokens, meshlib.batch_sharding(m, 2))
+    slen = jax.device_put(lengths, meshlib.batch_sharding(m, 1))
+    step_fn = tp.make_step_fn(CFG, m)
+    got = run(lambda st: tp.forward_tp(sp, stok, st, CFG, m, lengths=slen),
+              sp, step_fn=step_fn,
+              state=lambda st: tp.shard_state_tp(m, st))
+
+    for a, b, name in zip(got, want, ("global", "semantic", "lens")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_tp_weight_bytes_per_device_shrink(setup):
     """The point of the module: each model-shard holds ~1/tp of the layer
     weights (the decode step's weight stream)."""
