@@ -244,7 +244,28 @@ class TtsEngine:
     """
 
     def __init__(self, params, cfg: RwkvConfig, engine_cfg: EngineConfig = EngineConfig(),
-                 tokenizer=None, use_pallas: Optional[bool] = None):
+                 tokenizer=None, use_pallas: Optional[bool] = None,
+                 tp_mesh=None):
+        """``tp_mesh``: optional (data, model) Mesh with model axis > 1 —
+        enables LAYER-weight tensor parallelism (parallel/tp.py): params
+        are head-sharded on construction, prefill runs forward_tp, and
+        the stages drive the sharded step through their step_fn hook.
+        Each chip then streams 1/tp of the decode-step weights — the path
+        below the single-chip first-chunk floor (docs/PERF.md). Requires
+        RAW (unfused, unquantized) params; Pallas is forced off (the TP
+        latency target is small batch, where the jnp chain wins anyway).
+        """
+        self._step_fn = None
+        self.tp_mesh = tp_mesh
+        if tp_mesh is not None:
+            from ..parallel import mesh as meshlib
+            from ..parallel import tp as tplib
+            if tp_mesh.shape[meshlib.MODEL_AXIS] <= 1:
+                raise ValueError("tp_mesh needs a model axis > 1; use "
+                                 "ContinuousEngine(mesh=...) for pure dp")
+            params = tplib.shard_params_tp(tp_mesh, params)
+            self._step_fn = tplib.make_step_fn(cfg, tp_mesh)
+            use_pallas = False
         self.params = params
         self.cfg = cfg
         self.engine_cfg = engine_cfg
@@ -312,10 +333,23 @@ class TtsEngine:
             tok_mat = np.zeros((B, T), np.int32)
             for i, c in enumerate(chunk):
                 tok_mat[i, : len(c)] = c
-            new_logits, state = rwkv7.forward(
-                self.params, jnp.asarray(tok_mat), state, cfg,
-                use_pallas=self.use_pallas, lengths=jnp.asarray(lengths),
-            )
+            if self.tp_mesh is not None:
+                from ..parallel import mesh as meshlib
+                from ..parallel import tp as tplib
+                new_logits, state = tplib.forward_tp(
+                    self.params,
+                    jax.device_put(jnp.asarray(tok_mat),
+                                   meshlib.batch_sharding(self.tp_mesh, 2)),
+                    state, cfg, self.tp_mesh,
+                    lengths=jax.device_put(
+                        jnp.asarray(lengths),
+                        meshlib.batch_sharding(self.tp_mesh, 1)),
+                )
+            else:
+                new_logits, state = rwkv7.forward(
+                    self.params, jnp.asarray(tok_mat), state, cfg,
+                    use_pallas=self.use_pallas, lengths=jnp.asarray(lengths),
+                )
             # keep each slot's logits from the chunk containing its last
             # real token (zero-length chunks leave state AND logits alone)
             if logits is None:
@@ -333,6 +367,17 @@ class TtsEngine:
         groups mixed batches upstream."""
         if not requests:
             return []
+        if self.tp_mesh is not None:
+            # the data axis shards the batch; pad to a multiple of dp by
+            # repeating the last request (same trick as continuous-engine
+            # admission bursts) and trim the duplicate results
+            from ..parallel import mesh as meshlib
+            dp = self.tp_mesh.shape[meshlib.DATA_AXIS]
+            pad = (-len(requests)) % dp
+            if pad:
+                reqs = list(requests)
+                out = self.generate_batch(reqs + [reqs[-1]] * pad)
+                return out[: len(reqs)]
         zero_shot = requests[0].zero_shot
         assert all(r.zero_shot == zero_shot for r in requests)
         B = len(requests)
@@ -341,6 +386,9 @@ class TtsEngine:
         prompts, texts = zip(*(self.build_prompt(r) for r in requests))
         prompt_lens = [len(p) for p in prompts]
         state = rwkv7.init_state(cfg, B)
+        if self.tp_mesh is not None:
+            from ..parallel import tp as tplib
+            state = tplib.shard_state_tp(self.tp_mesh, state)
         logits, state = self.prefill(prompts, state)
 
         seeds = [r.seed if r.seed is not None else
@@ -370,7 +418,7 @@ class TtsEngine:
             sem, sem_lens, state = semantic_stage(
                 self.params, state, logits, sem_keys, limits, hard_min,
                 cfg, ecfg.max_semantic_tokens, True,
-                use_pallas=self.use_pallas_step,
+                use_pallas=self.use_pallas_step, step_fn=self._step_fn,
             )
             sem_np, len_np = np.asarray(sem), np.asarray(sem_lens)
             out = []
@@ -385,7 +433,8 @@ class TtsEngine:
             [raw_threefry_key(s + C.GLOBAL_SEED_OFFSET) for s in seeds]))
         glob, state, logits = global_stage(self.params, state, logits,
                                            glob_keys, cfg,
-                                           use_pallas=self.use_pallas_step)
+                                           use_pallas=self.use_pallas_step,
+                                           step_fn=self._step_fn)
 
         # TAG_1 is consumed INSIDE the semantic-stage program
         # (feed_tag1) — head-sliced like every decode step, and one
@@ -396,6 +445,7 @@ class TtsEngine:
             self.params, state, logits, sem_keys, limits, hard_min,
             cfg, ecfg.max_semantic_tokens, False,
             use_pallas=self.use_pallas_step, feed_tag1=True,
+            step_fn=self._step_fn,
         )
 
         glob_np, sem_np, len_np = np.asarray(glob), np.asarray(sem), np.asarray(sem_lens)

@@ -60,9 +60,10 @@ class TtsPipeline:
                  voice_store: Optional[VoiceStore] = None,
                  engine_cfg: EngineConfig = EngineConfig(),
                  tokenizer=None, use_pallas: Optional[bool] = None,
-                 w2v_output_layers=wav2vec2.OUTPUT_LAYERS):
+                 w2v_output_layers=wav2vec2.OUTPUT_LAYERS, tp_mesh=None):
         self.engine = TtsEngine(lm_params, lm_cfg, engine_cfg,
-                                tokenizer=tokenizer, use_pallas=use_pallas)
+                                tokenizer=tokenizer, use_pallas=use_pallas,
+                                tp_mesh=tp_mesh)
         self.bicodec_params = bicodec_params
         self.bicodec_cfg = bicodec_cfg
         self.w2v_params = w2v_params
@@ -90,9 +91,22 @@ class TtsPipeline:
         from ..models.convert import load_rwkv7
         from ..tokenizer import load_tokenizer
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
-        # decode-loop optimization: 7 projections → 2 matmuls (numerically
-        # equivalent modulo f32 reassociation; see rwkv7.fuse_params)
-        lm_params = rwkv7.fuse_params(lm_params, lm_cfg)
+        tp_mesh = kw.get("tp_mesh")
+        if tp_mesh is not None:
+            # layer tensor parallelism (parallel/tp.py) shards the RAW
+            # unfused layout; fusion/quantization are single-device decode
+            # optimizations superseded by the 1/tp weight stream
+            import logging
+            logging.getLogger(__name__).info(
+                "tp_mesh set: serving the raw layout (fusion/quant "
+                "skipped; weights shard 1/%d per chip)",
+                tp_mesh.shape.get("model", 1))
+            quant_type = "none"
+        else:
+            # decode-loop optimization: 7 projections → 2 matmuls
+            # (numerically equivalent modulo f32 reassociation;
+            # see rwkv7.fuse_params)
+            lm_params = rwkv7.fuse_params(lm_params, lm_cfg)
         if vocab_path:
             kw.setdefault("tokenizer", load_tokenizer(vocab_path))
         if quant_type in ("int8", "int4", "nf4", "sf4"):

@@ -430,7 +430,8 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
 
 
 def build_dev_pipeline(raf_dir: str = "assets/raf",
-                       engine_cfg: EngineConfig = EngineConfig()) -> TtsPipeline:
+                       engine_cfg: EngineConfig = EngineConfig(),
+                       tp_mesh=None) -> TtsPipeline:
     """Random-weight pipeline for environments without checkpoints."""
     import jax
     from ..models import bicodec, rwkv7, wav2vec2
@@ -449,6 +450,7 @@ def build_dev_pipeline(raf_dir: str = "assets/raf",
         voice_store=VoiceStore(raf_dir),
         engine_cfg=engine_cfg,
         w2v_output_layers=(1, 2),
+        tp_mesh=tp_mesh,
     )
 
 
@@ -464,18 +466,34 @@ def build_pipeline_from_args(args) -> TtsPipeline:
         log.info("--no-download: skipping model verification/auto-download")
 
     engine_cfg = EngineConfig().with_token_chunk(args.token_chunk_size)
+    tp_mesh = None
+    if getattr(args, "tp", 1) > 1:
+        # layer tensor parallelism over the local slice (parallel/tp.py):
+        # each chip streams 1/tp of the decode-step weights — the path
+        # below the single-chip first-chunk latency floor (docs/PERF.md)
+        import jax
+        from ..parallel import mesh as meshlib
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} does not divide the {n} visible devices")
+        tp_mesh = meshlib.make_mesh(n, model_parallel=args.tp)
+        log.info("tensor parallelism: mesh (data=%d, model=%d)",
+                 n // args.tp, args.tp)
     if os.path.exists(args.model_path):
         pipeline = TtsPipeline.from_checkpoints(
             args.model_path, raf_dir=args.raf_dir,
             quant_type=args.quant_type,
             quant_layers=args.quant_layers if args.quant_layers else -1,
             vocab_path=args.vocab_path, engine_cfg=engine_cfg,
-            allow_random_codec=getattr(args, "allow_random_codec", False))
+            allow_random_codec=getattr(args, "allow_random_codec", False),
+            tp_mesh=tp_mesh)
         log.info("loaded checkpoint %s", args.model_path)
     else:
         log.warning("checkpoint %s not found — serving with random weights "
                     "(dev mode)", args.model_path)
-        pipeline = build_dev_pipeline(args.raf_dir, engine_cfg=engine_cfg)
+        pipeline = build_dev_pipeline(args.raf_dir, engine_cfg=engine_cfg,
+                                      tp_mesh=tp_mesh)
     return pipeline
 
 
@@ -511,6 +529,10 @@ def main(argv=None):
                    help="serve with random codec weights when the real "
                         "BiCodec/wav2vec2 files are missing (dev only — "
                         "output is noise, not speech)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over the visible devices "
+                        "(layer weights shard 1/tp per chip; lowers "
+                        "first-chunk latency on a multi-chip slice)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting traffic")
     args = p.parse_args(argv)

@@ -119,6 +119,37 @@ def test_tp_full_generation_token_identical(setup):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_tts_engine_tp_mesh_token_identical(setup):
+    """TtsEngine(tp_mesh=...) — the serving-level wiring — must produce
+    the same tokens as the plain engine for both modes."""
+    from rwkv_tts_tpu.config import EngineConfig, TtsArgs
+    from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+    params, _ = setup
+    ecfg = EngineConfig(prefill_buckets=(32, 64), max_semantic_tokens=16)
+    reqs = [
+        TtsArgs(text="tensor parallel serving", seed=5, max_tokens=16),
+        TtsArgs(text="two", seed=6, max_tokens=16, gender="male"),
+        TtsArgs(text="three voices", seed=7, max_tokens=16),
+        TtsArgs(text="four", seed=8, max_tokens=16, pitch="high_pitch"),
+    ]
+    zs = [TtsArgs(text="cloned speech", seed=9, max_tokens=16,
+                  zero_shot=True, ref_global_tokens=list(range(32)))] * 4
+
+    base = TtsEngine(params, CFG, ecfg, use_pallas=False)
+    m = meshlib.make_mesh(8, model_parallel=2)
+    tpe = TtsEngine(params, CFG, ecfg, tp_mesh=m)
+
+    # uneven batches pad to the data axis and trim (server sends B=1)
+    for batch in (reqs, zs, reqs[:1], reqs[:3]):
+        want = base.generate_batch(batch)
+        got = tpe.generate_batch(batch)
+        assert len(got) == len(batch)
+        for w, g in zip(want, got):
+            assert w.global_tokens == g.global_tokens
+            assert w.semantic_tokens == g.semantic_tokens
+
+
 def test_tp_weight_bytes_per_device_shrink(setup):
     """The point of the module: each model-shard holds ~1/tp of the layer
     weights (the decode step's weight stream)."""
