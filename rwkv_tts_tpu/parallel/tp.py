@@ -37,9 +37,12 @@ with the unsharded step is tested on the virtual CPU mesh
 [B, head_slice] psum (~100-200 µs at B=8/L=32 on a v5e slice), against
 ~2.7 ms/step of weight stream saved at TP=4.
 
-Quantized (int8/int4) and fused (zrkv) serving layouts are not yet
-TP-sharded — this path targets the small-batch latency mode, which runs
-the plain-weight jnp WKV chain anyway (ops/wkv7.BT_MIN_BATCH).
+The int8 serving layout (ops/quant) shards too — q like the float
+tensor, per-out-channel scales column-sharded/replicated per
+orientation — so TP=4 + int8 streams ~1/8 of the bf16 single-chip
+bytes. int4/NF4 (packed codes / codebook blocks) and the fused zrkv
+layout are not TP-sharded; this path targets the small-batch latency
+mode, which runs the plain jnp WKV chain anyway (ops/wkv7.BT_MIN_BATCH).
 """
 
 from __future__ import annotations
@@ -84,11 +87,35 @@ _BLOCK_SPECS: Dict[str, P] = {
 }
 
 
+_ROW_PARALLEL = ("w_o", "ffn_v")
+
+
 def tp_param_specs(params: Params):
-    """PartitionSpec pytree for a RAW (unfused, unquantized) params tree."""
+    """PartitionSpec pytree for a RAW-layout (unfused) params tree, plain
+    or int8-quantized (ops/quant.quantize_tensor leaves {"q","s"}).
+
+    int8 leaves: "q" shards like the float tensor it replaced; the
+    per-output-channel scale "s" [.., 1, O] shards its O dim for
+    column-parallel weights and replicates for row-parallel ones (the
+    scale spans the full contraction, which row-parallel splits). The
+    row-parallel int8 activation quantization then uses the LOCAL row
+    absmax — a deterministic, tested-tolerance deviation from the
+    unsharded global absmax.
+    """
     def spec_for(path, x):
-        name = str(getattr(path[-1], "key", path[-1]))
-        top = str(getattr(path[0], "key", path[0]))
+        names = [str(getattr(p, "key", p)) for p in path]
+        name, top = names[-1], names[0]
+        if name in ("q", "s"):                    # int8 leaf member
+            owner = names[-2]
+            if owner == "head":
+                return (P(MODEL_AXIS, None) if name == "q"
+                        else P(None, None))
+            if owner in _ROW_PARALLEL:
+                return (P(None, MODEL_AXIS, None) if name == "q"
+                        else P(None, None, None))
+            if owner in _BLOCK_SPECS:             # column-parallel
+                return P(None, None, MODEL_AXIS)
+            return P(*([None] * x.ndim))
         if top == "head":
             return P(MODEL_AXIS, None)            # row-parallel [C, V]
         if top == "blocks" and name in _BLOCK_SPECS:
@@ -230,7 +257,10 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         xs = jax.lax.dynamic_slice_in_dim(x, midx * C_row, C_row, axis=-1)
         hw = params["head"]
         if head_slice is not None:
-            hw = hw[:, :head_slice]
+            if isinstance(hw, dict):              # int8 leaf {"q","s"}
+                hw = {k: v[..., :head_slice] for k, v in hw.items()}
+            else:
+                hw = hw[:, :head_slice]
         logits = jax.lax.psum(qmatmul(xs, hw), MODEL_AXIS).astype(f32)
         return logits, {"att_x": att_xs, "ffn_x": ffn_xs, "wkv": wkvs}
 

@@ -94,14 +94,16 @@ class TtsPipeline:
         tp_mesh = kw.get("tp_mesh")
         if tp_mesh is not None:
             # layer tensor parallelism (parallel/tp.py) shards the RAW
-            # unfused layout; fusion/quantization are single-device decode
-            # optimizations superseded by the 1/tp weight stream
-            import logging
-            logging.getLogger(__name__).info(
-                "tp_mesh set: serving the raw layout (fusion/quant "
-                "skipped; weights shard 1/%d per chip)",
-                tp_mesh.shape.get("model", 1))
-            quant_type = "none"
+            # unfused layout; fusion is a single-device decode optimization
+            # superseded by the 1/tp weight stream. int8 composes (the
+            # sharded-leaf specs cover it); the 4-bit layouts do not.
+            if quant_type in ("int4", "nf4", "sf4"):
+                log.warning("tp_mesh: %s layout is not TP-shardable — "
+                            "serving int8 instead", quant_type)
+                quant_type = "int8"
+            log.info("tp_mesh set: raw %s layout, weights shard 1/%d "
+                     "per chip", quant_type,
+                     tp_mesh.shape.get("model", 1))
         else:
             # decode-loop optimization: 7 projections → 2 matmuls
             # (numerically equivalent modulo f32 reassociation;

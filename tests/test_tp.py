@@ -150,6 +150,35 @@ def test_tts_engine_tp_mesh_token_identical(setup):
             assert w.semantic_tokens == g.semantic_tokens
 
 
+def test_step_tp_int8_matches_unsharded_int8(setup):
+    """The int8 serving layout shards too: q like its float tensor,
+    per-out-channel scales per orientation. Row-parallel activation
+    quantization uses the local row absmax (vs global unsharded), so the
+    bar is closeness + argmax agreement."""
+    from rwkv_tts_tpu.ops.quant import quantize_rwkv_params
+
+    params, tokens = setup
+    qp = quantize_rwkv_params(params, kind="int8")
+    want, _ = _reference(qp, tokens[:1])
+    f32_want, _ = _reference(params, tokens[:1])
+    # the quality envelope the user accepted by choosing int8:
+    noise_floor = np.abs(want[0] - f32_want[0]).max()
+
+    m = meshlib.make_mesh(8, model_parallel=2)
+    sp = tp.shard_params_tp(m, qp)
+    state = tp.shard_state_tp(m, rwkv7.init_state(CFG, tokens.shape[1]))
+    logits, _ = tp.step_tp(sp, jnp.asarray(tokens[0]), state, CFG, m)
+    got = np.asarray(logits)
+    # sharded-int8 re-grids the row-parallel activation quantization, so
+    # it deviates from unsharded int8 — but must stay WELL inside the
+    # int8-vs-f32 envelope (measured ~7x inside; gate at half)
+    dev = np.abs(got - want[0]).max()
+    assert dev < 0.5 * noise_floor, (dev, noise_floor)
+    # random tiny-model logits are near-flat; trained-model margins are
+    # far larger than this deviation
+    assert (got.argmax(-1) == want[0].argmax(-1)).mean() >= 0.75
+
+
 def test_tp_weight_bytes_per_device_shrink(setup):
     """The point of the module: each model-shard holds ~1/tp of the layer
     weights (the decode step's weight stream)."""
