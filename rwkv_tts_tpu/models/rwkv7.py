@@ -239,6 +239,69 @@ def _fused_projections(lp, h, xx, cfg, cdt, raw: bool = False):
     return r, k, v, w, a, v_res_gate, g
 
 
+def _step_unfused_front(lp, h, xx, v_first, is_first, cfg, cdt, n_head=None):
+    """T=1 unfused time-mix front half: token-shift lerps, the seven
+    projections, v-residual blend, key shaping. Shared VERBATIM by the
+    single-device decode step and the tensor-parallel one
+    (parallel/tp.step_tp) so the parity math lives in one place;
+    ``n_head`` carries the TP caller's local head count (its block leaves
+    hold only that head shard). Returns (r, w, k_in, v[f32], kk, a, g,
+    v_first)."""
+    f32 = jnp.float32
+    H = n_head if n_head is not None else cfg.n_head
+    N = cfg.head_size
+
+    xr = h + xx * lp["x_r"].astype(cdt)
+    xw = h + xx * lp["x_w"].astype(cdt)
+    xk = h + xx * lp["x_k"].astype(cdt)
+    xv = h + xx * lp["x_v"].astype(cdt)
+    xa = h + xx * lp["x_a"].astype(cdt)
+    xg = h + xx * lp["x_g"].astype(cdt)
+
+    r = qmatmul(xr, lp["w_r"])
+    w_lora = jnp.tanh(xw.astype(f32) @ lp["w1"].astype(f32))
+    w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(f32))) - 0.5
+    k = qmatmul(xk, lp["w_k"])
+    v = qmatmul(xv, lp["w_v"])
+    v_res_gate = jax.nn.sigmoid(
+        lp["v0"]
+        + (xv.astype(f32) @ lp["v1"].astype(f32))
+        @ lp["v2"].astype(f32)
+    )
+    a = jax.nn.sigmoid(
+        lp["a0"]
+        + (xa.astype(f32) @ lp["a1"].astype(f32))
+        @ lp["a2"].astype(f32)
+    )
+    g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
+
+    v_first = jnp.where(is_first, v.astype(f32), v_first)
+    v = jnp.where(
+        is_first, v.astype(f32),
+        v.astype(f32) + (v_first - v.astype(f32)) * v_res_gate,
+    )
+    kk = _l2norm_heads(k.astype(f32) * lp["k_k"], H, N)
+    k_in = k.astype(f32) * (1.0 + (a - 1.0) * lp["k_a"])
+    return r, w, k_in, v, kk, a, g, v_first
+
+
+def _step_post_wkv(lp, y, r, k_in, v, g, H, N, cfg, cdt):
+    """T=1 post-WKV chain: per-head group norm, rk bonus, gated output
+    projection. y: [B, H·N]. Shared by every decode-step WKV branch and
+    the TP step (where the result is a partial sum the caller psums)."""
+    B = y.shape[0]
+
+    def hv(t):
+        return t.reshape(B, H, N)
+
+    y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
+    rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None]).sum(
+        axis=-1, keepdims=True
+    )
+    y = y.astype(jnp.float32) + (rk * hv(v)).reshape(B, H * N)
+    return qmatmul(y.astype(cdt) * g, lp["w_o"])
+
+
 # The bt kernel pads the batch-lane dim to 128, so its cost is flat in B
 # below that: measured ~4.26 ms per 32-layer WKV step for any B ≤ 128 vs
 # the jnp chain's 1.07 (B=8) / 2.93 (B=32) / 5.15 (B=64) / 16.2 (B=128).
@@ -613,38 +676,17 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         if "zrkv" in lp:
             r, k, v, w, a, v_res_gate, g = _fused_projections(
                 lp, h, xx, cfg, cdt)
+            v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
+            v = jnp.where(
+                is_first, v.astype(jnp.float32),
+                v.astype(jnp.float32)
+                + (v_first - v.astype(jnp.float32)) * v_res_gate,
+            )
+            kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
+            k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
         else:
-            xr = h + xx * lp["x_r"].astype(cdt)
-            xw = h + xx * lp["x_w"].astype(cdt)
-            xk = h + xx * lp["x_k"].astype(cdt)
-            xv = h + xx * lp["x_v"].astype(cdt)
-            xa = h + xx * lp["x_a"].astype(cdt)
-            xg = h + xx * lp["x_g"].astype(cdt)
-
-            r = qmatmul(xr, lp["w_r"])
-            w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
-            w = -jax.nn.softplus(-(lp["w0"] + w_lora @ lp["w2"].astype(jnp.float32))) - 0.5
-            k = qmatmul(xk, lp["w_k"])
-            v = qmatmul(xv, lp["w_v"])
-            v_res_gate = jax.nn.sigmoid(
-                lp["v0"]
-                + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
-                @ lp["v2"].astype(jnp.float32)
-            )
-            a = jax.nn.sigmoid(
-                lp["a0"]
-                + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
-                @ lp["a2"].astype(jnp.float32)
-            )
-            g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
-        v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
-        v = jnp.where(
-            is_first, v.astype(jnp.float32),
-            v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
-        )
-
-        kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
-        k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
+            r, w, k_in, v, kk, a, g, v_first = _step_unfused_front(
+                lp, h, xx, v_first, is_first, cfg, cdt)
 
         def hv(t):
             return t.reshape(B, H, N)
@@ -684,12 +726,7 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             )
             wkv = wkv.astype(state_dt)
             y = y.reshape(B, C)
-        y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H, cfg.group_norm_eps)
-        rk = (hv(r.astype(jnp.float32)) * hv(k_in) * lp["r_k"][None]).sum(
-            axis=-1, keepdims=True
-        )
-        y = y.astype(jnp.float32) + (rk * hv(v)).reshape(B, C)
-        att = qmatmul(y.astype(cdt) * g, lp["w_o"])
+        att = _step_post_wkv(lp, y, r, k_in, v, g, H, N, cfg, cdt)
         x = x + att
         new_att_x = h[:, :].astype(jnp.float32)
 

@@ -55,8 +55,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RwkvConfig
-from ..models.rwkv7 import (Params, State, _channel_mix, _group_norm,
-                            _l2norm_heads, _layer_norm, _time_mix)
+from ..models import rwkv7
+from ..models.rwkv7 import (Params, State, _channel_mix, _layer_norm,
+                            _time_mix)
 from ..ops.quant import qmatmul
 from ..ops.wkv7 import wkv7_single
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -190,36 +191,10 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
             h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
             xx = att_x.astype(cdt) - h
-            xr = h + xx * lp["x_r"].astype(cdt)
-            xw = h + xx * lp["x_w"].astype(cdt)
-            xk = h + xx * lp["x_k"].astype(cdt)
-            xv = h + xx * lp["x_v"].astype(cdt)
-            xa = h + xx * lp["x_a"].astype(cdt)
-            xg = h + xx * lp["x_g"].astype(cdt)
-
-            r = qmatmul(xr, lp["w_r"])                     # [B, C_loc]
-            w_lora = jnp.tanh(xw.astype(f32) @ lp["w1"].astype(f32))
-            w = -jax.nn.softplus(
-                -(lp["w0"] + w_lora @ lp["w2"].astype(f32))) - 0.5
-            k = qmatmul(xk, lp["w_k"])
-            v = qmatmul(xv, lp["w_v"])
-            v_res_gate = jax.nn.sigmoid(
-                lp["v0"]
-                + (xv.astype(f32) @ lp["v1"].astype(f32))
-                @ lp["v2"].astype(f32))
-            a = jax.nn.sigmoid(
-                lp["a0"]
-                + (xa.astype(f32) @ lp["a1"].astype(f32))
-                @ lp["a2"].astype(f32))
-            g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
-
-            v_first = jnp.where(is_first, v.astype(f32), v_first)
-            v = jnp.where(
-                is_first, v.astype(f32),
-                v.astype(f32) + (v_first - v.astype(f32)) * v_res_gate)
-
-            kk = _l2norm_heads(k.astype(f32) * lp["k_k"], H_loc, N)
-            k_in = k.astype(f32) * (1.0 + (a - 1.0) * lp["k_a"])
+            # the exact single-device step math, head-sliced (models/rwkv7
+            # shares these helpers so the parity chain lives in one place)
+            r, w, k_in, v, kk, a, g, v_first = rwkv7._step_unfused_front(
+                lp, h, xx, v_first, is_first, cfg, cdt, n_head=H_loc)
 
             def hv(t):
                 return t.reshape(B, H_loc, N)
@@ -228,14 +203,10 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
                 hv(r.astype(f32)), hv(w), hv(k_in), hv(v),
                 hv(-kk), hv(kk * a), wkv)
             wkv = wkv.astype(state_dt)
-            y = y.reshape(B, C_loc)
-            y = _group_norm(y, lp["ln_x_w"], lp["ln_x_b"], H_loc,
-                            cfg.group_norm_eps)
-            rk = (hv(r.astype(f32)) * hv(k_in) * lp["r_k"][None]).sum(
-                axis=-1, keepdims=True)
-            y = y.astype(f32) + (rk * hv(v)).reshape(B, C_loc)
-            att = jax.lax.psum(qmatmul(y.astype(cdt) * g, lp["w_o"]),
-                               MODEL_AXIS)
+            att = jax.lax.psum(
+                rwkv7._step_post_wkv(lp, y.reshape(B, C_loc), r, k_in, v, g,
+                                     H_loc, N, cfg, cdt),
+                MODEL_AXIS)
             x = x + att
             new_att_x = h.astype(f32)
 

@@ -59,9 +59,10 @@ NO_EMIT = -1
 FINISHED = -2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "use_pallas",
+                                             "step_fn"))
 def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, step_fn=None):
     """Advance every active slot up to ``block`` unified steps.
 
     slots: dict of per-slot device arrays (stage, counters, keys, …).
@@ -151,17 +152,22 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         stage = jnp.where(retires, jnp.int32(IDLE), stage)
         override = jnp.where(has_ov, jnp.int32(-1), new_override)
 
-        new_logits, new_state = rwkv7.step(
-            params, feed, state, cfg,
-            head_slice=min(SEMANTIC_SLICE, cfg.padded_vocab_size),
-            use_pallas=use_pallas)
+        hs = min(SEMANTIC_SLICE, cfg.padded_vocab_size)
+        if step_fn is not None:
+            # tensor-parallel unified step (engine.global_stage's hook
+            # contract) — the sharded program owns its own layout
+            new_logits, new_state = step_fn(params, feed, state, hs)
+        else:
+            new_logits, new_state = rwkv7.step(
+                params, feed, state, cfg, head_slice=hs,
+                use_pallas=use_pallas)
         # idle slots keep their logits/state untouched (cheap: they computed
         # anyway; correctness only needs active slots)
         s2 = dict(s, stage=stage, override=override, n_glob=n_glob,
                   n_step=n_step, win=win, nwin=nwin)
         return (new_state, new_logits, s2), emit
 
-    bt = rwkv7.wkv_bt_active(use_pallas, logits.shape[0])
+    bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas, logits.shape[0])
     if bt:
         # batch-in-lanes WKV kernel layout; two [L,B,H,N,N] transposes per
         # K-step block (~3% of the block's state traffic at K=32)
@@ -278,18 +284,33 @@ class ContinuousEngine:
                  block: int = 32, slots: Optional[int] = None,
                  mesh=None, buckets: Optional[tuple] = None):
         """``mesh``: optional jax.sharding.Mesh — slots (recurrent state,
-        logits, per-slot bookkeeping) shard over its ``data`` axis and
-        weights place via parallel/mesh.py rules (vocab head/embedding
-        over ``model``). Decode then scales across a slice with XLA
-        emitting the collectives; admission scatters a host-prefilled
-        request state into the sharded batch (jit re-lays it out onto the
-        owning chip). Token streams stay bit-identical to the unsharded
-        engine — tested on the virtual 8-device CPU mesh."""
+        logits, per-slot bookkeeping) shard over its ``data`` axis. With
+        a ``model`` axis of 1, weights place via parallel/mesh.py rules
+        (vocab head/embedding sharded) and XLA emits the collectives.
+        With ``model`` > 1 the engine runs LAYER tensor parallelism
+        (parallel/tp.py): params head-shard 1/tp per chip, the unified
+        step runs through the sharded step hook and admission prefill
+        through forward_tp — the --tp serving path for /api/tts/stream.
+        Either way admission scatters a host-prefilled request state into
+        the sharded batch and token streams stay bit-identical to the
+        unsharded engine — tested on the virtual 8-device CPU mesh."""
+        self._tp = 1
         if mesh is not None:
             from ..parallel import mesh as meshlib
-            params = meshlib.shard_params(mesh, params)
-        self.inner = TtsEngine(params, cfg, engine_cfg, tokenizer=tokenizer,
-                               use_pallas=use_pallas)
+            self._tp = mesh.shape[meshlib.MODEL_AXIS]
+        if self._tp > 1:
+            # layer tensor parallelism: the inner engine shards the params
+            # (parallel/tp.py) and provides the step hook; admission
+            # prefill runs forward_tp through inner.prefill
+            self.inner = TtsEngine(params, cfg, engine_cfg,
+                                   tokenizer=tokenizer, tp_mesh=mesh)
+            params = self.inner.params
+        else:
+            if mesh is not None:
+                params = meshlib.shard_params(mesh, params)
+            self.inner = TtsEngine(params, cfg, engine_cfg,
+                                   tokenizer=tokenizer,
+                                   use_pallas=use_pallas)
         self.params = params
         self.cfg = cfg
         self.engine_cfg = engine_cfg
@@ -339,7 +360,11 @@ class ContinuousEngine:
                 raise ValueError(
                     f"slots={self.B} not divisible by the data axis "
                     f"({self.mesh.shape[meshlib.DATA_AXIS]})")
-            self.state = meshlib.shard_state(self.mesh, self.state)
+            if self._tp > 1:
+                from ..parallel import tp as tplib
+                self.state = tplib.shard_state_tp(self.mesh, self.state)
+            else:
+                self.state = meshlib.shard_state(self.mesh, self.state)
             self.logits = jax.device_put(
                 self.logits, meshlib.batch_sharding(self.mesh, 2))
             self.slots = {
@@ -442,6 +467,12 @@ class ContinuousEngine:
         while mb < m:
             mb *= 2
         mb = min(mb, self.B)
+        if self._tp > 1:
+            # forward_tp shards the burst over the data axis — the padded
+            # burst must be a multiple of it (B itself is, checked above)
+            from ..parallel import mesh as meshlib
+            dp = self.mesh.shape[meshlib.DATA_AXIS]
+            mb = min(self.B, -(-mb // dp) * dp)
         pad = mb - m
         prompts_p = prompts + [prompts[-1]] * pad
         stb = rwkv7.init_state(self.cfg, mb)
@@ -571,7 +602,8 @@ class ContinuousEngine:
                     self.state, self.logits, self.slots, emits = decode_block(
                         self.params, self.state, self.logits, self.slots,
                         self.cfg, self.block,
-                        use_pallas=self.inner.use_pallas_step)
+                        use_pallas=self.inner.use_pallas_step,
+                        step_fn=self.inner._step_fn)
                 self._block_seq += 1
                 nxt = (emits, self.slots["stage"], self._block_seq)
             else:

@@ -209,14 +209,13 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         logits, state = _step(params, feed, state)
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
-    hs = _hs
     bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas, B)
     if bt:
         state = rwkv7.state_to_bt(state)
     if feed_tag1:
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
         first_logits, state = _step(params, tag1, state)
-    carry = (state, first_logits[..., :hs], buf0, done0, len0, win0, nwin0,
+    carry = (state, first_logits[..., :_hs], buf0, done0, len0, win0, nwin0,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
     if bt:
@@ -251,8 +250,11 @@ class TtsEngine:
         are head-sharded on construction, prefill runs forward_tp, and
         the stages drive the sharded step through their step_fn hook.
         Each chip then streams 1/tp of the decode-step weights — the path
-        below the single-chip first-chunk floor (docs/PERF.md). Requires
-        RAW (unfused, unquantized) params; Pallas is forced off (the TP
+        below the single-chip first-chunk floor (docs/PERF.md). Takes the
+        RAW (unfused) layout, plain or int8-quantized — int8 composes
+        (specs shard the {"q","s"} leaves; TP=4 + int8 ≈ 1/8 of the bf16
+        single-chip stream). The fused zrkv layout and the 4-bit packed
+        layouts are NOT shardable here. Pallas is forced off (the TP
         latency target is small batch, where the jnp chain wins anyway).
         """
         self._step_fn = None
@@ -263,6 +265,15 @@ class TtsEngine:
             if tp_mesh.shape[meshlib.MODEL_AXIS] <= 1:
                 raise ValueError("tp_mesh needs a model axis > 1; use "
                                  "ContinuousEngine(mesh=...) for pure dp")
+            mp = tp_mesh.shape[meshlib.MODEL_AXIS]
+            if cfg.n_head % mp:
+                raise ValueError(
+                    f"tensor parallelism {mp} must divide the model's head "
+                    f"count {cfg.n_head} (n_embd {cfg.n_embd} / head_size "
+                    f"{cfg.head_size}) — lower --tp or use data parallelism")
+            if "zrkv" in params.get("blocks", {}):
+                raise ValueError("tp_mesh takes the RAW layout; fused "
+                                 "(zrkv) params cannot be head-sharded")
             params = tplib.shard_params_tp(tp_mesh, params)
             self._step_fn = tplib.make_step_fn(cfg, tp_mesh)
             use_pallas = False
@@ -336,14 +347,16 @@ class TtsEngine:
             if self.tp_mesh is not None:
                 from ..parallel import mesh as meshlib
                 from ..parallel import tp as tplib
+                # device_put the host arrays STRAIGHT to the mesh sharding
+                # (asarray-first would hop via device 0 — a needless extra
+                # transfer on a remote-tunnel TPU)
                 new_logits, state = tplib.forward_tp(
                     self.params,
-                    jax.device_put(jnp.asarray(tok_mat),
+                    jax.device_put(tok_mat,
                                    meshlib.batch_sharding(self.tp_mesh, 2)),
                     state, cfg, self.tp_mesh,
                     lengths=jax.device_put(
-                        jnp.asarray(lengths),
-                        meshlib.batch_sharding(self.tp_mesh, 1)),
+                        lengths, meshlib.batch_sharding(self.tp_mesh, 1)),
                 )
             else:
                 new_logits, state = rwkv7.forward(

@@ -287,22 +287,38 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     eng = self.engine
     cfg, ecfg = eng.cfg, eng.engine_cfg
     out: Dict[str, float] = {}
-    B = 1
+    # serving shapes exactly: under TP a B=1 request pads to the data-axis
+    # width and runs forward_tp + the stages' step_fn hook — warming the
+    # non-TP programs there would compile variants serving never executes
+    # (same rule as feed_tag1 below)
+    if eng.tp_mesh is not None:
+        from ..parallel import mesh as meshlib
+        from ..parallel import tp as tplib
+        B = eng.tp_mesh.shape[meshlib.DATA_AXIS]
+    else:
+        B = 1
     buckets = prefill_buckets or ecfg.prefill_buckets[:2]
     for T in buckets:
         t0 = time.perf_counter()
         st = rwkv7.init_state(cfg, B)
-        lg, st = rwkv7.forward(
-            self.engine.params, jnp.zeros((B, T), jnp.int32), st, cfg,
-            use_pallas=eng.use_pallas,
-            lengths=jnp.full((B,), T, jnp.int32))
+        if eng.tp_mesh is not None:
+            st = tplib.shard_state_tp(eng.tp_mesh, st)
+            lg, st = tplib.forward_tp(
+                eng.params, jnp.zeros((B, T), jnp.int32), st, cfg,
+                eng.tp_mesh, lengths=jnp.full((B,), T, jnp.int32))
+        else:
+            lg, st = rwkv7.forward(
+                eng.params, jnp.zeros((B, T), jnp.int32), st, cfg,
+                use_pallas=eng.use_pallas,
+                lengths=jnp.full((B,), T, jnp.int32))
         lg.block_until_ready()
         out[f"prefill_{T}"] = round(time.perf_counter() - t0, 2)
     keys = jnp.zeros((B, 2), jnp.uint32)
     limits = jnp.ones((B,), jnp.int32)
     t0 = time.perf_counter()
     _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
-                               use_pallas=eng.use_pallas_step)
+                               use_pallas=eng.use_pallas_step,
+                               step_fn=eng._step_fn)
     lg2.block_until_ready()
     out["global_stage"] = round(time.perf_counter() - t0, 2)
     modes = (False, True) if zero_shot_too else (False,)
@@ -315,7 +331,7 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         sem, lens, _ = semantic_stage(
             eng.params, st2, lg2, keys, limits, jnp.zeros((B,), jnp.int32),
             cfg, ecfg.max_semantic_tokens, zs, use_pallas=eng.use_pallas_step,
-            feed_tag1=not zs)
+            feed_tag1=not zs, step_fn=eng._step_fn)
         sem.block_until_ready()
         out[f"semantic_{'zs' if zs else 'normal'}"] = \
             round(time.perf_counter() - t0, 2)

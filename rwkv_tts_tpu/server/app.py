@@ -153,10 +153,18 @@ def _get_continuous(app):
         from ..runtime.continuous import ContinuousEngine
         pipe: TtsPipeline = app["pipeline"]
         eng = pipe.engine
+        slots = eng.engine_cfg.batch_size
+        if eng.tp_mesh is not None:
+            # keep --tp on the streaming path: the continuous engine runs
+            # the sharded step/prefill over the same mesh (params already
+            # sharded; slots must tile the data axis)
+            from ..parallel import mesh as meshlib
+            dp = eng.tp_mesh.shape[meshlib.DATA_AXIS]
+            slots = max(slots, dp) - (max(slots, dp) % dp) or dp
         app["continuous"] = ContinuousEngine(
             eng.params, eng.cfg, eng.engine_cfg, tokenizer=eng.tokenizer,
             use_pallas=eng.use_pallas, block=16,
-            slots=eng.engine_cfg.batch_size)
+            slots=slots, mesh=eng.tp_mesh)
     return app["continuous"]
 
 
