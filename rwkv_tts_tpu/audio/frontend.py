@@ -115,11 +115,15 @@ def load_and_process(path: str, volume_norm: bool = True,
     samples, sr, channels = read_audio_file(path)
     if samples.size == 0:
         raise ValueError("audio file contains no samples")
-    wav = to_mono_first_channel(samples, channels)
-    if wav.size < int(sr * 0.1):
+    # minimum-length gate on the INTERLEAVED sample count, before the mono
+    # down-mix — exact reference behavior (ref_audio_utilities.rs:166-174
+    # checks audio_samples.len(), so a 0.07 s stereo clip passes there and
+    # must pass here too)
+    if samples.size < int(sr * 0.1):
         raise ValueError(
-            f"audio too short: {wav.size / sr:.3f}s (min 0.1s)"
+            f"audio too short: {samples.size / sr:.3f}s (min 0.1s)"
         )
+    wav = to_mono_first_channel(samples, channels)
     if sr != target_sr:
         wav = resample(wav, sr, target_sr)
     if volume_norm:

@@ -37,14 +37,21 @@ def read_wav(data: bytes) -> Tuple[np.ndarray, int, int]:
         body = data[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise AudioDecodeError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # sub-format guid not parsed; assume PCM
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format tag is the first 2 bytes of the SubFormat GUID
+        # (fmt-body offset 24); assuming PCM here decodes extensible
+        # float32 files (DAW/sox output) as int32 noise
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            audio_format = 1  # short extensible header: PCM in practice
     if audio_format == 1:  # PCM
         if bits == 16:
             samples = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0

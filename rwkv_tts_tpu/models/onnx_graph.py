@@ -274,11 +274,16 @@ def _binop(sym):
         if sym == "*":
             return xp.multiply(a, b)
         if sym == "/":
-            # ONNX Div on ints is integer division
+            # ONNX Div on ints truncates toward zero (C semantics);
+            # floor_divide differs by one when exactly one operand is
+            # negative and the division is inexact
             r = xp.divide(a, b)
             if np.issubdtype(np.asarray(a).dtype if xp is np else a.dtype,
                              np.integer):
-                r = (xp.floor_divide(a, b))
+                q = xp.floor_divide(a, b)
+                rem = a - q * b
+                fix = (rem != 0) & ((a < 0) != (b < 0))
+                r = q + fix.astype(q.dtype)
             return r
         raise AssertionError(sym)
     return run
@@ -404,9 +409,12 @@ def _op_tile(node, x, repeats):
 
 
 def _op_range(node, start, limit, delta):
-    return np.arange(int(np.asarray(start)), int(np.asarray(limit)),
-                     int(np.asarray(delta)),
-                     dtype=np.asarray(start).dtype)
+    s = np.asarray(start).reshape(())
+    l = np.asarray(limit).reshape(())
+    d = np.asarray(delta).reshape(())
+    # ONNX Range supports float dtypes (time grids, positional encodings);
+    # int()-casting truncated fractional deltas to a zero step
+    return np.arange(s[()], l[()], d[()], dtype=s.dtype)
 
 
 def _op_constant_of_shape(node, shape):
@@ -570,7 +578,21 @@ def _pool(kind):
         nd = np.ndim(x) - 2
         ks = tuple(node.attrs["kernel_shape"])
         strides = tuple(node.attrs.get("strides", (1,) * nd))
-        pads_attr = node.attrs.get("pads", (0,) * (2 * nd))
+        if any(d != 1 for d in node.attrs.get("dilations", (1,) * nd)):
+            raise NotImplementedError("pooling dilations != 1")
+        pads_attr = list(node.attrs.get("pads", (0,) * (2 * nd)))
+        if node.attrs.get("ceil_mode", 0):
+            # ceil output length = floor after growing the right pad to the
+            # next stride boundary: out = ceil((L + p0 + p1 - k)/s) + 1
+            if kind != "max":
+                # average with ceil_mode needs window-clipping semantics
+                # beyond reduce_window's count trick; refuse loudly
+                raise NotImplementedError("AveragePool ceil_mode=1")
+            for i in range(nd):
+                L = np.shape(x)[2 + i]
+                span = L + pads_attr[i] + pads_attr[i + nd] - ks[i]
+                extra = (-span) % strides[i]
+                pads_attr[i + nd] += extra
         pads = [(0, 0), (0, 0)] + [(pads_attr[i], pads_attr[i + nd])
                                    for i in range(nd)]
         window = (1, 1) + ks
@@ -705,8 +727,20 @@ def _op_topk(node, x, k):
     axis = node.attrs.get("axis", -1)
     if axis not in (-1, np.ndim(x) - 1):
         raise NotImplementedError("TopK on non-last axis")
-    v, i = jax.lax.top_k(x, kk)
+    if node.attrs.get("largest", 1):
+        v, i = jax.lax.top_k(x, kk)
+    else:
+        # k smallest, ascending — the min-distance/nearest-neighbor
+        # pattern; lax.top_k only does largest, so negate
+        v, i = jax.lax.top_k(-jnp_asarray_f(x), kk)
+        v = -v
     return v, i.astype("int64")
+
+
+def jnp_asarray_f(x):
+    import jax.numpy as jnp
+    x = jnp.asarray(x)
+    return x.astype(jnp.float32) if not jnp.issubdtype(x.dtype, jnp.floating) else x
 
 
 def _op_cumsum(node, x, axis):

@@ -87,6 +87,14 @@ class StreamingVocoder:
         self.lookahead = (lookahead_tokens if lookahead_tokens is not None
                           else self.receptive)
         self.window_bucket = self.context + chunk_tokens + self.lookahead
+        # flush windows carry up to chunk+lookahead-1 residual tokens PLUS
+        # the receptive-field edge padding — always pad them to this one
+        # fixed multiple of the bucket so streaming compiles exactly two
+        # vocoder shapes (interior + flush), never a per-remainder ladder
+        worst_flush = (self.context + self.chunk + self.lookahead - 1
+                       + self.receptive)
+        self.flush_bucket = (-(-worst_flush // self.window_bucket)
+                             * self.window_bucket)
         self._tokens: List[int] = []
         self._emitted = 0        # tokens already vocoded+emitted
 
@@ -113,13 +121,13 @@ class StreamingVocoder:
         if flush:
             # final chunk: EDGE-pad by ≥ the receptive field — the exact
             # padding detokenize() applies past the end of the utterance —
-            # so the tail samples match the full bucketed decode
-            need = len(window) + self.receptive
+            # so the tail samples match the full bucketed decode. One fixed
+            # shape (see flush_bucket); extra edge padding is trimmed.
+            padded = self.flush_bucket
         else:
             # interior chunk: real lookahead covers the emitted region's
             # right receptive field; bucket filler beyond it is inaudible
-            need = len(window)
-        padded = -(-need // self.window_bucket) * self.window_bucket
+            padded = self.window_bucket
         sem = np.asarray(window + [window[-1]] * (padded - len(window)),
                          np.int32)[None]
         g = np.asarray(self.global_tokens, np.int32)[None]
@@ -172,6 +180,11 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             raise TimeoutError("streaming synthesis timed out")
         if item is None:
             res = box["res"]
+            if isinstance(res, Exception):
+                # the decode loop failed this request (continuous._run):
+                # surface it — a flushed partial chunk marked final would
+                # report truncated audio as a clean completion
+                raise res
             if vocoder is None:
                 vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
                                            res.global_tokens, chunk_tokens,
@@ -182,7 +195,7 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             return
         if vocoder is None:
             # global tokens are final once semantic tokens start arriving
-            live_globals = _current_globals(continuous_engine, args)
+            live_globals = _resolve_globals(continuous_engine, args, box)
             vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
                                        live_globals, chunk_tokens,
                                        low_latency=low_latency,
@@ -193,9 +206,22 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             seq += 1
 
 
-def _current_globals(engine, args) -> List[int]:
+def _resolve_globals(engine, args, box) -> List[int]:
+    """Speaker tokens for the vocoder, in trust order: the live slot, the
+    finished result, the request's own reference tokens. A short request
+    can retire (result_cb + slot pop happen in the same block iteration as
+    its chunk_cb) before the consumer thread builds the vocoder — falling
+    back to zeros there would silently vocode the WHOLE utterance in a
+    wrong default voice."""
     with engine._lock:
         for live in engine._live.values():
             if live.request is args:
                 return list(live.global_tokens)
-    return list(args.ref_global_tokens or [0] * 32)
+    res = box.get("res")
+    if res is not None and not isinstance(res, Exception):
+        return list(res.global_tokens)
+    if args.ref_global_tokens:
+        return list(args.ref_global_tokens)
+    raise RuntimeError(
+        "streaming: request is no longer live and no result is available "
+        "to resolve its speaker tokens")

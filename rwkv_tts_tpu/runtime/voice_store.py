@@ -58,6 +58,16 @@ class ChecksumError(ValueError):
     pass
 
 
+
+def _atomic_write_text(path: str, text: str) -> None:
+    """Write-then-rename so readers (this process, or a reference server
+    sharing the raf directory) never observe a half-written file."""
+    tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 class VoiceStore:
     """Thread-safe voice library with an in-memory cache and hit/miss stats
     (parity: VoiceFeatureManager save/load/list/delete/rename/get_voice_tokens,
@@ -100,8 +110,7 @@ class VoiceStore:
         feat.checksum = compute_checksum(feat)
         blob = _serialize(feat.to_ordered_dict())
         path = self._path(voice_id)
-        with open(path, "w", encoding="utf-8") as f:
-            f.write(blob)
+        _atomic_write_text(path, blob)
         with self._lock:
             self._cache[voice_id] = feat
         self._update_metadata()
@@ -153,8 +162,7 @@ class VoiceStore:
             if os.path.exists(dest) and not overwrite:
                 skipped.append(feat.id)
                 continue
-            with open(dest, "w", encoding="utf-8") as f:
-                f.write(_serialize(feat.to_ordered_dict()))
+            _atomic_write_text(dest, _serialize(feat.to_ordered_dict()))
             with self._lock:
                 self._cache[feat.id] = feat
             imported.append(feat.id)
@@ -197,8 +205,8 @@ class VoiceStore:
         feat = self.load(voice_id)
         feat = dataclasses.replace(feat, name=new_name, checksum="")
         feat.checksum = compute_checksum(feat)
-        with open(self._path(voice_id), "w", encoding="utf-8") as f:
-            f.write(_serialize(feat.to_ordered_dict()))
+        _atomic_write_text(self._path(voice_id),
+                           _serialize(feat.to_ordered_dict()))
         with self._lock:
             self._cache[voice_id] = feat
         self._update_metadata()
@@ -215,6 +223,13 @@ class VoiceStore:
     # -- metadata index ----------------------------------------------------------
 
     def _update_metadata(self) -> None:
+        # under the lock: concurrent save/delete/rename each rebuild the
+        # index; without serialization two writers interleave on the same
+        # path (atomic replace alone still loses one update's view)
+        with self._lock:
+            self._update_metadata_locked()
+
+    def _update_metadata_locked(self) -> None:
         voices = []
         for fn in sorted(os.listdir(self.raf_dir)):
             if not fn.endswith(".raf.json"):
@@ -233,8 +248,9 @@ class VoiceStore:
                 })
             except (KeyError, json.JSONDecodeError, OSError):
                 continue
-        with open(self._meta_path, "w", encoding="utf-8") as f:
-            json.dump({"voices": voices}, f, ensure_ascii=False, indent=2)
+        _atomic_write_text(
+            self._meta_path,
+            json.dumps({"voices": voices}, ensure_ascii=False, indent=2))
 
 
 # --------------------------------------------------------------------------

@@ -447,9 +447,12 @@ def build_dev_pipeline(raf_dir: str = "assets/raf",
     # startup transfer bandwidth through a remote TPU tunnel is limited
     lm_cfg = RwkvConfig(n_layer=2, n_embd=256, head_size=64, dtype="float32",
                         param_dtype="float32")
-    bc_cfg = BiCodecConfig.tiny()
+    # feat_dim must equal the wav2vec2 hidden size — the codec's encoder
+    # consumes those features at enrollment (a mismatch breaks
+    # /api/voice-clone/extract in dev mode while synthesis still works)
     w2v_cfg = Wav2Vec2Config(num_layers=2, hidden_size=256, num_heads=4,
                              ffn_size=512, conv_dims=(64,) * 7)
+    bc_cfg = BiCodecConfig.tiny(feat_dim=w2v_cfg.hidden_size)
     key = jax.random.PRNGKey(0)
     return TtsPipeline(
         rwkv7.init_params(lm_cfg, key), lm_cfg,

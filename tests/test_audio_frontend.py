@@ -197,3 +197,37 @@ def test_mp3_gated_without_ffmpeg(tmp_path, monkeypatch):
         aio.read_mp3_file(str(p))
     with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
         aio.encode_mp3(np.zeros(100, np.float32))
+
+
+def test_wav_extensible_float32():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) must dispatch on the SubFormat GUID:
+    an extensible float32 file (DAW/sox output) decoded as int32 PCM is
+    silent garbage."""
+    import struct
+
+    sr, n = 16000, 256
+    samples = (np.sin(np.linspace(0, 20, n)) * 0.5).astype(np.float32)
+    raw = samples.tobytes()
+    # fmt body: 16 base bytes + cbSize(2) + validbits(2) + chmask(4) +
+    # SubFormat GUID(16) whose first two bytes are the real tag (3 = float)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<H", 22) + struct.pack("<H", 32)
+    fmt += struct.pack("<I", 0)
+    fmt += struct.pack("<H", 3) + bytes(14)          # SubFormat: float
+    blob = b"RIFF" + struct.pack("<I", 36 + len(fmt) - 16 + len(raw)) + b"WAVE"
+    blob += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    blob += b"data" + struct.pack("<I", len(raw)) + raw
+    got, got_sr, ch = aio.read_wav(blob)
+    assert (got_sr, ch) == (sr, 1)
+    np.testing.assert_allclose(got, samples, atol=1e-7)
+
+    # extensible PCM16 still decodes as PCM
+    s16 = (samples * 32767).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+    fmt += struct.pack("<H", 22) + struct.pack("<H", 16)
+    fmt += struct.pack("<I", 0) + struct.pack("<H", 1) + bytes(14)
+    blob = b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+    blob += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    blob += b"data" + struct.pack("<I", len(s16.tobytes())) + s16.tobytes()
+    got, _, _ = aio.read_wav(blob)
+    np.testing.assert_allclose(got, samples, atol=1e-3)

@@ -214,3 +214,37 @@ def test_jit_compatible():
     jf = jax.jit(lambda a: g(a))
     got = np.asarray(jf(np.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_smallest_topk_ceil_pool_trunc_div_float_range():
+    """Ops with silent-wrong failure modes fixed by review: TopK largest=0
+    (min-distance selection), MaxPool ceil_mode=1, integer Div truncation
+    toward zero, float-dtype Range."""
+
+    class M(nn.Module):
+        def forward(self, x, d):
+            # smallest-k selection (codebook nearest-neighbor pattern)
+            vals, idx = torch.topk(x, 3, largest=False)
+            # ceil-mode max pooling on an even length
+            p = F.max_pool1d(x.unsqueeze(1), 3, stride=2,
+                             ceil_mode=True).squeeze(1)
+            # integer division with a negative numerator (C truncation)
+            q = (d - 7) / 2  # torch: trunc division on export via Div
+            t = torch.arange(0.0, 3.0, 0.5) * torch.ones_like(x[:, :6])
+            return vals, idx, p, q.float(), t
+
+    x = torch.randn(2, 10)
+    d = torch.tensor([3], dtype=torch.int64)  # (3-7)/2: trunc -2, floor -3
+    mod = M().eval()
+    buf = io.BytesIO()
+    with torch.no_grad():
+        torch.onnx.export(mod, (x, d), buf, input_names=["x", "d"],
+                          opset_version=17, dynamo=False)
+    g = OnnxGraph(buf.getvalue())
+    with torch.no_grad():
+        want = mod(x, d)
+    got = g(np.asarray(x), np.asarray(d))
+    for w, o in zip(want, got):
+        np.testing.assert_allclose(np.asarray(o, np.float64),
+                                   w.numpy().astype(np.float64),
+                                   rtol=1e-5, atol=1e-6)

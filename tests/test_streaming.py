@@ -118,3 +118,34 @@ def test_ultra_latency_mode(bc_params):
 
     with pytest.raises(ValueError):
         StreamingVocoder(bc_params, BC_CFG, g, latency_mode="warp")
+
+
+def test_resolve_globals_trust_order():
+    """A short request can retire (result_cb fires, slot popped) before the
+    consumer thread builds the vocoder; the finished result's speaker
+    tokens must win over the zero-vector fallback, and an unresolvable
+    request must raise instead of vocoding in a wrong default voice."""
+    import threading
+    import types
+
+    from rwkv_tts_tpu.config import TtsArgs
+    from rwkv_tts_tpu.runtime.engine import GenerationResult
+    from rwkv_tts_tpu.runtime.streaming import _resolve_globals
+
+    eng = types.SimpleNamespace(_lock=threading.Lock(), _live={})
+    args = TtsArgs(text="short")
+    res = GenerationResult(list(range(32)), [1, 2, 3], 4, 35)
+
+    # retired request, result available → result's speaker tokens
+    assert _resolve_globals(eng, args, {"res": res}) == list(range(32))
+    # zero-shot fallback: the request carries its own reference tokens
+    zs = TtsArgs(text="short", zero_shot=True,
+                 ref_global_tokens=[7] * 32)
+    assert _resolve_globals(eng, zs, {}) == [7] * 32
+    # engine failure → the Exception must not be mistaken for a result
+    with pytest.raises(RuntimeError, match="speaker tokens"):
+        _resolve_globals(eng, args, {"res": ValueError("boom")})
+    # live slot wins over everything
+    live = types.SimpleNamespace(request=args, global_tokens=[9] * 32)
+    eng._live[0] = live
+    assert _resolve_globals(eng, args, {"res": res}) == [9] * 32
