@@ -87,16 +87,36 @@ def cmd_import_voices(args) -> int:
 
 
 def main(argv=None) -> int:
-    p = argparse.ArgumentParser("rwkv-tts-tpu")
-    p.add_argument("--model-path", default="assets/model/webrwkv.safetensors")
-    p.add_argument("--raf-dir", default="assets/raf")
-    p.add_argument("--quant-type", choices=["none", "int8", "int4", "nf4", "sf4"], default="none")
-    p.add_argument("--allow-random-codec", action="store_true",
+    # global options live on a parent parser shared by the root AND every
+    # subcommand, so both documented orderings parse: `cli --raf-dir X
+    # voices` and `cli voices --raf-dir X` (argparse rejects
+    # post-subcommand flags defined only on the root). The parent uses
+    # SUPPRESS so a subparser's unset options never clobber values parsed
+    # before the subcommand; real defaults come from set_defaults.
+    SUP = argparse.SUPPRESS
+    g = argparse.ArgumentParser(add_help=False)
+    g.add_argument("--model-path", default=SUP)
+    g.add_argument("--raf-dir", default=SUP)
+    g.add_argument("--quant-type",
+                   choices=["none", "int8", "int4", "nf4", "sf4"],
+                   default=SUP)
+    g.add_argument("--allow-random-codec", action="store_true", default=SUP,
                    help="proceed with random codec weights when the real "
                         "BiCodec/wav2vec2 files are missing (dev only)")
+    p = argparse.ArgumentParser("rwkv-tts-tpu", parents=[g])
+    # real defaults applied POST-parse (below): parents share action
+    # objects, so set_defaults here would rewrite the shared SUPPRESS
+    # defaults and the subparser pass would clobber values parsed before
+    # the subcommand
+    GLOBAL_DEFAULTS = dict(model_path="assets/model/webrwkv.safetensors",
+                           raf_dir="assets/raf", quant_type="none",
+                           allow_random_codec=False)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    s = sub.add_parser("synth", help="synthesize text to an audio file")
+    def add_parser(name, **kw):
+        return sub.add_parser(name, parents=[g], **kw)
+
+    s = add_parser("synth", help="synthesize text to an audio file")
     s.add_argument("text")
     s.add_argument("-o", "--output", default="out.wav")
     s.add_argument("--seed", type=int, default=None)
@@ -109,26 +129,29 @@ def main(argv=None) -> int:
     s.add_argument("--speed", default="medium")
     s.set_defaults(fn=cmd_synth)
 
-    e = sub.add_parser("extract", help="enroll a voice from reference audio")
+    e = add_parser("extract", help="enroll a voice from reference audio")
     e.add_argument("audio")
     e.add_argument("--name", required=True)
     e.add_argument("--prompt", default="")
     e.set_defaults(fn=cmd_extract)
 
-    v = sub.add_parser("voices", help="list the voice library")
+    v = add_parser("voices", help="list the voice library")
     v.set_defaults(fn=cmd_voices)
 
-    d = sub.add_parser("delete", help="delete a voice")
+    d = add_parser("delete", help="delete a voice")
     d.add_argument("voice_id")
     d.set_defaults(fn=cmd_delete)
 
-    iv = sub.add_parser("import-voices",
+    iv = add_parser("import-voices",
                         help="import a reference server's raf directory")
     iv.add_argument("src_dir")
     iv.add_argument("--overwrite", action="store_true")
     iv.set_defaults(fn=cmd_import_voices)
 
     args = p.parse_args(argv)
+    for k, v in GLOBAL_DEFAULTS.items():
+        if not hasattr(args, k):
+            setattr(args, k, v)
     logging.basicConfig(level=logging.INFO)
     return args.fn(args)
 

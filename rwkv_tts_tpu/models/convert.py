@@ -120,9 +120,17 @@ def load_rwkv7(path: str, dtype: str = "bfloat16"
     def flat(x):
         return np.asarray(x).reshape(-1)
 
-    def stack(fmt, shape, transform=None, default=0.0):
-        """Stack blocks.{i}.<fmt> over layers into [L, *shape]."""
+    def stack(fmt, shape, transform=None, default=None):
+        """Stack blocks.{i}.<fmt> over layers into [L, *shape].
+
+        ``default`` fills LAYER 0 only, for tensors the architecture
+        genuinely omits there (the v-lora). Everything else missing is
+        checkpoint drift/corruption and raises with the exact key — a
+        silent zero-fill loads a broken model that synthesizes garbage
+        with no error (the BiCodec loader's resolver behaves the same
+        way)."""
         arrs = []
+        missing = []
         for i in range(L):
             key = f"blocks.{i}.{fmt}"
             if key in t:
@@ -130,8 +138,17 @@ def load_rwkv7(path: str, dtype: str = "bfloat16"
                 if transform:
                     a = transform(a)
                 arrs.append(np.asarray(a, np.float32).reshape(shape))
-            else:
+            elif default is not None and i == 0:
                 arrs.append(np.full(shape, default, np.float32))
+            else:
+                missing.append(key)
+        if missing:
+            raise KeyError(
+                f"checkpoint is missing {missing[0]}"
+                + (f" (+{len(missing) - 1} more layers)" if len(missing) > 1
+                   else "")
+                + " — naming drift or a truncated file; refusing to "
+                  "zero-fill a required tensor")
         return np.stack(arrs)
 
     def j(x, dt=None):
@@ -176,9 +193,9 @@ def load_rwkv7(path: str, dtype: str = "bfloat16"
             "a2": j(stack("att.a2", (Da, C))),
             # layer 0 has no v-lora; zeros make σ(v0+..)=0.5 but v_first
             # branch is selected there, so the values are unused
-            "v0": j(stack("att.v0", (C,)), f32),
-            "v1": j(stack("att.v1", (C, Dv))),
-            "v2": j(stack("att.v2", (Dv, C))),
+            "v0": j(stack("att.v0", (C,), default=0.0), f32),
+            "v1": j(stack("att.v1", (C, Dv), default=0.0)),
+            "v2": j(stack("att.v2", (Dv, C), default=0.0)),
             "g1": j(stack("att.g1", (C, Dg))),
             "g2": j(stack("att.g2", (Dg, C))),
             "k_k": j(stack("att.k_k", (C,)), f32),
@@ -319,7 +336,22 @@ def save_checkpoint(params, path: str) -> None:
         return {"__leaf__": idx, "dtype": dt}
 
     structure = jax.tree_util.tree_map(enc, params)
-    manifest = np.frombuffer(json.dumps(structure).encode("utf-8"), np.uint8)
+
+    def jsonable(node):
+        # JSON has no tuple and tree_map passes None through: tag tuples
+        # so load restores the exact pytree structure, and let None
+        # round-trip as null (e.g. BiCodec convnext trees carry
+        # gamma=None when the checkpoint has no gamma)
+        if isinstance(node, tuple):
+            return {"__tuple__": [jsonable(v) for v in node]}
+        if isinstance(node, list):
+            return [jsonable(v) for v in node]
+        if isinstance(node, dict) and "__leaf__" not in node:
+            return {k: jsonable(v) for k, v in node.items()}
+        return node
+
+    manifest = np.frombuffer(
+        json.dumps(jsonable(structure)).encode("utf-8"), np.uint8)
     arrays = {f"a{i}": a for i, a in enumerate(leaves)}
     tmp = path + ".tmp"
     np.savez(tmp, __manifest__=manifest, **arrays)
@@ -337,11 +369,15 @@ def load_checkpoint(path: str):
         manifest = json.loads(bytes(z["__manifest__"]).decode("utf-8"))
 
         def dec(node):
+            if node is None:
+                return None
             if isinstance(node, dict) and "__leaf__" in node:
                 arr = z[f"a{node['__leaf__']}"]
                 if node["dtype"] == "bfloat16":
                     arr = arr.view(ml_dtypes.bfloat16)
                 return jax.device_put(arr)
+            if isinstance(node, dict) and "__tuple__" in node:
+                return tuple(dec(v) for v in node["__tuple__"])
             if isinstance(node, dict):
                 return {k: dec(v) for k, v in node.items()}
             if isinstance(node, list):
@@ -449,19 +485,31 @@ def load_wav2vec2_weights(tensors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]
 # --------------------------------------------------------------------------
 
 def fold_weight_norm(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Fold every (X.weight_g, X.weight_v) pair into X.weight
-    (torch weight_norm, dim=0: per-slice norm over all dims but the 0th)."""
+    """Fold torch weight-norm pairs into X.weight.
+
+    Accepts both on-disk namings — classic (X.weight_g / X.weight_v) and
+    the torch >= 2.1 parametrize scheme
+    (X.parametrizations.weight.original0/original1) — and infers the norm
+    dim from g's shape (torch keeps g all-singleton except the kept dim:
+    dim=0 for DAC/BiCodec convs, dim=2 for HF's wav2vec2 pos-conv)."""
+    V_SUFFIXES = (".weight_v", ".parametrizations.weight.original1")
     out = dict(tensors)
     for k in list(tensors):
-        if not k.endswith(".weight_v"):
+        suf = next((s for s in V_SUFFIXES if k.endswith(s)), None)
+        if suf is None:
             continue
-        base = k[: -len(".weight_v")]
-        gk = base + ".weight_g"
+        base = k[: -len(suf)]
+        gk = base + (".weight_g" if suf == ".weight_v"
+                     else ".parametrizations.weight.original0")
         if gk not in tensors:
             continue
         v = np.asarray(tensors[k], np.float32)
         g = np.asarray(tensors[gk], np.float32)
-        axes = tuple(range(1, v.ndim))
+        if g.ndim == v.ndim:
+            dim = next((i for i, s in enumerate(g.shape) if s != 1), 0)
+        else:
+            dim = 0
+        axes = tuple(i for i in range(v.ndim) if i != dim)
         norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True)) + 1e-12
         out[base + ".weight"] = g.reshape(norm.shape) * v / norm
         out.pop(k, None)

@@ -144,8 +144,11 @@ def extract_features(params: Params, wav: jax.Array, cfg: Wav2Vec2Config,
                  @ lp["fc2"] + lp["fc2_b"])
         idx = idx + 1
         # accumulate selected hidden states (hidden_states[i] = input of
-        # layer i, so layer output idx corresponds to hidden_states[idx])
-        sel = jnp.any(jnp.asarray(want) == idx)
+        # layer i, so layer output idx corresponds to hidden_states[idx]).
+        # The FINAL hidden state is handled post-scan: HF's stable-layer-
+        # norm encoder applies encoder.layer_norm to hidden_states[-1]
+        # only (Wav2Vec2EncoderStableLayerNorm.forward)
+        sel = jnp.any(jnp.asarray(want) == idx) & (idx != cfg.num_layers)
         acc = acc + jnp.where(sel, x, 0.0)
         return (x, acc, idx), None
 
@@ -157,6 +160,8 @@ def extract_features(params: Params, wav: jax.Array, cfg: Wav2Vec2Config,
     (x, acc, _), _ = jax.lax.scan(
         layer_body, (x, acc0, jnp.int32(0)), params["layers"]
     )
+    if cfg.num_layers in want:
+        acc = acc + _ln(x, params["enc_ln_w"], params["enc_ln_b"])
     return acc / float(len(want))
 
 

@@ -17,6 +17,8 @@ enrollment path is not throughput-critical).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 N_MELS = 128
@@ -36,6 +38,7 @@ def mel_to_hz(mel):
     return 700.0 * (10.0 ** (np.asarray(mel, np.float64) / 2595.0) - 1.0)
 
 
+@functools.lru_cache(maxsize=8)
 def mel_filterbank(n_mels=N_MELS, n_fft=N_FFT, sample_rate=SAMPLE_RATE,
                    fmin=FMIN, fmax=FMAX) -> np.ndarray:
     """Triangular filters on the HTK mel scale with Slaney 2/(Δf) area
@@ -61,6 +64,7 @@ def mel_filterbank(n_mels=N_MELS, n_fft=N_FFT, sample_rate=SAMPLE_RATE,
     return fb.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
 def hann_window(n=WIN_LENGTH) -> np.ndarray:
     """Symmetric Hann as the reference builds it (2πi/(n−1))."""
     i = np.arange(n, dtype=np.float64)

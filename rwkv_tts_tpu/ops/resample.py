@@ -48,8 +48,11 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     up, down = target_sr // g, orig_sr // g
     h = _design_filter(up, down)
     out = signal.upfirdn(h, np.asarray(audio, np.float64), up=up, down=down)
-    # trim the filter's group delay so output aligns with the input start,
-    # and cut to the expected rounded length
+    # trim the filter's group delay (integer-output-sample precision: when
+    # ``down`` does not divide the delay a sub-output-sample phase offset
+    # of (delay % down)/down input samples remains — irrelevant for
+    # enrollment features, but NOT exact sample alignment) and cut to the
+    # expected rounded length
     delay = (len(h) - 1) // 2
     start = delay // down
     n_out = int(np.ceil(len(audio) * up / down))

@@ -93,11 +93,20 @@ def filtered_probs(
 
 
 def sample_token(probs: jax.Array, key: jax.Array) -> jax.Array:
-    """Multinomial draw by inverse CDF in index order. probs: [..., V]."""
+    """Multinomial draw by inverse CDF in index order. probs: [..., V].
+
+    The draw is scaled into (0, cdf_max]: the f32 cumsum can top out
+    ~1e-7 below 1, and an unscaled u landing in that gap would walk past
+    the support and clamp onto the LAST index — which in the masked
+    semantic domain is a zero-probability >EOS id (torch.multinomial,
+    the parity target, can never emit a zero-probability category). The
+    lower bound likewise keeps u off exactly 0, where a zero-probability
+    index 0 would be returned."""
     total = jnp.sum(probs, axis=-1, keepdims=True)
     norm = probs / jnp.maximum(total, 1e-30)
     c = jnp.cumsum(norm, axis=-1)
     u = jax.random.uniform(key, probs.shape[:-1] + (1,), dtype=jnp.float32)
+    u = jnp.maximum(u, 1e-12) * c[..., -1:]
     idx = jnp.sum((c < u).astype(jnp.int32), axis=-1)
     return jnp.minimum(idx, probs.shape[-1] - 1)
 

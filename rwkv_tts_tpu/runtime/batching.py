@@ -49,6 +49,10 @@ class DynamicBatcher:
             self._task = asyncio.create_task(self._collector())
 
     async def close(self):
+        """Stop the collector and fail everything still pending — queued
+        or in-flight requests would otherwise sit silently until the full
+        inference timeout (their futures are never resolved once the
+        collector/executor die)."""
         self._closed = True
         if self._task:
             self._task.cancel()
@@ -57,10 +61,23 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
-        self._executor.shutdown(wait=False)
+        err = RuntimeError("batcher closed")
+        while not self._queue.empty():
+            try:
+                _, fut = self._queue.get_nowait()
+            except asyncio.QueueEmpty:
+                break
+            if not fut.done():
+                fut.set_exception(err)
+        # wait for an in-flight batch to finish (its future fan-out runs in
+        # _run_batch, which the cancel above may have interrupted — the
+        # executor thread itself is not cancellable)
+        self._executor.shutdown(wait=True)
 
     async def submit(self, args: TtsArgs) -> SynthesisResult:
         """Enqueue one request; resolves when its batch completes."""
+        if self._closed:
+            raise RuntimeError("batcher closed")
         if self._task is None:
             await self.start()
         loop = asyncio.get_running_loop()
@@ -92,7 +109,9 @@ class DynamicBatcher:
                         self._queue.get(), timeout=remaining))
                 except asyncio.TimeoutError:
                     break
-            await self._run_batch(batch)
+            # shielded: cancelling the collector (close()) must not skip
+            # the result fan-out of a batch already on the device thread
+            await asyncio.shield(self._run_batch(batch))
 
     async def _run_batch(self, batch):
         loop = asyncio.get_running_loop()

@@ -20,9 +20,12 @@ def key_seed(key) -> int:
     keys are plain uint32 arrays; typed keys expose their data via the
     ``_base_array``/unwrap path only when needed.
     """
-    arr = np.asarray(key) if not hasattr(key, "dtype") or key.dtype.kind in "ui" \
-        else None
-    if arr is None:
+    kind = getattr(getattr(key, "dtype", None), "kind", None)
+    if kind in ("u", "i") or not hasattr(key, "dtype"):
+        arr = np.asarray(key)
+    else:
+        # typed key (dtype KeyTy has no .kind): unwrap via key_data — the
+        # one-time device dispatch is unavoidable for this key style
         import jax
         arr = np.asarray(jax.random.key_data(key))
     arr = arr.ravel()
