@@ -534,6 +534,9 @@ def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
     """
     cdt = jnp.dtype(cfg.dtype)
     if cdt != jnp.float32:
+        # no-op when the tree was pre-cast at load (prepare_params) — do
+        # that for serving: this in-graph fallback converts every weight
+        # per CALL, a real HBM tax for the per-chunk streaming vocoder
         params = jax.tree_util.tree_map(
             lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params)
     zq = fvq_detokenize(params["quantizer"], semantic_tokens).astype(cdt)
@@ -541,6 +544,18 @@ def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
     x = prenet_forward(params["prenet"], zq, d, cfg)
     x = x + d[:, :, None]
     return wave_generator(params["wavegen"], x, cfg)
+
+
+def prepare_params(params: Params, cfg: BiCodecConfig) -> Params:
+    """One-time cast of the param tree to the cfg.dtype compute policy
+    (numerically identical to decode()'s in-graph fallback cast — norms/
+    snake/tanh upcast internally either way). Call at load so the
+    per-call tree conversion becomes a no-op."""
+    cdt = jnp.dtype(cfg.dtype)
+    if cdt == jnp.float32 or not isinstance(params, dict):
+        return params
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params)
 
 
 # --------------------------------------------------------------------------
@@ -811,7 +826,10 @@ def detokenize(params, global_tokens, semantic_tokens, cfg,
     S = s.shape[1]
     if S == 0:
         return np.zeros((s.shape[0], 0), np.float32)
-    need = S + receptive_latents(cfg)
+    # cfg may be None for transpiled-graph params (OnnxBiCodec carries no
+    # native cfg); padding margins then use the published model's dims
+    cfg_eff = cfg if cfg is not None else BiCodecConfig()
+    need = S + receptive_latents(cfg_eff)
     if isinstance(bucket, int):
         padded = need + ((-need) % bucket)
     else:
@@ -821,5 +839,5 @@ def detokenize(params, global_tokens, semantic_tokens, cfg,
         wav = params.decode(g, jnp.asarray(s_pad))
     else:
         wav = decode(params, g, jnp.asarray(s_pad), cfg)
-    hop = cfg.hop if cfg is not None else 320
+    hop = cfg_eff.hop
     return np.asarray(wav[:, : S * hop], np.float32)

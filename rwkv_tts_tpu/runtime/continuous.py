@@ -52,11 +52,21 @@ from .engine import (
     _mask_global,
     _mask_semantic,
     _sample_batch,
+    zs_hard_min,
 )
 
 IDLE, GLOBAL, SEMANTIC = 0, 1, 2
 NO_EMIT = -1
 FINISHED = -2
+
+
+class RequestCancelled(RuntimeError):
+    """Raised into a cancelled request's callbacks (client disconnect)."""
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _idle_slots(stage, limit, idx):
+    return stage.at[idx].set(IDLE), limit.at[idx].set(0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "use_pallas",
@@ -124,7 +134,10 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         is_eos = tok_s == C.TTS_EOS_TOKEN
         hit_limit = s["n_step"] + 1 >= s["limit"]
         retires = in_sem & (is_eos | hit_limit)
-        sem_emit = in_sem & (~is_eos)
+        # the n_step guard covers limit <= 0 (a retiring slot at the cap
+        # still emits its last in-cap token, like the static engine's
+        # i < limits gate; without it limit=0 emitted one token)
+        sem_emit = in_sem & (~is_eos) & (s["n_step"] < s["limit"])
 
         # --- feed selection ------------------------------------------------
         feed = jnp.where(has_ov, jnp.maximum(override, 0), 0)
@@ -268,6 +281,7 @@ class _Live:
     zero_shot: bool
     t_start: float
     admit_seq: int = 0        # dispatch count at admission (pipelining guard)
+    cancelled: bool = False   # marked by cancel(); the decode thread retires
 
 
 class ContinuousEngine:
@@ -324,6 +338,10 @@ class ContinuousEngine:
         if buckets is None and mesh is None:
             buckets = tuple(b for b in (8, 16, 32, 64, 128, 256, 512)
                             if b < self.B)
+        if mesh is not None and buckets:
+            raise ValueError("occupancy buckets cannot combine with a mesh: "
+                             "slicing the slot prefix breaks the sharding "
+                             "(and the bucketed block bypasses the TP step)")
         self.buckets = tuple(sorted(buckets or ()))
         self._queue: "queue.Queue" = queue.Queue()
         self._live: Dict[int, _Live] = {}
@@ -331,6 +349,7 @@ class ContinuousEngine:
         self._wake = threading.Event()
         self._stop = False
         self._block_seq = 0        # decode_block dispatches so far
+        self._crashed: Optional[BaseException] = None
         self._thread: Optional[threading.Thread] = None
         self._reset_device_state()
 
@@ -406,9 +425,48 @@ class ContinuousEngine:
         Voice-id resolution happens UPSTREAM (TtsPipeline.resolve_voice):
         args must already carry ref_global_tokens for zero-shot requests —
         this engine has no voice store."""
+        if self._crashed is not None:
+            raise RuntimeError(
+                "continuous decode loop crashed and is offline"
+            ) from self._crashed
         self._queue.put((args, result_cb, chunk_cb))
         self._wake.set()
         self.start()
+
+    def cancel(self, args: TtsArgs) -> bool:
+        """Abort a live request (client disconnected). The decode thread
+        idles its device slot, frees it, and fires result_cb with
+        RequestCancelled — otherwise the slot keeps decoding (and the
+        streaming producer keeps vocoding) for a consumer that is gone."""
+        with self._lock:
+            for live in self._live.values():
+                if live.request is args and not live.cancelled:
+                    live.cancelled = True
+                    self._wake.set()
+                    return True
+        return False
+
+    def _apply_cancels(self):
+        with self._lock:
+            cancelled = [(s, l) for s, l in self._live.items() if l.cancelled]
+        if not cancelled:
+            return
+        idx = jnp.asarray([s for s, _ in cancelled], jnp.int32)
+        stage, limit = _idle_slots(self.slots["stage"], self.slots["limit"],
+                                   idx)
+        self.slots = dict(self.slots, stage=stage, limit=limit)
+        # free the slots ONLY after the device-side idle write, and only in
+        # this thread (admission also runs here, so a freed slot cannot be
+        # re-admitted before it is idle)
+        with self._lock:
+            for s, _ in cancelled:
+                self._live.pop(s, None)
+        err = RequestCancelled("request cancelled")
+        for _, l in cancelled:
+            try:
+                l.result_cb(err)
+            except Exception:  # noqa: BLE001
+                pass
 
     def generate(self, args: TtsArgs, timeout: float = 600.0
                  ) -> GenerationResult:
@@ -490,14 +548,9 @@ class ContinuousEngine:
             zs = bool(resolved.zero_shot)
             limit = min(resolved.max_tokens, C.MAX_SEMANTIC_TOKENS,
                         self.engine_cfg.max_semantic_tokens)
-            if zs:
-                tlen = len(texts[j])
-                min_len = min(max(tlen // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
-                est = int(np.ceil(tlen * C.ZS_HARD_MIN_FACTOR))
-                hard_min = min(int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC),
-                               max(min_len, est))
-            else:
-                hard_min = 0
+            # SHARED with the static engine: these feed the device-side EOS
+            # gate, so the two engines must stay bit-identical here
+            hard_min = zs_hard_min(len(texts[j])) if zs else 0
             slots_np.append(slot)
             stages.append(SEMANTIC if zs else GLOBAL)
             limits.append(limit)
@@ -580,6 +633,7 @@ class ContinuousEngine:
         # snapshot (idle slots stay idle, so the free-list is conservative).
         pending = None      # (emits_dev, stage_snapshot_dev)
         while not self._stop:
+            self._apply_cancels()
             self._admit()
             with self._lock:
                 any_live = bool(self._live)
@@ -619,6 +673,10 @@ class ContinuousEngine:
         except Exception as e:  # noqa: BLE001 — fail live requests, don't hang
             import logging
             logging.getLogger(__name__).exception("decode loop crashed")
+            # mark the engine dead: start() would otherwise see a non-None
+            # _thread forever and every later submit would sit in a queue
+            # nothing drains until its caller's timeout
+            self._crashed = e
             with self._lock:
                 live = list(self._live.items())
                 self._live.clear()

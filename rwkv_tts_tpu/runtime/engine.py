@@ -79,6 +79,19 @@ def _sample_batch(logits, keys, temperature, top_p, top_k):
     return jax.vmap(sample_token)(probs, keys)
 
 
+
+def zs_hard_min(text_len: int) -> int:
+    """Zero-shot hard minimum before EOS is allowed: clamp(1.8×|text|,
+    max(8, |text|/4)…64 lower bound, ≤ 0.9×2048)
+    (zero_shot_inference.rs:127-149). ONE definition shared by the static
+    and continuous engines — it feeds the device-side EOS gate, so the two
+    must stay bit-identical (CLAUDE.md parity contract)."""
+    min_len = min(max(text_len // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
+    est = int(np.ceil(text_len * C.ZS_HARD_MIN_FACTOR))
+    upper = int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC)
+    return min(upper, max(min_len, est))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "use_pallas", "step_fn"))
 def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
                  use_pallas: bool = False, step_fn=None):
@@ -411,16 +424,8 @@ class TtsEngine:
             [min(r.max_tokens, C.MAX_SEMANTIC_TOKENS) for r in requests], jnp.int32
         )
         if zero_shot:
-            # hard min: clamp(1.8×|text|, max(8, |text|/4)..64 lower bound,
-            # ≤ 0.9×limit)  (zero_shot_inference.rs:127-149)
-            hard_min = []
-            for r, t in zip(requests, texts):
-                tlen = len(t)
-                min_len = min(max(tlen // 4, C.ZS_MIN_LEN_LO), C.ZS_MIN_LEN_HI)
-                est = int(np.ceil(tlen * C.ZS_HARD_MIN_FACTOR))
-                upper = int(C.MAX_SEMANTIC_TOKENS * C.ZS_UPPER_FRAC)
-                hard_min.append(min(upper, max(min_len, est)))
-            hard_min = jnp.asarray(hard_min, jnp.int32)
+            hard_min = jnp.asarray([zs_hard_min(len(t)) for t in texts],
+                                   jnp.int32)
         else:
             hard_min = jnp.zeros((B,), jnp.int32)
 

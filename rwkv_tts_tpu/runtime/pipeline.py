@@ -134,6 +134,9 @@ class TtsPipeline:
         codec_dtype = kw.pop("codec_dtype", None)
         if codec_dtype is not None:
             bc_cfg = dataclasses.replace(bc_cfg, dtype=codec_dtype)
+            # one-time cast: decode()'s in-graph fallback would otherwise
+            # convert the whole weight tree every call (per streaming chunk)
+            bc_params = bicodec.prepare_params(bc_params, bc_cfg)
         # ``codec_conv_impl`` selects the wave-generator conv backend
         # ("native" | "mxu" — models/bicodec._wavegen_conv).
         codec_conv_impl = kw.pop("codec_conv_impl", None)

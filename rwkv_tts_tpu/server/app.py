@@ -147,8 +147,24 @@ async def handle_tts(request: web.Request) -> web.Response:
     })
 
 
+async def _get_continuous_async(app):
+    """Build the continuous engine off the event loop (device allocations
+    through a remote TPU tunnel take seconds; building inline would stall
+    every other request on the single loop), guarded against concurrent
+    first requests."""
+    if app.get("continuous") is not None:
+        return app["continuous"]
+    lock = app.setdefault("_continuous_lock", asyncio.Lock())
+    async with lock:
+        if app.get("continuous") is None:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, _get_continuous, app)
+    return app["continuous"]
+
+
 def _get_continuous(app):
-    """Lazily build the continuous slot engine sharing the pipeline's LM."""
+    """Build (or return) the continuous slot engine sharing the pipeline's
+    LM. Synchronous — HTTP paths use _get_continuous_async."""
     if app.get("continuous") is None:
         from ..runtime.continuous import ContinuousEngine
         pipe: TtsPipeline = app["pipeline"]
@@ -190,7 +206,7 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     latency_mode = payload.get("latency_mode")
     if latency_mode is not None and latency_mode not in ("exact", "low", "ultra"):
         return _err("latency_mode must be exact|low|ultra", status=400)
-    cont = _get_continuous(app)
+    cont = await _get_continuous_async(app)
     pipe: TtsPipeline = app["pipeline"]
 
     resp = web.StreamResponse(headers={
@@ -239,8 +255,18 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
             }).encode() + b"\n")
             if item.final:
                 break
+    except (asyncio.CancelledError, ConnectionResetError,
+            ConnectionError):
+        # client went away: retire the slot and stop the producer — the
+        # request would otherwise keep decoding/vocoding for nobody and
+        # starve live requests of slots
+        cont.cancel(args)
+        raise
     finally:
-        await resp.write_eof()
+        try:
+            await resp.write_eof()
+        except (ConnectionResetError, ConnectionError):
+            pass
     app["metrics"]["tts_stream_requests"] =         app["metrics"].get("tts_stream_requests", 0) + 1
     return resp
 
@@ -377,11 +403,22 @@ async def cors_middleware(request, handler):
     if request.method == "OPTIONS":
         resp = web.Response()
     else:
-        resp = await handler(request)
+        try:
+            resp = await handler(request)
+        except web.HTTPException as e:
+            # 404/405/... are raised, not returned — without the headers
+            # the browser reports an opaque CORS failure instead of the
+            # actual error payload
+            _cors(e)
+            raise
+    _cors(resp)
+    return resp
+
+
+def _cors(resp):
     resp.headers["Access-Control-Allow-Origin"] = "*"
     resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
     resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
-    return resp
 
 
 @web.middleware
@@ -495,7 +532,7 @@ def build_pipeline_from_args(args) -> TtsPipeline:
         pipeline = TtsPipeline.from_checkpoints(
             args.model_path, raf_dir=args.raf_dir,
             quant_type=args.quant_type,
-            quant_layers=args.quant_layers if args.quant_layers else -1,
+            quant_layers=args.quant_layers,
             vocab_path=args.vocab_path, engine_cfg=engine_cfg,
             allow_random_codec=getattr(args, "allow_random_codec", False),
             tp_mesh=tp_mesh)
@@ -532,7 +569,10 @@ def main(argv=None):
                    help="collect window, ms")
     p.add_argument("--inference-timeout", type=float, default=120000.0)
     p.add_argument("--quant-type", choices=["none", "int8", "int4", "nf4", "sf4"], default="none")
-    p.add_argument("--quant-layers", type=int, default=0)
+    p.add_argument("--quant-layers", type=int, default=-1,
+                   help="0 disables quantization (reference parity); any "
+                        "other value quantizes every block (stacked-layer "
+                        "scan needs a uniform dtype; default -1 = all)")
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--no-download", action="store_true",
                    help="skip the HF model auto-download check")

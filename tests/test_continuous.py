@@ -168,3 +168,50 @@ def test_bucket_selection_grows_and_shrinks(params):
             assert not eng._live
     finally:
         eng.stop()
+
+
+def test_limit_zero_token_identical(params, static_engine, cont):
+    """max_tokens=0 must emit ZERO semantic tokens in both engines (the
+    continuous retire path used to emit one before idling)."""
+    req = TtsArgs(text="limit zero", seed=3, max_tokens=0)
+    want = static_engine.generate(req)
+    got = cont.generate(req, timeout=300.0)
+    assert want.semantic_tokens == [] and got.semantic_tokens == []
+    assert got.global_tokens == want.global_tokens
+
+
+def test_cancel_retires_slot(params, cont):
+    """cancel() fires RequestCancelled and frees the slot for new work."""
+    from rwkv_tts_tpu.runtime.continuous import RequestCancelled
+
+    done = threading.Event()
+    box = {}
+
+    def cb(res):
+        box["res"] = res
+        done.set()
+
+    req = TtsArgs(text="a long cancelled request", seed=4, max_tokens=20)
+    cont.submit(req, cb)
+    assert cont.cancel(req) or done.wait(60.0)  # raced completion is fine
+    assert done.wait(120.0)
+    if isinstance(box["res"], Exception):
+        assert isinstance(box["res"], RequestCancelled)
+    # the engine still serves fresh requests afterwards
+    res = cont.generate(TtsArgs(text="after cancel", seed=5, max_tokens=8),
+                        timeout=300.0)
+    assert len(res.global_tokens) == 32
+
+
+def test_crashed_loop_fast_fails_submits(params):
+    """A dead decode loop must fast-fail new submits, not strand them in
+    a queue nothing drains until the caller's timeout."""
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=8,
+                           slots=3)
+    try:
+        eng._crashed = RuntimeError("boom")   # what _run() records on crash
+        with pytest.raises(RuntimeError, match="offline"):
+            eng.submit(TtsArgs(text="x", seed=1), lambda r: None)
+    finally:
+        eng._crashed = None
+        eng.stop()
