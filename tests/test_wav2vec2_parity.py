@@ -70,3 +70,18 @@ def test_downsample_is_320x(hf_and_ours):
     wav = jnp.zeros((1, 16000))
     feats = wav2vec2.extract_features(params, wav, cfg, output_layers=LAYERS)
     assert abs(feats.shape[1] - 16000 // 320) <= 2
+
+
+def test_final_hidden_state_applies_encoder_layer_norm(hf_and_ours):
+    """HF's stable-layer-norm encoder applies encoder.layer_norm to the
+    LAST hidden state only; selecting it via output_layers must match
+    (it used to return the pre-norm activation silently)."""
+    hf, params, cfg = hf_and_ours
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(1, 6000)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.tensor(wav), output_hidden_states=True)
+    want = out.hidden_states[cfg.num_layers].numpy()   # post final LN
+    got = np.asarray(wav2vec2.extract_features(
+        params, jnp.asarray(wav), cfg, output_layers=(cfg.num_layers,)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
