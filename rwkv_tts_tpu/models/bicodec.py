@@ -533,12 +533,10 @@ def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
     f32. Default "float32" keeps CPU tests and torch-parity exact.
     """
     cdt = jnp.dtype(cfg.dtype)
-    if cdt != jnp.float32:
-        # no-op when the tree was pre-cast at load (prepare_params) — do
-        # that for serving: this in-graph fallback converts every weight
-        # per CALL, a real HBM tax for the per-chunk streaming vocoder
-        params = jax.tree_util.tree_map(
-            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params)
+    # no-op when the tree was pre-cast at load — do that for serving: this
+    # in-graph fallback converts every weight per CALL, a real HBM tax for
+    # the per-chunk streaming vocoder
+    params = prepare_params(params, cfg)
     zq = fvq_detokenize(params["quantizer"], semantic_tokens).astype(cdt)
     d = speaker_detokenize(params["speaker"], global_tokens, cfg).astype(cdt)
     x = prenet_forward(params["prenet"], zq, d, cfg)

@@ -731,16 +731,15 @@ def _op_topk(node, x, k):
         v, i = jax.lax.top_k(x, kk)
     else:
         # k smallest, ascending — the min-distance/nearest-neighbor
-        # pattern; lax.top_k only does largest, so negate
-        v, i = jax.lax.top_k(-jnp_asarray_f(x), kk)
+        # pattern; lax.top_k only does largest, so negate (keeps the
+        # input dtype, which ONNX requires of the values output)
+        import jax.numpy as jnp
+        xa = jnp.asarray(x)
+        if jnp.issubdtype(xa.dtype, jnp.unsignedinteger):
+            raise NotImplementedError("TopK largest=0 on unsigned ints")
+        v, i = jax.lax.top_k(-xa, kk)
         v = -v
     return v, i.astype("int64")
-
-
-def jnp_asarray_f(x):
-    import jax.numpy as jnp
-    x = jnp.asarray(x)
-    return x.astype(jnp.float32) if not jnp.issubdtype(x.dtype, jnp.floating) else x
 
 
 def _op_cumsum(node, x, axis):

@@ -56,8 +56,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RwkvConfig
 from ..models import rwkv7
-from ..models.rwkv7 import (Params, State, _channel_mix, _layer_norm,
-                            _time_mix)
+from ..models.rwkv7 import Params, State
 from ..ops.quant import qmatmul
 from ..ops.wkv7 import wkv7_single
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -181,7 +180,7 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         midx = jax.lax.axis_index(MODEL_AXIS)
         B = token.shape[0]
         x = params["emb"][token].astype(cdt)
-        x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+        x = rwkv7._layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
         bp = params["blocks"]
 
         def layer_body(carry, inputs):
@@ -189,7 +188,7 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             lp, att_x, ffn_x, wkv = inputs
             is_first = idx == 0
 
-            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            h = rwkv7._layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
             xx = att_x.astype(cdt) - h
             # the exact single-device step math, head-sliced (models/rwkv7
             # shares these helpers so the parity chain lives in one place)
@@ -210,7 +209,7 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             x = x + att
             new_att_x = h.astype(f32)
 
-            h2 = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            h2 = rwkv7._layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
             xk2 = h2 + (ffn_x.astype(cdt) - h2) * lp["ffn_x_k"].astype(cdt)
             hid = jnp.square(jax.nn.relu(qmatmul(xk2, lp["ffn_k"])))
             ffn = jax.lax.psum(qmatmul(hid, lp["ffn_v"]), MODEL_AXIS)
@@ -223,7 +222,7 @@ def step_tp(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
             (x, v_first0, jnp.int32(0)),
             (bp, state["att_x"], state["ffn_x"], state["wkv"]))
 
-        x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+        x = rwkv7._layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
         # row-parallel head: my C/tp slice of x against my [C/tp, V] rows
         xs = jax.lax.dynamic_slice_in_dim(x, midx * C_row, C_row, axis=-1)
         hw = params["head"]
@@ -274,7 +273,7 @@ def forward_tp(params: Params, tokens: jax.Array, state: State,
             mask = None
             last_idx = None
         x = params["emb"][tokens].astype(cdt)
-        x = _layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
+        x = rwkv7._layer_norm(x, params["ln0_w"], params["ln0_b"], cfg.ln_eps)
         bp = params["blocks"]
         v_first0 = jnp.zeros((B, T, H_loc * cfg.head_size), f32)
 
@@ -282,13 +281,13 @@ def forward_tp(params: Params, tokens: jax.Array, state: State,
             x, v_first, idx = carry
             lp, att_x, ffn_x, wkv = inputs
             is_first = idx == 0
-            h = _layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-            att, att_x, wkv, v_first = _time_mix(
+            h = rwkv7._layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            att, att_x, wkv, v_first = rwkv7._time_mix(
                 lp, h, att_x, wkv, v_first, is_first, cfg, False,
                 mask=mask, last_idx=last_idx, n_head=H_loc)
             x = x + jax.lax.psum(att, MODEL_AXIS)
-            h = _layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-            ffn, ffn_x = _channel_mix(lp, h, ffn_x, mask=mask,
+            h = rwkv7._layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            ffn, ffn_x = rwkv7._channel_mix(lp, h, ffn_x, mask=mask,
                                       last_idx=last_idx)
             x = x + jax.lax.psum(ffn, MODEL_AXIS)
             return (x, v_first, idx + 1), (att_x, ffn_x, wkv)
@@ -300,7 +299,7 @@ def forward_tp(params: Params, tokens: jax.Array, state: State,
              state["wkv"].astype(f32)))
         wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
 
-        x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
+        x = rwkv7._layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
         if last_only:
             if last_idx is not None:
                 x = jnp.take_along_axis(

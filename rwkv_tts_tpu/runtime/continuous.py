@@ -64,7 +64,7 @@ class RequestCancelled(RuntimeError):
     """Raised into a cancelled request's callbacks (client disconnect)."""
 
 
-@functools.partial(jax.jit, donate_argnums=())
+@jax.jit
 def _idle_slots(stage, limit, idx):
     return stage.at[idx].set(IDLE), limit.at[idx].set(0)
 

@@ -152,20 +152,22 @@ async def _get_continuous_async(app):
     through a remote TPU tunnel take seconds; building inline would stall
     every other request on the single loop), guarded against concurrent
     first requests."""
-    if app.get("continuous") is not None:
-        return app["continuous"]
-    lock = app.setdefault("_continuous_lock", asyncio.Lock())
-    async with lock:
-        if app.get("continuous") is None:
+    rt = app["runtime"]
+    if rt.get("continuous") is not None:
+        return rt["continuous"]
+    async with rt["lock"]:
+        if rt.get("continuous") is None:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(None, _get_continuous, app)
-    return app["continuous"]
+    return rt["continuous"]
 
 
 def _get_continuous(app):
     """Build (or return) the continuous slot engine sharing the pipeline's
-    LM. Synchronous — HTTP paths use _get_continuous_async."""
-    if app.get("continuous") is None:
+    LM. Synchronous — HTTP paths use _get_continuous_async. Lives in the
+    mutable app["runtime"] holder (aiohttp deprecates app-state writes
+    after startup)."""
+    if app["runtime"].get("continuous") is None:
         from ..runtime.continuous import ContinuousEngine
         pipe: TtsPipeline = app["pipeline"]
         eng = pipe.engine
@@ -177,11 +179,11 @@ def _get_continuous(app):
             from ..parallel import mesh as meshlib
             dp = eng.tp_mesh.shape[meshlib.DATA_AXIS]
             slots = max(slots, dp) - (max(slots, dp) % dp) or dp
-        app["continuous"] = ContinuousEngine(
+        app["runtime"]["continuous"] = ContinuousEngine(
             eng.params, eng.cfg, eng.engine_cfg, tokenizer=eng.tokenizer,
             use_pallas=eng.use_pallas, block=16,
             slots=slots, mesh=eng.tp_mesh)
-    return app["continuous"]
+    return app["runtime"]["continuous"]
 
 
 async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
@@ -453,7 +455,9 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
                       "voices_extracted": 0}
     app["t_start"] = time.monotonic()
-    app["continuous"] = None
+    # late-built runtime objects live in this mutable holder (aiohttp
+    # deprecates writing app state after startup)
+    app["runtime"] = {"continuous": None, "lock": asyncio.Lock()}
 
     app.router.add_post("/api/tts", handle_tts)
     app.router.add_post("/api/tts/stream", handle_tts_stream)
@@ -468,8 +472,8 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
 
     async def on_cleanup(app):
         await app["batcher"].close()
-        if app.get("continuous") is not None:
-            app["continuous"].stop()
+        if app["runtime"].get("continuous") is not None:
+            app["runtime"]["continuous"].stop()
     app.on_cleanup.append(on_cleanup)
     return app
 
