@@ -24,7 +24,31 @@ dots), bf16-stored WKV state.
 
 import dataclasses
 import json
+import os
+import subprocess
+import sys
 import time
+
+# Fast TPU availability probe BEFORE touching the backend in-process: the
+# axon tunnel, when down, hangs backend init ~20 minutes and then raises —
+# fail within ~2 minutes with a message that says what happened instead.
+if os.environ.get("RWKV_BENCH_SKIP_PROBE") != "1":
+    try:
+        _probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            env={**os.environ, "RWKV_BENCH_SKIP_PROBE": "1"},
+            capture_output=True, text=True, timeout=150,
+        )
+        _probe_err = _probe.stderr[-500:] if _probe.returncode else None
+    except subprocess.TimeoutExpired:
+        _probe_err = "device probe timed out after 150 s"
+    if _probe_err is not None:
+        sys.stderr.write(
+            "bench.py: TPU backend unavailable (axon tunnel down?) — "
+            f"{_probe_err}\nLast measured numbers are recorded in "
+            "docs/PERF.md and BENCH_r01.json; rerun when the tunnel is "
+            "reachable.\n")
+        sys.exit(2)
 
 import jax
 
