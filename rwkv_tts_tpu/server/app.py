@@ -364,20 +364,34 @@ async def handle_trace(request: web.Request) -> web.Response:
 
 async def handle_healthz(request: web.Request) -> web.Response:
     app = request.app
-    return web.json_response({
-        "status": "ok",
+    cont = app["runtime"].get("continuous")
+    # a crashed decode loop bricks /api/tts/stream while /api/tts still
+    # works — report degraded (503) so orchestrators recycle the process
+    crashed = cont is not None and cont._crashed is not None
+    body = {
+        "status": "degraded" if crashed else "ok",
         "uptime_s": round(time.monotonic() - app["t_start"], 1),
         "model": {
             "n_layer": app["pipeline"].engine.cfg.n_layer,
             "n_embd": app["pipeline"].engine.cfg.n_embd,
             "vocab": app["pipeline"].engine.cfg.vocab_size,
         },
-    })
+    }
+    if crashed:
+        body["continuous_error"] = str(cont._crashed)
+    return web.json_response(body, status=503 if crashed else 200)
 
 
 async def handle_metrics(request: web.Request) -> web.Response:
     m = dict(request.app["metrics"])
     m.update({f"batcher_{k}": v for k, v in request.app["batcher"].stats.items()})
+    cont = request.app["runtime"].get("continuous")
+    if cont is not None:
+        with cont._lock:
+            m["continuous_live_slots"] = len(cont._live)
+        m["continuous_slots"] = cont.B
+        m["continuous_blocks"] = cont._block_seq
+        m["continuous_crashed"] = int(cont._crashed is not None)
     store = request.app["voice_store"]
     m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
     lines = [f"rwkv_tts_{k} {v}" for k, v in sorted(m.items())]

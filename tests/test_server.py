@@ -367,3 +367,34 @@ def test_streaming_ultra_latency_mode(tmp_path):
                                json={"text": "x", "latency_mode": "warp"})
         assert r2.status == 400
     run_client(tmp_path, go)
+
+
+def test_healthz_degraded_on_crashed_decode_loop(tmp_path):
+    """A dead continuous decode loop must flip /healthz to 503 (orchestrators
+    recycle on it) and show in /metrics — it bricks /api/tts/stream while
+    plain /api/tts still works, so plain 'ok' hid the damage."""
+    async def go(client):
+        r = await client.get("/healthz")
+        assert r.status == 200 and (await r.json())["status"] == "ok"
+
+        # stream once so the continuous engine exists
+        r = await client.post("/api/tts/stream",
+                              json={"text": "health probe", "seed": 1,
+                                    "latency_mode": "ultra"})
+        assert r.status == 200
+        await r.read()
+
+        cont = client.app["runtime"]["continuous"]
+        cont._crashed = RuntimeError("decode loop died")
+        try:
+            r = await client.get("/healthz")
+            j = await r.json()
+            assert r.status == 503 and j["status"] == "degraded"
+            assert "decode loop died" in j["continuous_error"]
+            r = await client.get("/metrics")
+            text = await r.text()
+            assert "rwkv_tts_continuous_crashed 1" in text
+            assert "rwkv_tts_continuous_slots" in text
+        finally:
+            cont._crashed = None
+    run_client(tmp_path, go)
