@@ -6,6 +6,7 @@ HTTP for batch/offline jobs:
   python -m rwkv_tts_tpu.cli synth "text to speak" -o out.wav [--seed 42] …
   python -m rwkv_tts_tpu.cli extract ref.wav --name "my voice" [--prompt …]
   python -m rwkv_tts_tpu.cli voices [--raf-dir assets/raf]
+  python -m rwkv_tts_tpu.cli rename <voice_id> "new name"
   python -m rwkv_tts_tpu.cli delete <voice_id>
 """
 
@@ -66,6 +67,13 @@ def cmd_voices(args) -> int:
     from .runtime.voice_store import VoiceStore
     print(json.dumps(VoiceStore(args.raf_dir).list(), ensure_ascii=False,
                      indent=2))
+    return 0
+
+
+def cmd_rename(args) -> int:
+    from .runtime.voice_store import VoiceStore
+    feat = VoiceStore(args.raf_dir).rename(args.voice_id, args.new_name)
+    print(json.dumps({"id": feat.id, "name": feat.name}))
     return 0
 
 
@@ -141,6 +149,12 @@ def main(argv=None) -> int:
     d = add_parser("delete", help="delete a voice")
     d.add_argument("voice_id")
     d.set_defaults(fn=cmd_delete)
+
+    rn = add_parser("rename", help="rename a voice (library parity: "
+                                   "voice_feature_manager.rs:336-369)")
+    rn.add_argument("voice_id")
+    rn.add_argument("new_name")
+    rn.set_defaults(fn=cmd_rename)
 
     iv = add_parser("import-voices",
                         help="import a reference server's raf directory")
