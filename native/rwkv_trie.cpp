@@ -44,21 +44,17 @@ struct Node {
         return (lo < n && keys[lo] == b) ? children[lo] : -1;
     }
 
-    int32_t insert(uint8_t b, std::vector<Node>& pool) {
-        int32_t c = find(b);
-        if (c >= 0) return c;
+    // register a NEW edge b -> child_idx (caller already knows find(b)
+    // missed and has allocated child_idx in the pool)
+    void add_child(uint8_t b, int32_t child_idx) {
         size_t lo = 0, hi = keys.size();
         while (lo < hi) {
             size_t mid = (lo + hi) / 2;
             if (keys[mid] < b) lo = mid + 1;
             else hi = mid;
         }
-        const int32_t idx = static_cast<int32_t>(pool.size());
-        // NOTE: caller must re-fetch this node after pool growth; handled in
-        // Trie::insert by index-based access.
         keys.insert(keys.begin() + lo, b);
-        children.insert(children.begin() + lo, idx);
-        return -idx - 2;  // sentinel meaning "new node idx allocated"
+        children.insert(children.begin() + lo, child_idx);
     }
 };
 
@@ -73,9 +69,9 @@ struct Trie {
             int32_t nxt = nodes[cur].find(bytes[i]);
             if (nxt < 0) {
                 int32_t allocated = static_cast<int32_t>(nodes.size());
-                // register edge first (vector growth may reallocate pool)
-                int32_t r = nodes[cur].insert(bytes[i], nodes);
-                (void)r;
+                // register the edge BEFORE growing the pool (emplace_back
+                // may reallocate and invalidate node references)
+                nodes[cur].add_child(bytes[i], allocated);
                 nodes.emplace_back();
                 nxt = allocated;
             }

@@ -510,12 +510,19 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
 
 
 def _lane_blocks(B: int):
-    """Lane-dim blocking: 128-lane blocks when B divides cleanly, one
-    (padded) block otherwise. Keeps every slab at the 128-lane VMEM
-    footprint regardless of how many chunk-instances the caller packs."""
+    """Lane-dim blocking: the largest divisor of B that is ≤ 128.
+
+    Keeps every slab at (at most) the 128-lane padded VMEM footprint for
+    ANY B. The old fallback put all of B in ONE padded block when 128
+    didn't divide it — at chunked-prefill lane counts (B·n_c, e.g.
+    28 requests × 16 chunks = 448 lanes) that slab alone blew the 16 MB
+    VMEM limit and Mosaic refused to compile. A small divisor (worst
+    case 1 for prime B) just means more grid cells — correct, padded to
+    128 lanes each."""
     if B % 128 == 0:
         return 128, B // 128
-    return B, 1
+    d = next(d for d in range(min(B, 128), 0, -1) if B % d == 0)
+    return d, B // d
 
 
 def _pick_hb_tb(vmem_bytes, H: int, T: int):
@@ -722,7 +729,6 @@ def wkv7_step_fused_bt_pallas(r, lo_w, lo_a, lo_v, k, v, g, v_first, state,
     Returns (out [H, N, B] f32 — normalized, bonused, gated attention
     output ready for w_o — and new_state [H, N, N, B] in state.dtype).
     Semantics mirror models/rwkv7.step's unfused chain (tested)."""
-    from jax.experimental.pallas import tpu as pltpu_  # noqa: F401
 
     H, N, B = r.shape
     f32 = jnp.float32

@@ -151,15 +151,28 @@ class TtsPipeline:
 
     def resolve_voice(self, args: TtsArgs) -> TtsArgs:
         if args.voice_id and self.voice_store is not None:
-            g, s, prompt = self.voice_store.get_voice_tokens(args.voice_id)
-            return dataclasses.replace(
-                args, zero_shot=True, ref_global_tokens=g,
-                ref_semantic_tokens=s,
-                prompt_text=args.prompt_text or prompt,
-                # cloning forces a deterministic seed
-                # (dynamic_batch_manager.rs:435-441)
-                seed=args.seed if args.seed is not None else 0,
-            )
+            try:
+                g, s, prompt = self.voice_store.get_voice_tokens(
+                    args.voice_id)
+            except Exception as e:  # noqa: BLE001 — fall down the chain
+                # reference parity: a failed voice-id lookup falls back to
+                # direct tokens → property tokens rather than failing the
+                # request (lightweight_tts_pipeline.rs:753-767); it would
+                # otherwise abort the whole batch
+                log.warning("voice_id %r failed to load (%s) — falling "
+                            "back down the voice chain", args.voice_id, e)
+            else:
+                return dataclasses.replace(
+                    args, zero_shot=True, ref_global_tokens=g,
+                    ref_semantic_tokens=s,
+                    prompt_text=args.prompt_text or prompt,
+                    # cloning forces a deterministic seed
+                    # (dynamic_batch_manager.rs:435-441)
+                    seed=args.seed if args.seed is not None else 0,
+                )
+        elif args.voice_id:
+            log.warning("voice_id %r ignored: no voice store configured",
+                        args.voice_id)
         if args.ref_global_tokens:
             return dataclasses.replace(
                 args, zero_shot=True,
@@ -209,15 +222,21 @@ class TtsPipeline:
                 audios.append(wav)
 
         total_s = timer.total_seconds()
+        # RTF = serving wall per second of audio PRODUCED by that wall: the
+        # batch runs as one device program, so the wall divides over the
+        # batch's total audio (dividing it by each request's own duration
+        # would overstate RTF ~B× vs the reference's per-request accounting,
+        # bin/server.rs:631-676)
+        total_audio_s = sum(len(w) for w in audios) / C.SAMPLE_RATE
+        batch_rtf = (total_s / total_audio_s) if total_audio_s > 0 else 0.0
         out = []
         for g, wav in zip(gens, audios):
-            dur = len(wav) / C.SAMPLE_RATE
             out.append(SynthesisResult(
                 audio=wav, sample_rate=C.SAMPLE_RATE,
                 global_tokens=g.global_tokens,
                 semantic_tokens=g.semantic_tokens,
                 timings_ms=timer.as_ms(),
-                rtf=(total_s / dur) if dur > 0 else 0.0,
+                rtf=batch_rtf,
             ))
         return out
 

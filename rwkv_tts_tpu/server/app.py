@@ -108,6 +108,18 @@ def build_tts_args(payload: dict) -> TtsArgs:
 # handlers
 # --------------------------------------------------------------------------
 
+def _validate_voice(app, args: TtsArgs) -> None:
+    """HTTP-layer voice_id validation, like the reference server
+    (bin/server.rs:498-500 errors the request): the PIPELINE falls back
+    down the voice chain on a bad id (library parity), so without this
+    check an HTTP typo would silently synthesize the default voice."""
+    if args.voice_id:
+        store = app["voice_store"]
+        if store is None:
+            raise FileNotFoundError(f"voice not found: {args.voice_id}")
+        store.load(args.voice_id)      # raises FileNotFoundError on miss
+
+
 async def handle_tts(request: web.Request) -> web.Response:
     app = request.app
     try:
@@ -123,6 +135,7 @@ async def handle_tts(request: web.Request) -> web.Response:
         return _err(f"invalid parameter: {e}", status=400)
     t0 = time.perf_counter()
     try:
+        _validate_voice(app, args)
         result = await app["batcher"].submit(args)
     except InferenceTimeout as e:
         return _err(str(e), status=504)
@@ -200,7 +213,9 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     if not text:
         return _err("text is required", status=400)
     try:
-        args = app["pipeline"].resolve_voice(build_tts_args(payload))
+        args = build_tts_args(payload)
+        _validate_voice(app, args)
+        args = app["pipeline"].resolve_voice(args)
     except (TypeError, ValueError) as e:
         return _err(f"invalid parameter: {e}", status=400)
     except FileNotFoundError as e:

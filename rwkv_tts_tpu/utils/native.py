@@ -44,13 +44,20 @@ def _build(source: str) -> Optional[ctypes.CDLL]:
             gxx = shutil.which("g++")
             if gxx is None:
                 raise RuntimeError("g++ not found")
-            tmp = so_path + ".tmp"
-            subprocess.run(
-                [gxx, "-O2", "-std=c++17", "-shared", "-fPIC",
-                 "-o", tmp, src_path],
-                check=True, capture_output=True,
-            )
-            os.replace(tmp, so_path)
+            # unique per-process temp: two concurrent builders (server +
+            # CLI) sharing one fixed tmp path could publish a half-written
+            # .so that then gets cached forever
+            tmp = f"{so_path}.tmp.{os.getpid()}"
+            try:
+                subprocess.run(
+                    [gxx, "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, src_path],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         lib = ctypes.CDLL(so_path)
     except Exception as e:  # noqa: BLE001 — any failure → Python fallback
         log.info("native %s unavailable (%s); using Python fallback",

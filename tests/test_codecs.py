@@ -247,3 +247,39 @@ def test_conv1d_im2col_matches_native():
         got = np.asarray(_conv1d_im2col(x, w, b, d, pad))
         assert got.shape == want.shape, (got.shape, want.shape)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_resolve_voice_falls_back_on_bad_id(bc_params, tmp_path):
+    """Library-level reference parity (lightweight_tts_pipeline.rs:753-767):
+    a voice_id that fails to load falls down the chain (direct tokens →
+    property tokens) instead of failing the batch. The HTTP layer
+    validates ids separately (server test covers the 404)."""
+    import jax
+    from rwkv_tts_tpu.config import EngineConfig, RwkvConfig, TtsArgs
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+    from rwkv_tts_tpu.runtime.voice_store import VoiceStore
+
+    lm_cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=1000,
+                        padded_vocab_size=1024, decay_lora=16, a_lora=16,
+                        v_lora=8, gate_lora=16, dtype="float32",
+                        param_dtype="float32")
+    pipe = TtsPipeline(
+        rwkv7.init_params(lm_cfg, jax.random.PRNGKey(0)), lm_cfg,
+        bc_params, BC_CFG, voice_store=VoiceStore(str(tmp_path)),
+        engine_cfg=EngineConfig(prefill_buckets=(16,), max_semantic_tokens=4),
+        use_pallas=False)
+
+    # bad id + direct ref tokens → zero-shot with the direct tokens
+    a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing",
+                                   ref_global_tokens=[3] * 32))
+    assert a.zero_shot and a.ref_global_tokens == [3] * 32
+    # bad id, nothing else → property-token normal mode
+    a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing"))
+    assert not a.zero_shot
+    # batch RTF accounting: same value per request, wall over TOTAL audio
+    res = pipe.synthesize_batch([TtsArgs(text="one two", seed=1,
+                                         max_tokens=4),
+                                 TtsArgs(text="three", seed=2,
+                                         max_tokens=4)])
+    assert res[0].rtf == res[1].rtf > 0

@@ -496,3 +496,41 @@ def test_single_bt_stack_in_place():
                 if other != layer:
                     np.testing.assert_array_equal(
                         np.asarray(stack2[other]), np.asarray(stack[other]))
+
+
+def test_lane_blocks_bounded_for_any_B():
+    """_lane_blocks must never return a block wider than 128 lanes: the
+    chunked-prefill pair kernel packs B·n_c lanes (e.g. 28 requests × 16
+    chunks = 448) and a single padded block blew the 16 MB VMEM limit on
+    real TPU."""
+    from rwkv_tts_tpu.ops.wkv7 import _lane_blocks
+
+    for B in (1, 7, 28, 33, 127, 128, 129, 448, 511, 512, 528):
+        Bb, n = _lane_blocks(B)
+        assert Bb * n == B and Bb <= 128, (B, Bb, n)
+
+
+def test_chunk_pair_kernel_non_multiple_lane_count():
+    """The pair kernel must stay correct when the packed lane count is not
+    a multiple of 128 (divisor blocking path)."""
+    import numpy as np
+
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_chunked_fused, wkv7_scan
+
+    rng = np.random.default_rng(0)
+    B, T, H, N = 7, 16, 2, 64     # chunk L=4 -> 7*4=28 lanes per... B*n_c=28
+    def mk(scale=0.5):
+        return jnp.asarray(rng.normal(0, scale, (B, T, H, N)), jnp.float32)
+    r, k, v, a0 = mk(), mk(), mk(), mk()
+    w = jnp.asarray(rng.uniform(-3, -0.5, (B, T, H, N)), jnp.float32)
+    kk = a0 / jnp.maximum(jnp.linalg.norm(a0, axis=-1, keepdims=True), 1e-6)
+    iclr = jax.nn.sigmoid(mk())
+    state = jnp.asarray(rng.normal(0, 0.3, (B, H, N, N)), jnp.float32)
+
+    want_y, want_s = wkv7_scan(r, w, k, v, -kk, kk * iclr, state)
+    got_y, got_s = wkv7_chunked_fused(r, w, k, v, -kk, kk * iclr, state,
+                                      chunk=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=2e-4, atol=2e-5)
