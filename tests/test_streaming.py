@@ -149,3 +149,39 @@ def test_resolve_globals_trust_order():
     live = types.SimpleNamespace(request=args, global_tokens=[9] * 32)
     eng._live[0] = live
     assert _resolve_globals(eng, args, {"res": res}) == [9] * 32
+
+
+def test_streaming_tp_engine_sample_identical(bc_params):
+    """--tp streaming end to end: chunks streamed from a layer-TP
+    continuous engine (model axis > 1) must be SAMPLE-identical to the
+    non-TP stream — same tokens (tested elsewhere) through the same
+    vocoder windows."""
+    import jax as _jax
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rwkv_tts_tpu.parallel import mesh as meshlib
+
+    cfg = RwkvConfig(
+        n_layer=2, n_embd=128, head_size=64, vocab_size=77923,
+        padded_vocab_size=78080, decay_lora=32, a_lora=32, v_lora=16,
+        gate_lora=32, dtype="float32", param_dtype="float32",
+    )
+    params = rwkv7.init_params(cfg, jax.random.PRNGKey(0))
+    ecfg = EngineConfig(prefill_buckets=(32, 64), max_semantic_tokens=24,
+                        batch_size=4)
+    args = TtsArgs(text="tensor parallel stream", seed=7, max_tokens=24)
+
+    def run(mesh):
+        eng = ContinuousEngine(params, cfg, ecfg, use_pallas=False,
+                               block=8, slots=4, mesh=mesh)
+        try:
+            chunks = list(stream_synthesize(eng, bc_params, BC_CFG, args,
+                                            chunk_tokens=8, timeout=900.0))
+        finally:
+            eng.stop()
+        assert chunks and chunks[-1].final
+        return np.concatenate([c.audio for c in chunks])
+
+    plain = run(None)
+    tp = run(meshlib.make_mesh(8, model_parallel=2))
+    np.testing.assert_array_equal(tp, plain)
