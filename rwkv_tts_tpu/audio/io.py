@@ -1,5 +1,6 @@
 """Audio file IO: WAV (16/24/32-bit int, float32) decode, 16-bit WAV encode
-with the reference's dynamic gain, MP3 via ffmpeg when present.
+with the reference's dynamic gain, MP3 decode via ffmpeg or SDL_mixer
+(pygame), MP3 encode via ffmpeg when present.
 
 Replaces the reference's hound/symphonia decoders
 (src/ref_audio_utilities.rs:225-330) and the server's
@@ -11,9 +12,11 @@ self-contained RIFF parser (the stdlib ``wave`` module cannot read float or
 from __future__ import annotations
 
 import io
+import os
 import shutil
 import struct
 import subprocess
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -90,15 +93,59 @@ def _ffmpeg():
     return shutil.which("ffmpeg")
 
 
+# SDL_mixer (via pygame) decodes MP3 in-process. The mixer converts to its
+# open format at load, so everything comes out at this fixed spec; the
+# pipeline's own resampler takes it to 16 kHz from there.
+_SDL_RATE = 44100
+_SDL_CHANNELS = 2
+_sdl_lock = threading.Lock()
+_sdl_state: list = []  # [] = untried, [pygame] = ready, [None] = unavailable
+
+
+def _sdl_mixer():
+    """Headless SDL_mixer init, once per process; None when unavailable."""
+    with _sdl_lock:
+        if not _sdl_state:
+            try:
+                os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+                os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+                import pygame
+
+                pygame.mixer.init(frequency=_SDL_RATE, size=-16,
+                                  channels=_SDL_CHANNELS)
+                _sdl_state.append(pygame)
+            except Exception:
+                _sdl_state.append(None)
+        return _sdl_state[0]
+
+
+def _read_mp3_sdl(path: str) -> Tuple[np.ndarray, int, int]:
+    """MP3 → interleaved float32 via SDL_mixer at the fixed mixer spec."""
+    pygame = _sdl_mixer()
+    if pygame is None:
+        raise AudioDecodeError(
+            "MP3 decode requires ffmpeg or SDL_mixer (pygame), neither of "
+            "which is available; provide WAV input instead"
+        )
+    import pygame.sndarray
+    try:
+        with _sdl_lock:
+            arr = pygame.sndarray.array(pygame.mixer.Sound(path))
+    except Exception as e:  # pygame.error on corrupt/unsupported files
+        raise AudioDecodeError(f"MP3 decode failed: {e}") from e
+    samples = (np.asarray(arr, np.float32) / 32768.0).reshape(-1)
+    channels = arr.shape[1] if arr.ndim == 2 else 1
+    return samples, _SDL_RATE, channels
+
+
 def read_mp3_file(path: str) -> Tuple[np.ndarray, int, int]:
-    """Decode MP3 via ffmpeg → 16-bit WAV pipe. The reference links
-    symphonia; this environment carries no MP3 codec library."""
+    """Decode MP3 → (interleaved float32, rate, channels). The reference
+    links symphonia (src/ref_audio_utilities.rs:288-330); here: ffmpeg when
+    installed (native-rate decode), else in-process SDL_mixer (decodes at a
+    fixed 44.1 kHz spec — fine, the front end resamples to 16 kHz anyway)."""
     ff = _ffmpeg()
     if not ff:
-        raise AudioDecodeError(
-            "MP3 decode requires ffmpeg, which is not installed in this "
-            "environment; provide WAV input instead"
-        )
+        return _read_mp3_sdl(path)
     out = subprocess.run(
         [ff, "-v", "error", "-i", path, "-f", "wav", "-acodec", "pcm_s16le", "-"],
         capture_output=True, check=True,

@@ -5,6 +5,9 @@ the reference's O(N²) DFT (src/tts_pipeline_fixes.rs) — same math, so they
 must agree to float tolerance.
 """
 
+import importlib.util
+import os
+
 import numpy as np
 import pytest
 
@@ -188,15 +191,43 @@ def test_mel_jnp_backend_matches_numpy():
     np.testing.assert_allclose(m_jnp, m_np, rtol=1e-3, atol=1e-4)
 
 
-def test_mp3_gated_without_ffmpeg(tmp_path, monkeypatch):
-    """MP3 support requires ffmpeg; without it the error is explicit."""
+def test_mp3_gated_without_any_backend(tmp_path, monkeypatch):
+    """Without ffmpeg AND SDL_mixer the MP3 error is explicit; MP3 encode
+    is ffmpeg-only (no LAME analog in-process)."""
     monkeypatch.setattr(aio, "_ffmpeg", lambda: None)
+    monkeypatch.setattr(aio, "_sdl_mixer", lambda: None)
     p = tmp_path / "x.mp3"
     p.write_bytes(b"\xff\xfb\x90\x00" * 10)
-    with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
+    with pytest.raises(aio.AudioDecodeError, match="ffmpeg or SDL_mixer"):
         aio.read_mp3_file(str(p))
     with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
         aio.encode_mp3(np.zeros(100, np.float32))
+
+
+def _pygame_example_mp3() -> str:
+    spec = importlib.util.find_spec("pygame")
+    if spec is None or not spec.origin:
+        return ""
+    return os.path.join(os.path.dirname(spec.origin),
+                        "examples", "data", "house_lo.mp3")
+
+
+_SDL_FIXTURE_MP3 = _pygame_example_mp3()
+
+
+@pytest.mark.skipif(not os.path.exists(_SDL_FIXTURE_MP3),
+                    reason="pygame example mp3 not present")
+def test_mp3_decode_via_sdl_mixer(monkeypatch):
+    """In-process SDL_mixer MP3 decode: real MP3 file → sane PCM at the
+    fixed mixer spec (ffmpeg forced absent so the fallback path runs)."""
+    monkeypatch.setattr(aio, "_ffmpeg", lambda: None)
+    samples, rate, ch = aio.read_mp3_file(_SDL_FIXTURE_MP3)
+    assert rate == aio._SDL_RATE and ch == aio._SDL_CHANNELS
+    assert samples.dtype == np.float32
+    dur = samples.size / ch / rate
+    assert 1.0 < dur < 60.0
+    peak = float(np.max(np.abs(samples)))
+    assert 0.05 < peak <= 1.0
 
 
 def test_wav_extensible_float32():
