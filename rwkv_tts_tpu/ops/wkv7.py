@@ -474,8 +474,12 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
     so ANY B is VMEM-safe; B < 128 pads lanes (cost of the full 128-lane
     block) — each lane's math is independent of the lane count.
     """
-    B, T, H, N = r.shape
+    B0, T, H, N = r.shape
     f32 = jnp.float32
+    B = _pad_lane_axis(B0)
+    if B != B0:
+        pad = lambda x: jnp.pad(x, ((0, B - B0),) + ((0, 0),) * (x.ndim - 1))
+        r, w, k, v, a, b, state = map(pad, (r, w, k, v, a, b, state))
     decay = jnp.exp(-jnp.exp(w.astype(f32)))
 
     def bt(x):  # [B, T, H, N] -> [T, H, N, B]
@@ -505,8 +509,8 @@ def wkv7_seq_bt_pallas(r, w, k, v, a, b, state, interpret=False):
         ],
         interpret=interpret,
     )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b), s_bt)
-    return (jnp.transpose(y, (3, 0, 1, 2)),
-            jnp.transpose(s_out, (3, 0, 1, 2)))
+    return (jnp.transpose(y, (3, 0, 1, 2))[:B0],
+            jnp.transpose(s_out, (3, 0, 1, 2))[:B0])
 
 
 def _lane_blocks(B: int):
@@ -518,11 +522,28 @@ def _lane_blocks(B: int):
     28 requests × 16 chunks = 448 lanes) that slab alone blew the 16 MB
     VMEM limit and Mosaic refused to compile. A small divisor (worst
     case 1 for prime B) just means more grid cells — correct, padded to
-    128 lanes each."""
+    128 lanes each.
+
+    NOTE: when the result is more than one block, Mosaic additionally
+    requires the lane block to be 128-divisible (a sub-128 block is only
+    legal when it spans the WHOLE axis) — callers pad the lane axis with
+    :func:`_pad_lane_axis` first, which makes the divisor branch here
+    reachable only at B ≤ 128 (single whole-axis block)."""
     if B % 128 == 0:
         return 128, B // 128
     d = next(d for d in range(min(B, 128), 0, -1) if B % d == 0)
     return d, B // d
+
+
+def _pad_lane_axis(B: int) -> int:
+    """Lane counts above 128 must tile in 128-wide blocks (Mosaic rejects
+    a sub-128 lane block that does not span the whole axis — hit at
+    B·n_c = 448, where the 112-lane block crashed compilation on real
+    TPU): round up to the next 128 multiple. B ≤ 128 stays (one
+    whole-axis block is legal at any width)."""
+    if B > 128 and B % 128:
+        return -(-B // 128) * 128
+    return B
 
 
 def _pick_hb_tb(vmem_bytes, H: int, T: int):
@@ -817,8 +838,12 @@ def wkv7_chunk_pair_bt_pallas(r, w, k, v, a, b, interpret=False):
     """Run phase A's local run (zero init) AND transition run (identity
     init, zero writes) in one kernel pass. Inputs [B, T, H, N]; returns
     (y_loc, rho [B, T, H, N] f32, s_loc, P [B, H, N, N] f32)."""
-    B, T, H, N = r.shape
+    B0, T, H, N = r.shape
     f32 = jnp.float32
+    B = _pad_lane_axis(B0)
+    if B != B0:
+        pad = lambda x: jnp.pad(x, ((0, B - B0),) + ((0, 0),) * (x.ndim - 1))
+        r, w, k, v, a, b = map(pad, (r, w, k, v, a, b))
     decay = jnp.exp(-jnp.exp(w.astype(f32)))
 
     def bt(x):
@@ -850,7 +875,7 @@ def wkv7_chunk_pair_bt_pallas(r, w, k, v, a, b, interpret=False):
         ],
         interpret=interpret,
     )(bt(r), bt(decay), bt(k), bt(v), bt(a), bt(b))
-    tr = lambda x: jnp.transpose(x, (3, 0, 1, 2))
+    tr = lambda x: jnp.transpose(x, (3, 0, 1, 2))[:B0]
     return tr(y), tr(rho), tr(s_out), tr(p_out)
 
 
@@ -869,6 +894,123 @@ def wkv7_chunked_fused(r, w, k, v, a, b, state, chunk: int,
     y_loc, rho, s_loc, P = wkv7_chunk_pair_bt_pallas(
         resh(r), resh(w), resh(k), resh(v), resh(a), resh(b),
         interpret=interpret)
+    return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
+
+
+# --------------------------------------------------------------------------
+# WY-transform (all-GEMM) phase A. The paired Pallas kernel above still
+# walks the L in-chunk positions sequentially (and its grid serializes over
+# heads), so at B=8/T=64 phase A costs ~20 ms and the whole WKV prefill
+# ~64 ms — issue-overhead-bound, not bandwidth-bound (docs/PERF.md). The WY
+# representation removes the sequential walk entirely:
+#
+#   With h_t := S_{t-1} a_t, unrolling S_t = S_{t-1}(D_t + a_t b_tᵀ) + v_t k_tᵀ
+#   gives   S_t = S_0 D_{1:t} + Σ_{s≤t} (h_s b_sᵀ + v_s k_sᵀ) D_{s+1:t}
+#   and     h_t = S_0 â_t + Σ_{s<t} G[t,s] h_s + Σ_{s<t} K[t,s] v_s
+#
+#   where D_{i:j} = Π diag(d) over the span,  â_t = D_{1:t-1} a_t,  and the
+#   score matrices  G[t,s] = â_t · b*_s,  K[t,s] = â_t · k*_s  (s < t) use the
+#   decay-weighted vectors  b*_s = b_s ⊙ D_{1:s}⁻¹,  k*_s = k_s ⊙ D_{1:s}⁻¹.
+#   Every exposed quantity pairs the weights so the exponents telescope to
+#   forward (≤ 1) decay ratios; the lone growing factor D_{1:s}⁻¹ ≤ e^{0.607·L}
+#   (decay ≥ e^{-e^{-0.5}} by the upstream softplus clamp) stays finite in f32
+#   for L ≤ 64.
+#
+#   H = (I − G)⁻¹ (Â S_0ᵀ + K V) — and (I − G) is UNIT LOWER TRIANGULAR with
+#   strictly-triangular (nilpotent) G, so its inverse X = Σ_{i<L} Gⁱ comes
+#   from log₂L GEMM doublings, no solves. Splitting H's S_0 term out, the
+#   chunk collapses EXACTLY onto the (y_loc, rho, s_loc, P) contract of
+#   :func:`_chunk_combine`:
+#
+#     rho   = r̂ + R1 (X Â)                         (ρ_t = M_{1:t} r_t)
+#     y_loc = R1 H_loc + R2 V,   H_loc = X (K V)
+#     P     = diag(e_L) + (X Â)ᵀ B̃                 (chunk transition operator)
+#     s_loc = H_locᵀ B̃ + Vᵀ K̃
+#
+#   with r̂_t = r_t ⊙ D_{1:t}, R1/R2 the inclusive-triangular analogues of
+#   G/K built from r̂, e_L = D_{1:L}, and B̃/K̃ = b*/k* ⊙ e_L. Sequential
+#   depth per layer drops from L·H kernel iterations to the n_c-step phase-B
+#   scan; everything here is batched [M·H, L, L]×[L, N] MXU work.
+# --------------------------------------------------------------------------
+
+def wkv7_chunk_wy(r, w, k, v, a, b):
+    """WY phase A over independent chunks: inputs [M, L, H, N] (M = B·n_c
+    lanes), returns ``(y_loc, rho [M, L, H, N] f32, s_loc, P [M, H, N, N]
+    f32)`` — the same contract as :func:`wkv7_chunk_pair_bt_pallas`, with
+    ``P`` including its diagonal (the pair kernel's does too)."""
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    M, L, H, N = r.shape
+
+    def mh(x):  # [M, L, H, N] -> [M, H, L, N] f32
+        return jnp.transpose(x.astype(f32), (0, 2, 1, 3))
+
+    ld = -jnp.exp(mh(w))                       # log per-step decay (< 0)
+    lw = jnp.cumsum(ld, axis=2)                # log D_{1:t}
+    e = jnp.exp(lw)
+    r_, k_, v_, a_, b_ = map(mh, (r, k, v, a, b))
+    a_hat = a_ * jnp.exp(lw - ld)              # a_t ⊙ D_{1:t-1}
+    b_star = b_ * jnp.exp(-lw)
+    k_star = k_ * jnp.exp(-lw)
+    r_hat = r_ * e
+    e_l = e[:, :, -1]                          # [M, H, N] = D_{1:L}
+
+    def scores(x, y):
+        return jnp.einsum("mhtn,mhsn->mhts", x, y, precision=hp)
+
+    def mm(x, y):
+        return jnp.einsum("mhts,mhsu->mhtu", x, y, precision=hp)
+
+    def app(s, x):
+        return jnp.einsum("mhts,mhsn->mhtn", s, x, precision=hp)
+
+    def outer(x, y):  # Σ_s x_s ⊗ y_s  -> [M, H, N, N]
+        return jnp.einsum("mhsi,mhsj->mhij", x, y, precision=hp)
+
+    tri_s = jnp.tril(jnp.ones((L, L), f32), -1)
+    tri_i = jnp.tril(jnp.ones((L, L), f32))
+    G = scores(a_hat, b_star) * tri_s
+    K = scores(a_hat, k_star) * tri_s
+    R1 = scores(r_hat, b_star) * tri_i
+    R2 = scores(r_hat, k_star) * tri_i
+
+    # X = (I - G)^{-1} = Σ_{i<L} G^i by nilpotent doubling:
+    # X_k covers powers < 2^k;  X_{k+1} = X_k + G^{2^k} X_k.
+    X = jnp.broadcast_to(jnp.eye(L, dtype=f32), G.shape) + G
+    G2 = G
+    for _ in range(max(L.bit_length() - 2, 0)):
+        G2 = mm(G2, G2)
+        X = X + mm(G2, X)
+
+    h_loc = app(X, app(K, v_))
+    xa = app(X, a_hat)
+    y_loc = app(R1, h_loc) + app(R2, v_)
+    rho = r_hat + app(R1, xa)
+    b_tld = b_star * e_l[:, :, None, :]
+    k_tld = k_star * e_l[:, :, None, :]
+    P = outer(xa, b_tld) + jnp.eye(N, dtype=f32) * e_l[:, :, None, :]
+    s_loc = outer(h_loc, b_tld) + outer(v_, k_tld)
+
+    def unmh(x):
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return unmh(y_loc), unmh(rho), s_loc, P
+
+
+def wkv7_chunked_wy(r, w, k, v, a, b, state, chunk: int):
+    """Chunkwise-parallel WKV-7 with the WY (all-GEMM) phase A; semantics of
+    :func:`wkv7_scan`, same chunking contract as :func:`wkv7_chunked_fused`
+    (``chunk`` must divide T)."""
+    B, T, H, N = r.shape
+    L = chunk
+    n_c = T // L
+    f32 = jnp.float32
+
+    def resh(x):
+        return x.astype(f32).reshape(B * n_c, L, H, N)
+
+    y_loc, rho, s_loc, P = wkv7_chunk_wy(
+        resh(r), resh(w), resh(k), resh(v), resh(a), resh(b))
     return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
 
 
@@ -903,28 +1045,64 @@ def prefill_chunk_for(T: int):
     return L
 
 
+def wy_chunk_for(T: int):
+    """Chunk length for the WY (all-GEMM) prefill: the largest power-of-two
+    divisor of T, capped at 64 — a pure function of T, so prefill numerics
+    stay batch-invariant (same argument as :func:`prefill_chunk_for`).
+
+    The 64 cap is both the f32 range bound (exp(-Σ log d) ≤ e^{0.607·64}
+    ≈ 7e16 at the softplus decay floor — see :func:`wkv7_chunk_wy`) and
+    near the measured optimum: per-chunk work grows as L² (scores) and L³
+    (the (I−G)⁻¹ doublings) while the phase-B scan shrinks as T/L; L=64
+    won at every measured (B, T). Returns None for 4 ∤ T (packed-kernel
+    fallback)."""
+    if T < 4 or T % 4:
+        return None
+    L = 4
+    while L < 64 and T % (L * 2) == 0:
+        L *= 2
+    return L
+
+
 def wkv7_prefill_tpu(r, w, k, v, a, b, state):
     """TPU prefill dispatch: pick the fastest exact formulation by shape.
 
-    * B < 128 — chunkwise-parallel with the paired phase-A kernel at the
-      batch-invariant chunk length :func:`prefill_chunk_for` (numerics
-      depend only on T — see there);
-    * B ≥ 128 — the sequence bt kernel directly: lanes are already full,
-      so chunking buys no phase-A parallelism (B·T/128 ≥ T steps) and
-      its phase-B/C combine costs O(B·n_c·H·N²) HBM traffic (measured
-      8.7× slower at B=128/T=64). Per-lane math is still lane-count
-      independent, so numerics are invariant for any B ≥ 128; the
-      boundary itself only matters offline — serving batches are ≤ 8–32
-      (config.EngineConfig.batch_size / BatchConfig.max_batch_size);
-    * awkward T (4 ∤ T) — packed-heads fallback (per-element sequential
-      math, also batch-size-independent).
+    * B < 128 — the WY (all-GEMM) chunkwise formulation at the
+      batch-invariant chunk length :func:`wy_chunk_for`. In-context
+      full-forward A/B on the real chip (32L×2048E int8, docs/PERF.md):
+
+        ==========  =====  ========  =======
+        shape       B·T    old path  WY
+        ==========  =====  ========  =======
+        B=8  T=64     512   86.7 ms  37.8 ms
+        B=16 T=64    1024  171.5     75.4
+        B=8  T=128   1024  109.7     75.1
+        B=32 T=64    2048  352.5     178.7
+        B=8  T=256   2048  173.1     177.6
+        B=64 T=64    4096  830.0     421.6
+        ==========  =====  ========  =======
+
+      (the superseded pair-kernel path also CRASHED at non-128-multiple
+      lane counts > 128, e.g. B=28/T=256 — see :func:`_pad_lane_axis`);
+    * B ≥ 128 — the sequence bt kernel: the WY block materializes its
+      [B·n_c, H, L, N] score/factor tensors in HBM, whose traffic
+      overtakes the kernel's VMEM-resident walk at large B·T (measured
+      B=128/T=64: seq-bt 439 ms vs WY 983 ms in-context — a VMEM-tiled
+      WY Pallas kernel is the known next step if batch-128 prefill ever
+      dominates);
+    * awkward T (4 ∤ T) — packed-heads fallback.
+
+    Numerics are invariant to batch size within each branch (chunk
+    length is a pure function of T; per-lane math is lane-count
+    independent); the B=128 boundary itself is the same accepted
+    deviation class as before (see :func:`prefill_chunk_for`).
     """
     B, T, H, N = r.shape
-    L = prefill_chunk_for(T)
+    L = wy_chunk_for(T)
     if B >= 128:
         return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
     if L is not None:
-        return wkv7_chunked_fused(r, w, k, v, a, b, state, chunk=L)
+        return wkv7_chunked_wy(r, w, k, v, a, b, state, chunk=L)
     return wkv7_pallas_packed(r, w, k, v, a, b, state)
 
 

@@ -432,6 +432,17 @@ def test_prefill_chunk_is_batch_invariant():
     assert W.prefill_chunk_for(256) == 16
     assert W.prefill_chunk_for(1024) == 64
     assert W.prefill_chunk_for(6) is None
+    # the WY dispatch rule: largest pow-2 divisor of T, capped at 64
+    assert W.wy_chunk_for(16) == 16
+    assert W.wy_chunk_for(64) == 64
+    assert W.wy_chunk_for(48) == 16
+    assert W.wy_chunk_for(256) == 64
+    assert W.wy_chunk_for(6) is None
+    # lane-axis padding: >128 lane counts must round to 128 multiples
+    assert W._pad_lane_axis(28) == 28
+    assert W._pad_lane_axis(128) == 128
+    assert W._pad_lane_axis(448) == 512
+    assert W._pad_lane_axis(512) == 512
 
     rng = np.random.default_rng(12)
     T, H, N = 16, 2, 16
@@ -453,6 +464,18 @@ def test_prefill_chunk_is_batch_invariant():
 
     y1, s1 = run(1)
     y8, s8 = run(8)
+    np.testing.assert_array_equal(y1, y8)
+    np.testing.assert_array_equal(s1, s8)
+
+    def run_wy(batch):
+        tile = lambda x: jnp.asarray(np.tile(x, (batch,) + (1,) * (x.ndim - 1)))
+        y, s = W.wkv7_chunked_wy(
+            tile(r), tile(w), tile(k), tile(v), tile(a), tile(b), tile(s0),
+            chunk=W.wy_chunk_for(T))
+        return np.asarray(y[0]), np.asarray(s[0])
+
+    y1, s1 = run_wy(1)
+    y8, s8 = run_wy(8)
     np.testing.assert_array_equal(y1, y8)
     np.testing.assert_array_equal(s1, s8)
 
@@ -534,3 +557,58 @@ def test_chunk_pair_kernel_non_multiple_lane_count():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_wy_matches_scan():
+    """The WY (all-GEMM) phase A must reproduce the sequential scan at
+    every supported chunk length, including the L=64 cap, with a nonzero
+    entry state and RWKV-shaped a/b (a = -kk unit-normed, b = kk·iclr)."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_chunked_wy, wkv7_scan
+
+    rng = np.random.default_rng(17)
+    B, T, H, N = 2, 64, 3, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = wkv7_scan(*args)
+    for chunk in (4, 8, 16, 32, 64):
+        y, s = wkv7_chunked_wy(*args, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                                   rtol=3e-4, atol=3e-4,
+                                   err_msg=f"chunk={chunk}")
+
+
+def test_chunked_wy_decay_floor_stress():
+    """WY score factors carry exp(-Σ log d), which grows as (1/0.545)^L at
+    the softplus decay floor (w = -0.5 exactly). At the L=64 cap that is
+    e^{38.8} ≈ 7e16 — must stay finite and ACCURATE in f32 because every
+    exposed product telescopes back to ≤ 1 decay ratios."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_chunked_wy, wkv7_scan
+
+    rng = np.random.default_rng(19)
+    B, T, H, N = 1, 64, 2, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = np.full(shape, -0.5, np.float32)        # decay floor everywhere
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    want_y, want_s = wkv7_scan(*args)
+    y, s = wkv7_chunked_wy(*args, chunk=64)
+    assert np.all(np.isfinite(np.asarray(y)))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=3e-4, atol=3e-4)

@@ -34,14 +34,18 @@ from rwkv_tts_tpu.runtime.engine import (SEMANTIC_SLICE, global_stage,
 
 
 def timeit(fn, n=5, tag=""):
+    # fence on a SCALAR: device_get of a full tensor pays the tunnel
+    # transfer (~60 ms for [8, 78336] logits) and pollutes the timing
+    fence = lambda out: jax.device_get(
+        jnp.sum(jax.tree_util.tree_leaves(out)[0]))
     t0 = time.perf_counter()
-    jax.device_get(jax.tree_util.tree_leaves(fn())[0])
+    fence(fn())
     print(f"  [{tag}] compiled+warm in {time.perf_counter()-t0:.1f}s",
           flush=True)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-        jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    fence(out)          # one fence for the pipelined batch: ~1 RTT total
     return (time.perf_counter() - t0) / n
 
 
