@@ -1,0 +1,143 @@
+"""Real-TPU smoke: compile + run every Pallas kernel and dispatch path at
+serving-critical shapes, against the scan oracle.
+
+WHY THIS EXISTS: the CPU test suite runs Pallas kernels in interpret mode,
+which does not enforce Mosaic's lowering constraints — e.g. the rule that a
+lane-dim block must be 128-divisible or span the whole axis. That let a
+real crash ship: `_lane_blocks(448) -> 112` compiled fine in interpret mode
+but Mosaic refused it on hardware, so a B=28/T=256 zero-shot prefill 500'd
+(fixed by `_pad_lane_axis`; see docs/PERF.md). This harness is the
+regression gate for that class of bug: run it on the real chip after any
+kernel/dispatch change.
+
+Shapes covered (flagship head geometry H·N and the engine's real batch /
+bucket combinations, including non-128-multiple packed lane counts):
+
+  * decode step kernels: bt single, bt stack (both state dtypes)
+  * prefill dispatch: every (B, T) the engine can emit, incl. B >= 128
+    and the 448-lane class
+  * the superseded-but-exposed kernels: seq bt, pair kernel, packed heads
+
+Exits non-zero on any compile failure or oracle mismatch. ~2-4 min warm
+(compiles cache under /root/.cache/jax).
+
+Usage: python tools/tpu_smoke.py [--quick]
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from rwkv_tts_tpu.ops import wkv7 as W
+
+TOL = 5e-4
+FAILURES = []
+
+
+def rand_inputs(B, T, H, N, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (B, T, H, N)
+    mk = lambda s=0.3: jnp.asarray(rng.normal(0, s, shape), jnp.float32)
+    r, k, v, a0 = mk(), mk(), mk(), mk()
+    kk = a0 / jnp.maximum(jnp.linalg.norm(a0, axis=-1, keepdims=True), 1e-6)
+    iclr = jax.nn.sigmoid(mk())
+    w = jnp.asarray(rng.uniform(-3, -0.5, shape), jnp.float32)
+    s0 = jnp.asarray(rng.normal(0, 0.3, (B, H, N, N)), jnp.float32)
+    return r, w, k, v, -kk, kk * iclr, s0
+
+
+def check(tag, fn, args, want):
+    t0 = time.perf_counter()
+    try:
+        got_y, got_s = fn(*args)
+        got_y, got_s = np.asarray(got_y), np.asarray(got_s)
+    except Exception as e:  # compile/runtime failure IS the signal here
+        print(f"FAIL {tag}: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        FAILURES.append(tag)
+        return
+    dy = np.abs(got_y - np.asarray(want[0])).max()
+    ds = np.abs(got_s - np.asarray(want[1])).max()
+    ok = dy < TOL and ds < TOL and np.isfinite(got_y).all()
+    print(f"{'ok  ' if ok else 'FAIL'} {tag}: max|dy|={dy:.2e} "
+          f"max|ds|={ds:.2e}  ({time.perf_counter()-t0:.1f}s)", flush=True)
+    if not ok:
+        FAILURES.append(tag)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    if jax.default_backend() != "tpu":
+        print(f"refusing: backend is {jax.default_backend()}, not tpu "
+              "(this harness exists to catch Mosaic-only constraints)")
+        sys.exit(2)
+    H, N = (4, 64) if quick else (32, 64)  # real head geometry unless quick
+
+    # --- prefill dispatch: engine batch x bucket combinations -------------
+    # (28, 256) is the 448-lane regression; B >= 128 exercises seq-bt.
+    shapes = [(8, 64), (28, 256), (7, 16), (130, 64)]
+    if not quick:
+        shapes += [(32, 512), (128, 64), (3, 12)]  # 12: 4|T but not pow2>4
+    for B, T in shapes:
+        args = rand_inputs(B, T, H, N, seed=B * 1000 + T)
+        want = W.wkv7_scan(*args)
+        check(f"prefill_dispatch B={B} T={T}", W.wkv7_prefill_tpu, args, want)
+
+    # --- superseded kernels still exposed ---------------------------------
+    B, T = 28, 64
+    args = rand_inputs(B, T, H, N, seed=7)
+    want = W.wkv7_scan(*args)
+    check("seq_bt B=28 T=64", W.wkv7_seq_bt_pallas, args, want)
+    check("pair-kernel chunked B=28 T=64 (448 lanes)",
+          lambda *a: W.wkv7_chunked_fused(*a, chunk=4), args, want)
+    check("packed B=28 T=64", W.wkv7_pallas_packed, args, want)
+
+    # --- decode-step kernels at serving batch -----------------------------
+    B = 128
+    r, w, k, v, a, b, s0 = rand_inputs(B, 1, H, N, seed=11)
+    want_y, want_s = W.wkv7_scan(r, w, k, v, a, b, s0)
+    bt = lambda x: jnp.transpose(x[:, 0], (1, 2, 0))
+    s_bt = jnp.transpose(s0, (1, 2, 3, 0))
+    y, s = W.wkv7_single_bt(bt(r), bt(w), bt(k), bt(v), bt(a), bt(b), s_bt)
+    dy = np.abs(np.transpose(np.asarray(y), (2, 0, 1))
+                - np.asarray(want_y[:, 0])).max()
+    ds = np.abs(np.transpose(np.asarray(s), (3, 0, 1, 2))
+                - np.asarray(want_s)).max()
+    status = "ok  " if (dy < TOL and ds < TOL) else "FAIL"
+    print(f"{status} single_bt B=128: max|dy|={dy:.2e} max|ds|={ds:.2e}",
+          flush=True)
+    if status == "FAIL":
+        FAILURES.append("single_bt")
+
+    for sdt in (jnp.float32, jnp.bfloat16):
+        stack = jnp.stack([s_bt, s_bt * 0.5]).astype(sdt)
+        try:
+            y2, stack2 = W.wkv7_single_bt_stack(
+                bt(r), bt(w), bt(k), bt(v), bt(a), bt(b), stack,
+                jnp.int32(0))
+            dy2 = np.abs(np.asarray(y2) - np.asarray(y)).max()
+            tol = 3e-2 if sdt == jnp.bfloat16 else TOL
+            status = "ok  " if dy2 < tol else "FAIL"
+            print(f"{status} single_bt_stack[{sdt.__name__}] B=128: "
+                  f"max|dy|={dy2:.2e}", flush=True)
+            if status == "FAIL":
+                FAILURES.append(f"single_bt_stack {sdt}")
+        except Exception as e:
+            print(f"FAIL single_bt_stack[{sdt.__name__}]: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            FAILURES.append(f"single_bt_stack {sdt}")
+
+    print(f"\n{'ALL OK' if not FAILURES else 'FAILURES: ' + str(FAILURES)}")
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()
