@@ -408,7 +408,8 @@ async def handle_metrics(request: web.Request) -> web.Response:
         m["continuous_blocks"] = cont._block_seq
         m["continuous_crashed"] = int(cont._crashed is not None)
     store = request.app["voice_store"]
-    m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
+    if store is not None:   # a pipeline without a voice store is supported
+        m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
     lines = [f"rwkv_tts_{k} {v}" for k, v in sorted(m.items())]
     lines += request.app["hist_latency"].render()
     lines += request.app["hist_rtf"].render()
