@@ -302,11 +302,17 @@ def _step_post_wkv(lp, y, r, k_in, v, g, H, N, cfg, cdt):
     return qmatmul(y.astype(cdt) * g, lp["w_o"])
 
 
-# The bt kernel pads the batch-lane dim to 128, so its cost is flat in B
-# below that: measured ~4.26 ms per 32-layer WKV step for any B ≤ 128 vs
-# the jnp chain's 1.07 (B=8) / 2.93 (B=32) / 5.15 (B=64) / 16.2 (B=128).
-# Crossover ≈ 48; dispatch on the (static) batch at trace time.
-BT_MIN_BATCH = 64
+# Unfolded (g=1) the bt kernel pads the batch-lane dim to 128, so its
+# cost was flat in B below that: ~4.26 ms per 32-layer WKV step for any
+# B ≤ 128 vs the jnp chain's 1.07 (B=8) / 2.93 (B=32) / 5.15 (B=64) /
+# 16.2 (B=128) — crossover ≈ 48, hence the historical threshold 64. The
+# head fold (:func:`bt_fold`) fills the lanes with g heads instead of
+# padding, removing that cliff: measured raw decode steps at the
+# flagship shape (real chip) are 5.61→4.50 ms (B=8, g=16), 7.17→4.80
+# (B=16, g=8), 10.38→5.75 (B=32, g=4) — the kernel now wins at every
+# bucket ≥ 8. Below 8 the fold caps at g=H lanes-padding again and the
+# jnp chain stays cheap, so 8 is the floor. Env override for A/B runs.
+BT_MIN_BATCH = int(os.environ.get("RWKV_BT_MIN_BATCH", "8"))
 
 # Fused-soup decode step (ops/wkv7.wkv7_step_fused_bt_pallas): absorbs
 # the per-head elementwise chain into the bt WKV kernel. MEASURED NO
@@ -329,22 +335,58 @@ _ABLATE_WKV = os.environ.get("RWKV_ABLATE_WKV") == "1"
 
 def wkv_bt_active(use_pallas: bool, batch: int) -> bool:
     """True iff the decode step will run the batch-in-lanes Pallas kernel
-    (and therefore expects/returns state['wkv'] in the [L, H, N, N, B]
-    layout). Stages and profilers must use this same predicate to decide
-    whether to wrap with state_to_bt/state_from_bt."""
+    (and therefore expects/returns state['wkv'] in the folded
+    [L, H/g, N, N, g·B] layout, g = :func:`bt_fold`). Stages and profilers
+    must use this same predicate to decide whether to wrap with
+    state_to_bt/state_from_bt."""
     return use_pallas and batch >= BT_MIN_BATCH
 
 
-def state_to_bt(state: State) -> State:
-    """Decode-loop layout change: wkv [L, B, H, N, N] → [L, H, N, N, B]
-    (batch in lanes — see ops/wkv7.wkv7_single_bt_pallas). att_x/ffn_x are
-    untouched. Call once at decode-stage entry; invert with
-    :func:`state_from_bt`."""
-    return {**state, "wkv": jnp.moveaxis(state["wkv"], 1, -1)}
+def bt_fold(n_head: int, batch: int) -> int:
+    """Head-fold factor g for the batch-in-lanes decode kernel.
+
+    The kernel's lane dim pads to 128, so at B < 128 a pure
+    batch-in-lanes layout streams 128/B× the real state bytes (the kernel
+    is state-DMA-bound, so that padding IS its cost — the old
+    BT_MIN_BATCH=64 cliff). Heads are fully independent, so g of them can
+    share the lane dim instead: state [L, H/g, N, N, g·B] with lanes
+    (head-in-group, batch). Per-block shapes — and therefore the in-kernel
+    reduction trees and f32 numerics — are IDENTICAL to the unfolded
+    B=128 case; only the DMA shrinks (16× at B=8).
+
+    g = the largest power of two dividing n_head with g·batch ≤ 128
+    (powers of two keep the fold a pure reshape class; non-pow2 batches
+    just pad the remaining lanes). Returns 1 under STEP_FUSED (the
+    fused-soup kernel predates the fold and owns its own layout) — this
+    function is the single source of truth for the fold, shared by
+    :func:`step` and the engine stages' state_to_bt/state_from_bt wraps."""
+    if STEP_FUSED:
+        return 1
+    g = 1
+    while g * 2 <= n_head and n_head % (g * 2) == 0 and g * 2 * batch <= 128:
+        g *= 2
+    return g
 
 
-def state_from_bt(state: State) -> State:
-    return {**state, "wkv": jnp.moveaxis(state["wkv"], -1, 1)}
+def state_to_bt(state: State, g: int = 1) -> State:
+    """Decode-loop layout change: wkv [L, B, H, N, N] → [L, H/g, N, N, g·B]
+    (g heads folded with batch into the lane dim — see :func:`bt_fold`;
+    g=1 is plain batch-in-lanes, ops/wkv7.wkv7_single_bt_pallas).
+    att_x/ffn_x are untouched. Call once at decode-stage entry; invert
+    with :func:`state_from_bt` at the same g."""
+    w = state["wkv"]
+    L, B, H, N, _ = w.shape
+    w = w.reshape(L, B, H // g, g, N, N)
+    w = jnp.transpose(w, (0, 2, 4, 5, 3, 1))        # [L, h0, N, N, g, B]
+    return {**state, "wkv": w.reshape(L, H // g, N, N, g * B)}
+
+
+def state_from_bt(state: State, g: int = 1) -> State:
+    w = state["wkv"]
+    L, h0, N, _, gB = w.shape
+    w = w.reshape(L, h0, N, N, g, gB // g)
+    w = jnp.transpose(w, (0, 5, 1, 4, 2, 3))        # [L, B, h0, g, N, N]
+    return {**state, "wkv": w.reshape(L, gB // g, h0 * g, N, N)}
 
 
 def init_state(cfg: RwkvConfig, batch: int) -> State:
@@ -615,6 +657,9 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
     bp = params["blocks"]
 
+    # head-fold factor: state/lane layout is [H/g, N, N, g·B] (bt_fold;
+    # 1 under STEP_FUSED — the fused kernel owns its own g=1 layout)
+    g_fold = bt_fold(H, B) if wkv_bt_active(use_pallas, B) else 1
     bt_fused = wkv_bt_active(use_pallas, B) and STEP_FUSED
     # default bt serving mode: the in-place stack kernel (the per-layer
     # kernel + scan xs/ys costs 3 extra state round trips per step)
@@ -696,10 +741,13 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         # bf16 state_dtype really halves the dominant decode traffic (the
         # old pre-scan astype(f32) made the carry f32 regardless)
         if wkv_bt_active(use_pallas, B):
-            # batch-in-lanes kernel: wkv arrives as [H, N, N, B]; only the
-            # six small [B, H, N] seq inputs transpose per step
+            # folded batch-in-lanes kernel: wkv arrives as
+            # [H/g, N, N, g·B] (g heads share the lane dim, bt_fold);
+            # only the six small [B, H, N] seq inputs transpose per step
             def bt(t):
-                return jnp.transpose(t.reshape(B, H, N), (1, 2, 0))
+                t = t.reshape(B, H // g_fold, g_fold, N)
+                return jnp.transpose(t, (1, 3, 2, 0)).reshape(
+                    H // g_fold, N, g_fold * B)
             if _ABLATE_WKV:
                 # profiling-only passthrough (RWKV_ABLATE_WKV=1): keeps all
                 # operand producers alive but skips the kernel, isolating
@@ -718,7 +766,8 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
                     bt(-kk), bt(kk * a), wkv,
                 )
                 wkv = wkv.astype(state_dt)
-            y = jnp.transpose(y, (2, 0, 1)).reshape(B, C)
+            y = y.reshape(H // g_fold, N, g_fold, B)
+            y = jnp.transpose(y, (3, 0, 2, 1)).reshape(B, C)
         else:
             y, wkv = wkv7_single(
                 hv(r.astype(jnp.float32)), hv(w), hv(k_in), hv(v),

@@ -42,7 +42,9 @@ tensor, per-out-channel scales column-sharded/replicated per
 orientation — so TP=4 + int8 streams ~1/8 of the bf16 single-chip
 bytes. int4/NF4 (packed codes / codebook blocks) and the fused zrkv
 layout are not TP-sharded; this path targets the small-batch latency
-mode, which runs the plain jnp WKV chain anyway (ops/wkv7.BT_MIN_BATCH).
+mode. step_tp keeps the per-head jnp WKV chain (batch-in-lanes folding
+across a sharded head axis would tie the fold factor to the mesh —
+unmeasurable without multi-chip hardware, so not done yet).
 """
 
 from __future__ import annotations

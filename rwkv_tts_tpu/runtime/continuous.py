@@ -181,14 +181,15 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         return (new_state, new_logits, s2), emit
 
     bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas, logits.shape[0])
+    g = rwkv7.bt_fold(cfg.n_head, logits.shape[0]) if bt else 1
     if bt:
-        # batch-in-lanes WKV kernel layout; two [L,B,H,N,N] transposes per
-        # K-step block (~3% of the block's state traffic at K=32)
-        state = rwkv7.state_to_bt(state)
+        # folded batch-in-lanes WKV kernel layout; two [L,B,H,N,N]
+        # transposes per K-step block (~3% of block state traffic at K=32)
+        state = rwkv7.state_to_bt(state, g)
     (state, logits, slots), emits = jax.lax.scan(
         step, (state, logits, slots), None, length=block)
     if bt:
-        state = rwkv7.state_from_bt(state)
+        state = rwkv7.state_from_bt(state, g)
     return state, logits, slots, emits
 
 

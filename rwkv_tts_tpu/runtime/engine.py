@@ -129,14 +129,15 @@ def global_stage(params, state, first_logits, base_keys, cfg: RwkvConfig,
 
     bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas,
                                                  first_logits.shape[0])
+    g = rwkv7.bt_fold(cfg.n_head, first_logits.shape[0]) if bt else 1
     if bt:
-        state = rwkv7.state_to_bt(state)
+        state = rwkv7.state_to_bt(state, g)
     (state, logits), toks = jax.lax.scan(
         body, (state, first_logits[..., :hs]),
         jnp.arange(C.GLOBAL_TOKENS_SIZE)
     )
     if bt:
-        state = rwkv7.state_from_bt(state)
+        state = rwkv7.state_from_bt(state, g)
     return jnp.moveaxis(toks, 0, 1), state, logits
 
 
@@ -223,8 +224,9 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
         return (state, logits, buf, done, lens, win, nwin, i + 1)
 
     bt = step_fn is None and rwkv7.wkv_bt_active(use_pallas, B)
+    g = rwkv7.bt_fold(cfg.n_head, B) if bt else 1
     if bt:
-        state = rwkv7.state_to_bt(state)
+        state = rwkv7.state_to_bt(state, g)
     if feed_tag1:
         tag1 = jnp.full((B,), C.TTS_TAG_1, jnp.int32)
         first_logits, state = _step(params, tag1, state)
@@ -232,7 +234,7 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
              jnp.int32(0))
     state, logits, buf, done, lens, win, nwin, i = jax.lax.while_loop(cond, body, carry)
     if bt:
-        state = rwkv7.state_from_bt(state)
+        state = rwkv7.state_from_bt(state, g)
     return buf, lens, state
 
 

@@ -243,3 +243,50 @@ def test_step_fused_serving_path_matches_unfused(monkeypatch):
     np.testing.assert_allclose(np.asarray(got_state["wkv"]),
                                np.asarray(want_state["wkv"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_bt_fold_factor():
+    """bt_fold: largest pow-2 divisor of H with g·B <= 128 — so the folded
+    lane dim is always as full as the head count allows."""
+    assert rwkv7.bt_fold(32, 128) == 1
+    assert rwkv7.bt_fold(32, 64) == 2
+    assert rwkv7.bt_fold(32, 32) == 4
+    assert rwkv7.bt_fold(32, 16) == 8
+    assert rwkv7.bt_fold(32, 8) == 16
+    assert rwkv7.bt_fold(32, 1) == 32      # capped by H
+    assert rwkv7.bt_fold(32, 24) == 4      # non-pow2 batch: 4*24=96 <= 128
+    assert rwkv7.bt_fold(2, 2) == 2
+    assert rwkv7.bt_fold(32, 256) == 1     # B past the lane width: no fold
+
+
+def test_state_bt_fold_round_trip():
+    """state_to_bt(g)/state_from_bt(g) invert for every fold, and g=1
+    equals the historical pure batch-in-lanes moveaxis layout."""
+    rng = np.random.default_rng(5)
+    L, B, H, N = 3, 8, 4, 8
+    state = {
+        "att_x": jnp.asarray(rng.normal(size=(L, B, 16)), jnp.float32),
+        "ffn_x": jnp.asarray(rng.normal(size=(L, B, 16)), jnp.float32),
+        "wkv": jnp.asarray(rng.normal(size=(L, B, H, N, N)), jnp.float32),
+    }
+    legacy = np.moveaxis(np.asarray(state["wkv"]), 1, -1)
+    np.testing.assert_array_equal(
+        np.asarray(rwkv7.state_to_bt(state, 1)["wkv"]), legacy)
+    for g in (1, 2, 4):
+        folded = rwkv7.state_to_bt(state, g)
+        assert folded["wkv"].shape == (L, H // g, N, N, g * B)
+        back = rwkv7.state_from_bt(folded, g)
+        np.testing.assert_array_equal(np.asarray(back["wkv"]),
+                                      np.asarray(state["wkv"]))
+        # att_x/ffn_x ride along untouched
+        np.testing.assert_array_equal(np.asarray(folded["att_x"]),
+                                      np.asarray(state["att_x"]))
+    # lanes really hold (head-in-group, batch): folded[l, h0, i, j, h1*B+b]
+    # == state[l, b, h0*g + h1, i, j]
+    g = 2
+    f = np.asarray(rwkv7.state_to_bt(state, g)["wkv"])
+    s = np.asarray(state["wkv"])
+    for h1 in range(g):
+        for b in (0, 3, B - 1):
+            np.testing.assert_array_equal(
+                f[:, 1, :, :, h1 * B + b], s[:, b, g + h1])

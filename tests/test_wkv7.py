@@ -161,9 +161,11 @@ def test_step_bt_layout_matches_portable():
         wkv7mod.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
         m.wkv7_single_bt_pallas = wkv7mod.wkv7_single_bt
         m.BT_MIN_BATCH = 0
-        logits_p, st_p = m.step(params, tok, m.state_to_bt(state), cfg,
+        g = m.bt_fold(cfg.n_head, B)
+        assert g == 2    # H=2, B=2: the head fold itself is under test
+        logits_p, st_p = m.step(params, tok, m.state_to_bt(state, g), cfg,
                                 use_pallas=True)
-        st_p = m.state_from_bt(st_p)
+        st_p = m.state_from_bt(st_p, g)
     finally:
         wkv7mod.wkv7_single_bt_pallas = orig
         m.wkv7_single_bt_pallas = orig

@@ -93,7 +93,8 @@ def main():
         @jax.jit
         def raw_scan(qp, state):
             if rwkv7.wkv_bt_active(use_pallas, batch):
-                state = rwkv7.state_to_bt(state)
+                state = rwkv7.state_to_bt(
+                    state, rwkv7.bt_fold(cfg.n_head, batch))
             def body(st, _):
                 logits, st = rwkv7.step(qp,
                                         jnp.zeros((batch,), jnp.int32),

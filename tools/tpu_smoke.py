@@ -135,6 +135,51 @@ def main():
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             FAILURES.append(f"single_bt_stack {sdt}")
 
+    # --- folded decode-step layout (bt_fold): small batch, g heads in
+    # lanes — the serving path at 8 <= B < 128 (models/rwkv7.bt_fold).
+    # Same kernels, leading dim H/g and lanes g*B: Mosaic sees different
+    # block shapes than the unfolded B=128 case, so check on hardware.
+    for B, g in ([(8, 16), (32, 4)] if not quick else [(8, 2)]):
+        if H % g:
+            continue
+        r, w, k, v, a, b, s0 = rand_inputs(B, 1, H, N, seed=B * 31 + g)
+        want_y, want_s = W.wkv7_scan(r, w, k, v, a, b, s0)
+
+        def fold(x):          # [B, 1, H, N] -> [H/g, N, g*B]
+            t = x[:, 0].reshape(B, H // g, g, N)
+            return jnp.transpose(t, (1, 3, 2, 0)).reshape(H // g, N, g * B)
+
+        s_f = jnp.transpose(s0.reshape(B, H // g, g, N, N),
+                            (1, 3, 4, 2, 0)).reshape(H // g, N, N, g * B)
+        y, s = W.wkv7_single_bt(fold(r), fold(w), fold(k), fold(v),
+                                fold(a), fold(b), s_f)
+        y_u = np.transpose(np.asarray(y).reshape(H // g, N, g, B),
+                           (3, 0, 2, 1)).reshape(B, H, N)
+        s_u = np.transpose(np.asarray(s).reshape(H // g, N, N, g, B),
+                           (4, 0, 3, 1, 2)).reshape(B, H, N, N)
+        dy = np.abs(y_u - np.asarray(want_y[:, 0])).max()
+        ds = np.abs(s_u - np.asarray(want_s)).max()
+        status = "ok  " if (dy < TOL and ds < TOL) else "FAIL"
+        print(f"{status} single_bt folded B={B} g={g}: "
+              f"max|dy|={dy:.2e} max|ds|={ds:.2e}", flush=True)
+        if status == "FAIL":
+            FAILURES.append(f"single_bt folded B={B}")
+        try:
+            stack = jnp.stack([s_f, s_f * 0.5])
+            y2, _ = W.wkv7_single_bt_stack(
+                fold(r), fold(w), fold(k), fold(v), fold(a), fold(b),
+                stack, jnp.int32(0))
+            dy2 = np.abs(np.asarray(y2) - np.asarray(y)).max()
+            status = "ok  " if dy2 < TOL else "FAIL"
+            print(f"{status} single_bt_stack folded B={B} g={g}: "
+                  f"max|dy|={dy2:.2e}", flush=True)
+            if status == "FAIL":
+                FAILURES.append(f"single_bt_stack folded B={B}")
+        except Exception as e:
+            print(f"FAIL single_bt_stack folded B={B}: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            FAILURES.append(f"single_bt_stack folded B={B}")
+
     print(f"\n{'ALL OK' if not FAILURES else 'FAILURES: ' + str(FAILURES)}")
     sys.exit(1 if FAILURES else 0)
 
