@@ -1014,6 +1014,125 @@ def wkv7_chunked_wy(r, w, k, v, a, b, state, chunk: int):
     return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
 
 
+def _wkv7_chunk_wy_kernel(r_ref, ld_ref, k_ref, v_ref, a_ref, b_ref,
+                          y_ref, rho_ref, s_ref, p_ref, *, n_doub):
+    """VMEM-resident WY phase A. Blocks: seq [1, L, Hb, N] f32 (ld = the
+    per-step log decay −exp(w)), outputs y/rho the same, s/P
+    [1, 1, Hb, N, N] f32; grid (B, n_c, H/Hb). Per (batch, chunk,
+    head-block) cell the ENTIRE WY algebra — decay prefactors, the four
+    [L, L] score matrices, the (I−G)⁻¹ nilpotent doublings, the chunk
+    summaries — lives in VMEM; only the four phase-A results cross HBM.
+    (The XLA einsum formulation of :func:`wkv7_chunk_wy` materializes
+    every intermediate in HBM — a dozen ~67 MB tensors per layer at
+    B=128/L=64 — which is exactly why it lost to the sequential kernel
+    at large B·T.) Math is identical to :func:`wkv7_chunk_wy`, with the
+    cumulative log-decay computed as a tri@ld MXU dot (Mosaic has no
+    cumsum) and [1, N] rows broadcast by ones-dots (sublane-replication
+    relayouts are unsupported — see :func:`_wkv7_step_fused_bt_kernel`).
+    """
+    L, Hb = r_ref.shape[1], r_ref.shape[2]
+    N = r_ref.shape[3]
+    f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+
+    def dot(x, y, dims):
+        return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=f32, precision=hp)
+
+    mm = lambda x, y: dot(x, y, (((1,), (0,))))   # x @ y
+    nt = lambda x, y: dot(x, y, (((1,), (1,))))   # x @ yᵀ
+    tn = lambda x, y: dot(x, y, (((0,), (0,))))   # xᵀ @ y
+
+    ti = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    tj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    tri_i = (tj <= ti).astype(f32)                # incl. diagonal
+    tri_s = (tj < ti).astype(f32)                 # strict
+    eye_l = (tj == ti).astype(f32)
+    ni = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    nj = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    eye_n = (nj == ni).astype(f32)
+    ones_l = jnp.ones((L, 1), f32)
+    ones_n = jnp.ones((N, 1), f32)
+
+    def head(h, _):
+        ld = ld_ref[0, :, h, :]                   # [L, N]
+        lw = mm(tri_i, ld)                        # cumsum_t(ld) = log D_{1:t}
+        e = jnp.exp(lw)
+        a_hat = a_ref[0, :, h, :] * jnp.exp(lw - ld)
+        b_star = b_ref[0, :, h, :] * jnp.exp(-lw)
+        k_star = k_ref[0, :, h, :] * jnp.exp(-lw)
+        r_hat = r_ref[0, :, h, :] * e
+        v = v_ref[0, :, h, :]
+
+        G = nt(a_hat, b_star) * tri_s
+        Ks = nt(a_hat, k_star) * tri_s
+        R1 = nt(r_hat, b_star) * tri_i
+        R2 = nt(r_hat, k_star) * tri_i
+
+        # X = (I - G)^{-1} by nilpotent doubling (see wkv7_chunk_wy)
+        X = eye_l + G
+        G2 = G
+        for _ in range(n_doub):
+            G2 = mm(G2, G2)
+            X = X + mm(G2, X)
+
+        h_loc = mm(X, mm(Ks, v))
+        xa = mm(X, a_hat)
+        y_ref[0, :, h, :] = mm(R1, h_loc) + mm(R2, v)
+        rho_ref[0, :, h, :] = r_hat + mm(R1, xa)
+
+        e_row = jnp.exp(lw[L - 1:L, :])           # [1, N] = D_{1:L}
+        e_bl = mm(ones_l, e_row)                  # broadcast over rows
+        b_tld = b_star * e_bl
+        k_tld = k_star * e_bl
+        p_ref[0, 0, h] = tn(xa, b_tld) + eye_n * mm(ones_n, e_row)
+        s_ref[0, 0, h] = tn(h_loc, b_tld) + tn(v, k_tld)
+        return 0
+
+    jax.lax.fori_loop(0, Hb, head, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def wkv7_chunked_wy_pallas(r, w, k, v, a, b, state, chunk: int,
+                           interpret=False):
+    """Chunkwise-parallel WKV-7, WY phase A as a VMEM-tiled Pallas kernel;
+    semantics of :func:`wkv7_scan`, chunking contract of
+    :func:`wkv7_chunked_wy` (``chunk`` must divide T)."""
+    B, T, H, N = r.shape
+    L = chunk
+    n_c = T // L
+    f32 = jnp.float32
+    c32 = lambda x: x.astype(f32)
+    ld = -jnp.exp(c32(w))
+    Hb = next(hb for hb in (16, 8, 4, 2, 1) if H % hb == 0)
+
+    seq_spec = pl.BlockSpec((1, L, Hb, N), lambda bb, c, g: (bb, c, g, 0),
+                            memory_space=pltpu.VMEM)
+    sum_spec = pl.BlockSpec((1, 1, Hb, N, N),
+                            lambda bb, c, g: (bb, c, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    y, rho, s_loc, P = pl.pallas_call(
+        functools.partial(_wkv7_chunk_wy_kernel,
+                          n_doub=max(L.bit_length() - 2, 0)),
+        grid=(B, n_c, H // Hb),
+        in_specs=[seq_spec] * 6,
+        out_specs=[seq_spec, seq_spec, sum_spec, sum_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H, N), f32),
+            jax.ShapeDtypeStruct((B, T, H, N), f32),
+            jax.ShapeDtypeStruct((B, n_c, H, N, N), f32),
+            jax.ShapeDtypeStruct((B, n_c, H, N, N), f32),
+        ],
+        interpret=interpret,
+    )(c32(r), ld, c32(k), c32(v), c32(a), c32(b))
+    # [B, n_c·L, H, N] → [B·n_c, L, H, N] and [B, n_c, …] → [B·n_c, …]
+    # are contiguity-preserving reshapes (free).
+    return _chunk_combine(state, y.reshape(B * n_c, L, H, N),
+                          rho.reshape(B * n_c, L, H, N),
+                          s_loc.reshape(B * n_c, H, N, N),
+                          P.reshape(B * n_c, H, N, N), B, T, L, H, N)
+
+
 def prefill_chunk_for(T: int):
     """Chunk length for the chunkwise prefill: a pure function of T.
 
@@ -1102,6 +1221,18 @@ def wkv7_prefill_tpu(r, w, k, v, a, b, state):
     if B >= 128:
         return wkv7_seq_bt_pallas(r, w, k, v, a, b, state)
     if L is not None:
+        # VMEM-tiled phase A vs the XLA einsum formulation, in-context
+        # full-forward A/B (real chip, 32L×2048E): Pallas wins ~10-15%
+        # from B·T = 2048 up (B=8/T=256 176.6 → 158.9 ms, B=32/T=64
+        # 178.0 → 160.8, B=64/T=64 421.0 → 358.1) but loses slightly
+        # below it (B=8/T=64 36.9 → 39.8, B·T=1024 74 → 78 — the XLA
+        # path's intermediates are small enough to ride the caches and
+        # its casts fuse into the first einsum). At B ≥ 128 the Pallas
+        # cell's tiny 64³ dots are MXU-issue-bound (16.8 ms vs seq-bt
+        # 6.0 isolated) — seq-bt keeps that branch. B·T is static at
+        # trace time, so the pick compiles away.
+        if B * T >= 2048:
+            return wkv7_chunked_wy_pallas(r, w, k, v, a, b, state, chunk=L)
         return wkv7_chunked_wy(r, w, k, v, a, b, state, chunk=L)
     return wkv7_pallas_packed(r, w, k, v, a, b, state)
 

@@ -421,6 +421,39 @@ def test_chunked_fused_pair_matches_scan():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_chunked_wy_pallas_matches_scan_and_xla_wy():
+    """The VMEM-tiled WY phase-A kernel (wkv7_chunked_wy_pallas) must
+    reproduce the sequential scan to f32 tolerance, and its per-cell math
+    must be bitwise batch-invariant (grid cells are independent per
+    (batch, chunk, head-block))."""
+    from rwkv_tts_tpu.ops import wkv7 as W
+
+    rng = np.random.default_rng(13)
+    B, T, H, N = 3, 32, 4, 16
+    shape = (B, T, H, N)
+    r, k, v, a = (rng.normal(size=shape).astype(np.float32) * 0.3
+                  for _ in range(4))
+    a = -a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-6)
+    b = -a * rng.uniform(0, 1, shape).astype(np.float32)
+    w = -np.exp(rng.normal(size=shape)).astype(np.float32) - 0.5
+    s0 = rng.normal(size=(B, H, N, N)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (r, w, k, v, a, b, s0)))
+
+    interp = jax.default_backend() != "tpu"
+    want_y, want_s = W.wkv7_scan(*args)
+    y, s = W.wkv7_chunked_wy_pallas(*args, chunk=8, interpret=interp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(want_s),
+                               rtol=3e-4, atol=3e-4)
+
+    # batch invariance: row 0 is bitwise-identical when batched with more
+    y1, s1 = W.wkv7_chunked_wy_pallas(
+        *(x[:1] for x in args), chunk=8, interpret=interp)
+    np.testing.assert_array_equal(np.asarray(y1[0]), np.asarray(y[0]))
+    np.testing.assert_array_equal(np.asarray(s1[0]), np.asarray(s[0]))
+
+
 def test_prefill_chunk_is_batch_invariant():
     """Engine token-identity (CLAUDE.md) requires prefill numerics to be
     independent of how many requests share the batch: the chunk length is

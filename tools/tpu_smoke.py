@@ -99,6 +99,8 @@ def main():
     check("pair-kernel chunked B=28 T=64 (448 lanes)",
           lambda *a: W.wkv7_chunked_fused(*a, chunk=4), args, want)
     check("packed B=28 T=64", W.wkv7_pallas_packed, args, want)
+    check("wy_pallas B=28 T=64 L=16",
+          lambda *a: W.wkv7_chunked_wy_pallas(*a, chunk=16), args, want)
 
     # --- decode-step kernels at serving batch -----------------------------
     B = 128
