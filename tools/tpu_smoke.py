@@ -102,6 +102,16 @@ def main():
     check("wy_pallas B=28 T=64 L=16",
           lambda *a: W.wkv7_chunked_wy_pallas(*a, chunk=16), args, want)
 
+    # Pallas inside shard_map (the TP path's wrapping, check_vma=False):
+    # Mosaic lowering under a manual mesh is a distinct code path from the
+    # plain jit lowering — exercise it on hardware with a 1-device mesh.
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()[:1]), ("model",))
+    sm = jax.shard_map(lambda *x: W.wkv7_chunked_wy_pallas(*x, chunk=16),
+                       mesh=mesh, in_specs=(P(),) * 7,
+                       out_specs=(P(), P()), check_vma=False)
+    check("wy_pallas in shard_map (1-dev mesh)", sm, args, want)
+
     # --- decode-step kernels at serving batch -----------------------------
     B = 128
     r, w, k, v, a, b, s0 = rand_inputs(B, 1, H, N, seed=11)
