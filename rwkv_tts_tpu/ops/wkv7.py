@@ -933,6 +933,13 @@ def wkv7_chunked_fused(r, w, k, v, a, b, state, chunk: int,
 #   scan; everything here is batched [M·H, L, L]×[L, N] MXU work.
 # --------------------------------------------------------------------------
 
+def wy_doublings(L: int) -> int:
+    """Nilpotent-doubling iteration count that covers every G-power < L:
+    k iterations of ``G2 = G2²; X += G2·X`` starting from ``X = I + G``
+    cover powers < 2^(k+1), so k = ceil(log2 L) − 1."""
+    return max((L - 1).bit_length() - 1, 0)
+
+
 def wkv7_chunk_wy(r, w, k, v, a, b):
     """WY phase A over independent chunks: inputs [M, L, H, N] (M = B·n_c
     lanes), returns ``(y_loc, rho [M, L, H, N] f32, s_loc, P [M, H, N, N]
@@ -975,10 +982,13 @@ def wkv7_chunk_wy(r, w, k, v, a, b):
     R2 = scores(r_hat, k_star) * tri_i
 
     # X = (I - G)^{-1} = Σ_{i<L} G^i by nilpotent doubling:
-    # X_k covers powers < 2^k;  X_{k+1} = X_k + G^{2^k} X_k.
+    # X_k covers powers < 2^(k+1);  X_{k+1} = X_k + G^{2^(k+1)} X_k.
+    # k iterations cover powers < 2^(k+1), so k = ceil(log2 L) - 1 =
+    # (L-1).bit_length() - 1 — NOT bit_length(L)-2, which undercounts at
+    # non-power-of-two L (e.g. L=6 dropped G⁴, G⁵).
     X = jnp.broadcast_to(jnp.eye(L, dtype=f32), G.shape) + G
     G2 = G
-    for _ in range(max(L.bit_length() - 2, 0)):
+    for _ in range(wy_doublings(L)):
         G2 = mm(G2, G2)
         X = X + mm(G2, X)
 
@@ -1014,10 +1024,10 @@ def wkv7_chunked_wy(r, w, k, v, a, b, state, chunk: int):
     return _chunk_combine(state, y_loc, rho, s_loc, P, B, T, L, H, N)
 
 
-def _wkv7_chunk_wy_kernel(r_ref, ld_ref, k_ref, v_ref, a_ref, b_ref,
+def _wkv7_chunk_wy_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
                           y_ref, rho_ref, s_ref, p_ref, *, n_doub):
-    """VMEM-resident WY phase A. Blocks: seq [1, L, Hb, N] f32 (ld = the
-    per-step log decay −exp(w)), outputs y/rho the same, s/P
+    """VMEM-resident WY phase A. Blocks: seq [1, L, Hb, N] f32 (w = the
+    log-log decay, as everywhere), outputs y/rho the same, s/P
     [1, 1, Hb, N, N] f32; grid (B, n_c, H/Hb). Per (batch, chunk,
     head-block) cell the ENTIRE WY algebra — decay prefactors, the four
     [L, L] score matrices, the (I−G)⁻¹ nilpotent doublings, the chunk
@@ -1055,7 +1065,7 @@ def _wkv7_chunk_wy_kernel(r_ref, ld_ref, k_ref, v_ref, a_ref, b_ref,
     ones_n = jnp.ones((N, 1), f32)
 
     def head(h, _):
-        ld = ld_ref[0, :, h, :]                   # [L, N]
+        ld = -jnp.exp(w_ref[0, :, h, :])          # [L, N] per-step log decay
         lw = mm(tri_i, ld)                        # cumsum_t(ld) = log D_{1:t}
         e = jnp.exp(lw)
         a_hat = a_ref[0, :, h, :] * jnp.exp(lw - ld)
@@ -1103,7 +1113,6 @@ def wkv7_chunked_wy_pallas(r, w, k, v, a, b, state, chunk: int,
     n_c = T // L
     f32 = jnp.float32
     c32 = lambda x: x.astype(f32)
-    ld = -jnp.exp(c32(w))
     Hb = next(hb for hb in (16, 8, 4, 2, 1) if H % hb == 0)
 
     seq_spec = pl.BlockSpec((1, L, Hb, N), lambda bb, c, g: (bb, c, g, 0),
@@ -1112,8 +1121,7 @@ def wkv7_chunked_wy_pallas(r, w, k, v, a, b, state, chunk: int,
                             lambda bb, c, g: (bb, c, g, 0, 0),
                             memory_space=pltpu.VMEM)
     y, rho, s_loc, P = pl.pallas_call(
-        functools.partial(_wkv7_chunk_wy_kernel,
-                          n_doub=max(L.bit_length() - 2, 0)),
+        functools.partial(_wkv7_chunk_wy_kernel, n_doub=wy_doublings(L)),
         grid=(B, n_c, H // Hb),
         in_specs=[seq_spec] * 6,
         out_specs=[seq_spec, seq_spec, sum_spec, sum_spec],
@@ -1124,7 +1132,7 @@ def wkv7_chunked_wy_pallas(r, w, k, v, a, b, state, chunk: int,
             jax.ShapeDtypeStruct((B, n_c, H, N, N), f32),
         ],
         interpret=interpret,
-    )(c32(r), ld, c32(k), c32(v), c32(a), c32(b))
+    )(c32(r), c32(w), c32(k), c32(v), c32(a), c32(b))
     # [B, n_c·L, H, N] → [B·n_c, L, H, N] and [B, n_c, …] → [B·n_c, …]
     # are contiguity-preserving reshapes (free).
     return _chunk_combine(state, y.reshape(B * n_c, L, H, N),
@@ -1203,18 +1211,24 @@ def wkv7_prefill_tpu(r, w, k, v, a, b, state):
 
       (the superseded pair-kernel path also CRASHED at non-128-multiple
       lane counts > 128, e.g. B=28/T=256 — see :func:`_pad_lane_axis`);
-    * B ≥ 128 — the sequence bt kernel: the WY block materializes its
-      [B·n_c, H, L, N] score/factor tensors in HBM, whose traffic
+    * B ≥ 128 — the sequence bt kernel: the XLA WY block materializes
+      its [B·n_c, H, L, N] score/factor tensors in HBM, whose traffic
       overtakes the kernel's VMEM-resident walk at large B·T (measured
-      B=128/T=64: seq-bt 439 ms vs WY 983 ms in-context — a VMEM-tiled
-      WY Pallas kernel is the known next step if batch-128 prefill ever
-      dominates);
+      B=128/T=64: seq-bt 439 ms vs XLA WY 983 ms in-context; the
+      VMEM-tiled WY kernel was built and ALSO loses here — 16.8 vs 6.0
+      ms isolated, see docs/PERF.md "Measured and rejected");
     * awkward T (4 ∤ T) — packed-heads fallback.
 
-    Numerics are invariant to batch size within each branch (chunk
-    length is a pure function of T; per-lane math is lane-count
-    independent); the B=128 boundary itself is the same accepted
-    deviation class as before (see :func:`prefill_chunk_for`).
+    Numerics: within one (branch, implementation) a request's rows are
+    batch-invariant (chunk length is a pure function of T; per-lane math
+    is lane-count independent), but the B=128 branch boundary AND the
+    B·T = 2048 WY-implementation boundary below both change f32
+    reduction order (the Pallas kernel computes the cumulative log-decay
+    as a tri@ld dot, the XLA path as a cumsum), so on TPU a request's
+    prefill rounding — and hence near-tie samples — can shift with its
+    batch-mates. Same accepted deviation class as occupancy buckets
+    (see :func:`prefill_chunk_for`); CPU parity tests pin
+    use_pallas=False, where none of these branches are reachable.
     """
     B, T, H, N = r.shape
     L = wy_chunk_for(T)

@@ -453,6 +453,22 @@ def test_chunked_wy_pallas_matches_scan_and_xla_wy():
     np.testing.assert_array_equal(np.asarray(y1[0]), np.asarray(y[0]))
     np.testing.assert_array_equal(np.asarray(s1[0]), np.asarray(s[0]))
 
+    # non-power-of-two chunk: the nilpotent-doubling count must still
+    # cover every G-power < L (bit_length(L)-2 dropped G⁴·G⁵ at L=6 —
+    # found in review; wy_doublings is the fixed formula)
+    assert W.wy_doublings(6) == 2 and W.wy_doublings(64) == 5
+    assert W.wy_doublings(4) == 1 and W.wy_doublings(1) == 0
+    args24 = tuple(x[:, :24] if x.ndim == 4 else x for x in args)
+    want_y24, want_s24 = W.wkv7_scan(*args24)
+    for fn in (W.wkv7_chunked_wy,
+               lambda *a, chunk: W.wkv7_chunked_wy_pallas(
+                   *a, chunk=chunk, interpret=interp)):
+        y24, s24 = fn(*args24, chunk=6)
+        np.testing.assert_allclose(np.asarray(y24), np.asarray(want_y24),
+                                   rtol=3e-4, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s24), np.asarray(want_s24),
+                                   rtol=3e-4, atol=3e-4)
+
 
 def test_prefill_chunk_is_batch_invariant():
     """Engine token-identity (CLAUDE.md) requires prefill numerics to be
