@@ -352,6 +352,13 @@ class ContinuousEngine:
         self._block_seq = 0        # decode_block dispatches so far
         self._crashed: Optional[BaseException] = None
         self._thread: Optional[threading.Thread] = None
+        # host-side loop accounting (exposed via /metrics and the
+        # concurrency bench): where each block's wall clock goes —
+        # ``dispatch_s`` is the async enqueue cost (tracing + RPC on a
+        # tunneled TPU), ``process_s`` is emits readback + token routing
+        # (includes the device wait when the device is the bottleneck).
+        self.stats = {"blocks": 0, "dispatch_s": 0.0, "process_s": 0.0,
+                      "admit_s": 0.0, "admitted": 0}
         self._reset_device_state()
 
     # ------------------------------------------------------------------
@@ -469,6 +476,50 @@ class ContinuousEngine:
             except Exception:  # noqa: BLE001
                 pass
 
+    def warmup(self, max_burst: Optional[int] = None, text: str = "warm up",
+               timeout: float = 600.0):
+        """Precompile every admission/decode shape steady-state serving hits.
+
+        Runs throwaway requests at each power-of-two burst size up to
+        ``max_burst`` (default: the slot count): the admission prefill,
+        the burst scatters and the decode-block occupancy buckets are all
+        keyed on those sizes, so each compiles here instead of inside the
+        first real traffic burst that reaches it — a fresh bucket compile
+        through a remote-tunnel TPU adds seconds of latency to the
+        requests that trigger it (measured: a cold 64-burst admission
+        cost ~10 s; warm, ~30 ms). Each burst is enqueued while the
+        decode thread is stopped so it admits as ONE burst of exactly
+        that padded size. Mirrors the reference's model warm-up at
+        startup (bin/server.rs:1306-1351 verifies assets before serving).
+        """
+        hi = min(max_burst or self.B, self.B)
+        sizes, m = [], 1
+        while m < hi:
+            sizes.append(m)
+            m *= 2
+        sizes.append(hi)
+        for m in sizes:
+            self.stop()
+            done = threading.Event()
+            left = [m]
+            lk = threading.Lock()
+
+            def cb(_res):
+                with lk:
+                    left[0] -= 1
+                    if left[0] == 0:
+                        done.set()
+
+            for _ in range(m):
+                self._queue.put((TtsArgs(text=text, seed=0, max_tokens=1),
+                                 cb, None))
+            self.start()
+            if not done.wait(timeout):
+                raise TimeoutError(f"warmup burst of {m} timed out")
+        if self._crashed is not None:
+            raise RuntimeError("decode loop crashed during warmup") \
+                from self._crashed
+
     def generate(self, args: TtsArgs, timeout: float = 600.0
                  ) -> GenerationResult:
         """Blocking convenience wrapper."""
@@ -489,10 +540,17 @@ class ContinuousEngine:
     # -- driver loop -----------------------------------------------------
 
     def _free_slots(self) -> List[int]:
-        stages = np.asarray(self.slots["stage"])
+        # Host-side only: a slot is free iff it has no live occupant. The
+        # host frees slots strictly AFTER the device-side idle transition
+        # is ordered (retire: the stage snapshot read back from the block
+        # already shows IDLE; cancel: the _idle_slots write is dispatched
+        # before the pop), so no device read — and therefore no sync on
+        # the in-flight decode block — is needed to admit. Reading
+        # ``slots["stage"]`` here (the previous design) blocked admission
+        # on the pipelined block each burst: a full block of latency plus
+        # a tunnel round trip on remote TPUs.
         with self._lock:
-            return [i for i in range(self.B)
-                    if stages[i] == IDLE and i not in self._live]
+            return [i for i in range(self.B) if i not in self._live]
 
     def _admit(self):
         if self._queue.empty():
@@ -563,6 +621,7 @@ class ContinuousEngine:
         def padded(lst):
             return np.asarray(lst + [lst[-1]] * pad)
 
+        self.stats["admitted"] += m
         idx = jnp.asarray(padded(slots_np), jnp.int32)
         if self.mesh is None:
             self.state, self.logits = _insert_burst(
@@ -635,7 +694,9 @@ class ContinuousEngine:
         pending = None      # (emits_dev, stage_snapshot_dev)
         while not self._stop:
             self._apply_cancels()
+            t0 = time.perf_counter()
             self._admit()
+            self.stats["admit_s"] += time.perf_counter() - t0
             with self._lock:
                 any_live = bool(self._live)
             if not any_live and pending is None:
@@ -647,6 +708,7 @@ class ContinuousEngine:
                 with self._lock:
                     hi = (max(self._live) + 1) if self._live else 0
                 bucket = next((b for b in self.buckets if b >= hi), self.B)
+                t0 = time.perf_counter()
                 if bucket < self.B:
                     (self.state, self.logits, self.slots,
                      emits) = decode_block_bucketed(
@@ -659,13 +721,17 @@ class ContinuousEngine:
                         self.cfg, self.block,
                         use_pallas=self.inner.use_pallas_step,
                         step_fn=self.inner._step_fn)
+                self.stats["dispatch_s"] += time.perf_counter() - t0
+                self.stats["blocks"] += 1
                 self._block_seq += 1
                 nxt = (emits, self.slots["stage"], self._block_seq)
             else:
                 nxt = None
 
             if pending is not None:
+                t0 = time.perf_counter()
                 self._process_block(*pending)
+                self.stats["process_s"] += time.perf_counter() - t0
             pending = nxt
 
     def _run(self):

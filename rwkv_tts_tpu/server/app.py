@@ -407,6 +407,9 @@ async def handle_metrics(request: web.Request) -> web.Response:
         m["continuous_slots"] = cont.B
         m["continuous_blocks"] = cont._block_seq
         m["continuous_crashed"] = int(cont._crashed is not None)
+        m.update({f"continuous_loop_{k}": round(v, 4)
+                  if isinstance(v, float) else v
+                  for k, v in cont.stats.items()})
     store = request.app["voice_store"]
     if store is not None:   # a pipeline without a voice store is supported
         m.update({f"voice_cache_{k}": v for k, v in store.stats().items()})
@@ -634,11 +637,15 @@ def main(argv=None):
         collect_timeout_ms=args.batch_timeout,
         inference_timeout_ms=args.inference_timeout,
     )
+    app = create_app(pipeline, batch_cfg)
     if args.warmup:
         log.info("warming up compiled programs …")
         times = pipeline.warmup()
-        log.info("warmup done: %s", times)
-    app = create_app(pipeline, batch_cfg)
+        log.info("pipeline warmup done: %s", times)
+        # also precompile the continuous engine's admission/decode buckets
+        # so the first streaming burst never hits a cold compile
+        _get_continuous(app).warmup()
+        log.info("continuous-engine warmup done")
     log.info("serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)
 

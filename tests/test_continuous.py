@@ -215,3 +215,18 @@ def test_crashed_loop_fast_fails_submits(params):
     finally:
         eng._crashed = None
         eng.stop()
+
+
+def test_warmup_then_token_identical(params, static_engine, cont):
+    """warmup() sweeps every burst bucket with throwaway requests; the
+    engine must come out clean — subsequent real requests land in reused
+    slots and still match the static engine token-for-token."""
+    cont.warmup()                      # sweeps bursts 1, 2, 3 (B=3)
+    assert cont._crashed is None
+    with cont._lock:
+        assert not cont._live          # all warmup slots retired
+    args = TtsArgs(text="after warmup", seed=321, max_tokens=20)
+    want = static_engine.generate(args)
+    got = cont.generate(args)
+    assert got.global_tokens == want.global_tokens
+    assert got.semantic_tokens == want.semantic_tokens
