@@ -93,12 +93,21 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         has_ov = override >= 0
 
         # --- sampling (both stage samplers; select per slot) --------------
+        # The spare samplers are gated on device-side any() predicates
+        # (lax.cond compiles both branches, executes one): a sampler pass
+        # over [B, 8320] costs real time at every batch, and in steady
+        # state most steps have NO slot in the global stage and NO
+        # zero-shot slot needing an EOS resample. Numerically exact — a
+        # skipped sampler's output was fully masked out of feed/emit.
         gkeys = jax.vmap(jax.random.fold_in)(s["gkey"], s["n_glob"])
         skeys = jax.vmap(jax.random.fold_in)(s["skey"], s["n_step"])
 
-        glogits = _mask_global(logits)
-        tok_g = _sample_batch(glogits, gkeys, gk["temperature"], gk["top_p"],
-                              gk["top_k"])
+        tok_g = jax.lax.cond(
+            jnp.any(stage == GLOBAL),
+            lambda: _sample_batch(_mask_global(logits), gkeys,
+                                  gk["temperature"], gk["top_p"],
+                                  gk["top_k"]),
+            lambda: jnp.zeros((stage.shape[0],), jnp.int32))
 
         slogits = _mask_semantic(logits)
         forbid_eos = s["n_step"] < s["hard_min"]
@@ -113,11 +122,16 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         allow_eos = (s["nwin"] >= C.ZS_EOS_WINDOW) & \
                     (ratio >= C.ZS_EOS_RATIO_THRESHOLD)
         need_rs = s["zs"] & (tok_s == C.TTS_EOS_TOKEN) & (~allow_eos)
-        no_eos = jnp.where((ids == C.TTS_EOS_TOKEN)[None, :], -jnp.inf, slogits)
-        skeys2 = jax.vmap(jax.random.fold_in)(s["skey"],
-                                              s["n_step"] + (1 << 20))
-        tok_s2 = _sample_batch(no_eos, skeys2, sk["temperature"], sk["top_p"],
-                               sk["top_k"])
+
+        def _resample():
+            no_eos = jnp.where((ids == C.TTS_EOS_TOKEN)[None, :], -jnp.inf,
+                               slogits)
+            skeys2 = jax.vmap(jax.random.fold_in)(s["skey"],
+                                                  s["n_step"] + (1 << 20))
+            return _sample_batch(no_eos, skeys2, sk["temperature"],
+                                 sk["top_p"], sk["top_k"])
+
+        tok_s2 = jax.lax.cond(jnp.any(need_rs), _resample, lambda: tok_s)
         tok_s = jnp.where(need_rs, tok_s2, tok_s)
 
         in_glob = active & (stage == GLOBAL) & (~has_ov)
@@ -230,6 +244,28 @@ def decode_block_bucketed(params, state, logits, slots, cfg: RwkvConfig,
     emits_full = jax.lax.dynamic_update_slice_in_dim(emits_full, emits, 0,
                                                      axis=1)
     return state, logits, slots, emits_full
+
+
+@jax.jit
+def _relocate(state, logits, slots, src, dst):
+    """Move slot columns ``src`` → ``dst`` (disjoint index vectors) and idle
+    the sources, in ONE dispatch.
+
+    Everything that defines a request's stream — RNG keys, stage, counters,
+    EOS window, recurrent state, last logits — is a per-slot VALUE, not a
+    function of the slot index, so the occupant's token sequence is
+    unchanged by the move (parity-tested against the static engine).
+    ``src``/``dst`` may repeat their last pair for shape bucketing:
+    duplicate scatter indices carry identical values, so the scatter stays
+    deterministic, and idling an already-moved source twice is a no-op.
+    """
+    state = jax.tree_util.tree_map(
+        lambda full: full.at[:, dst].set(full[:, src]), state)
+    logits = logits.at[dst].set(logits[src])
+    out = {k: v.at[dst].set(v[src]) for k, v in slots.items()}
+    out["stage"] = out["stage"].at[src].set(IDLE)
+    out["limit"] = out["limit"].at[src].set(0)
+    return state, logits, out
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -358,7 +394,8 @@ class ContinuousEngine:
         # tunneled TPU), ``process_s`` is emits readback + token routing
         # (includes the device wait when the device is the bottleneck).
         self.stats = {"blocks": 0, "dispatch_s": 0.0, "process_s": 0.0,
-                      "admit_s": 0.0, "admitted": 0}
+                      "admit_s": 0.0, "admitted": 0, "relocations": 0,
+                      "compact_s": 0.0}
         self._reset_device_state()
 
     # ------------------------------------------------------------------
@@ -519,6 +556,21 @@ class ContinuousEngine:
         if self._crashed is not None:
             raise RuntimeError("decode loop crashed during warmup") \
                 from self._crashed
+        # compile the compaction move at every pad size it can run at
+        # (powers of two up to half the slot count): a relocation event in
+        # live traffic otherwise pays its tunnel compile inside the serving
+        # window (measured: ~2.6 s across 2 events at 128 slots). The
+        # engine is drained here, so moving idle slot 1's values onto idle
+        # slot 0 is a no-op.
+        if self.buckets:
+            self.stop()
+            m = 1
+            while m <= max(self.B // 2, 1):
+                src = jnp.asarray([1] * m, jnp.int32)
+                dst = jnp.asarray([0] * m, jnp.int32)
+                self.state, self.logits, self.slots = _relocate(
+                    self.state, self.logits, self.slots, src, dst)
+                m *= 2
 
     def generate(self, args: TtsArgs, timeout: float = 600.0
                  ) -> GenerationResult:
@@ -665,6 +717,69 @@ class ContinuousEngine:
                     admit_seq=self._block_seq,
                 )
 
+    def _bucket_for(self, n: int) -> int:
+        return next((b for b in self.buckets if b >= n), self.B)
+
+    def _compact(self, pending):
+        """Slot compaction: relocate live slots downward when that shrinks
+        the decode bucket.
+
+        Admission fills the lowest free slot, so the bucket normally tracks
+        occupancy — but a long request admitted into a high slot pins the
+        bucket there long after its burst-mates retire (the drain phase of
+        any traffic spike). When the live COUNT fits a smaller bucket than
+        the highest live INDEX, move the high occupants into free low slots.
+
+        Relocation remaps slot indices, and an in-flight block's emits are
+        addressed by the OLD indices — so the one-block-deep software
+        pipeline is drained first. That costs one block of lost overlap per
+        relocation event; events are self-limiting (afterwards hi ≤ the
+        count bucket, so the check no-ops until the next bucket boundary).
+        Returns the (possibly consumed) pending entry.
+        """
+        if not self.buckets:
+            return pending
+        with self._lock:
+            if not self._live:
+                return pending
+            hi = max(self._live) + 1
+            n = len(self._live)
+        b_n = self._bucket_for(n)
+        if b_n >= self._bucket_for(hi):
+            return pending
+        if pending is not None:
+            t0 = time.perf_counter()
+            self._process_block(*pending)
+            self.stats["process_s"] += time.perf_counter() - t0
+            pending = None
+        t0 = time.perf_counter()
+        with self._lock:
+            # recompute under the lock: _process_block may have retired slots
+            src = sorted((s for s in self._live if s >= b_n), reverse=True)
+            if not src:
+                self.stats["compact_s"] += time.perf_counter() - t0
+                return pending
+            free = [i for i in range(b_n) if i not in self._live]
+            dst = free[: len(src)]
+        # pad to a power-of-two move count by repeating the last pair, so
+        # the relocate program compiles once per bucket size, not per count
+        m = 1
+        while m < len(src):
+            m *= 2
+        pad = m - len(src)
+        src_p = jnp.asarray(src + [src[-1]] * pad, jnp.int32)
+        dst_p = jnp.asarray(dst + [dst[-1]] * pad, jnp.int32)
+        self.state, self.logits, self.slots = _relocate(
+            self.state, self.logits, self.slots, src_p, dst_p)
+        with self._lock:
+            for s, d in zip(src, dst):
+                live = self._live.pop(s)
+                live.admit_seq = self._block_seq
+                self._live[d] = live
+        self.stats["relocations"] += len(src)
+        self.stats["compact_s"] += time.perf_counter() - t0
+        return pending
+
     def _retire(self, slot: int):
         with self._lock:
             live = self._live.pop(slot, None)
@@ -697,6 +812,7 @@ class ContinuousEngine:
             t0 = time.perf_counter()
             self._admit()
             self.stats["admit_s"] += time.perf_counter() - t0
+            pending = self._compact(pending)
             with self._lock:
                 any_live = bool(self._live)
             if not any_live and pending is None:

@@ -170,6 +170,46 @@ def test_bucket_selection_grows_and_shrinks(params):
         eng.stop()
 
 
+def test_compaction_relocates_straggler(params, static_engine):
+    """Slot compaction: a long request admitted into a high slot is moved
+    into a low free slot once its burst-mates retire (so the decode bucket
+    shrinks with occupancy), and its token stream is IDENTICAL to the
+    static engine — relocation moves per-slot values (keys, counters,
+    state) wholesale, never re-deriving anything from the slot index."""
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=4,
+                           slots=8, buckets=(2, 4))
+    try:
+        short = [TtsArgs(text=f"short {i}", seed=200 + i, max_tokens=2)
+                 for i in range(2)]
+        long = TtsArgs(text="the long straggler", seed=300, max_tokens=20)
+        wants = [static_engine.generate(r) for r in short + [long]]
+
+        results = {}
+        done = threading.Event()
+
+        def mk(i):
+            def cb(res):
+                results[i] = res
+                if len(results) == 3:
+                    done.set()
+            return cb
+
+        # enqueue all three before starting the loop (submit() would start
+        # it on the first request) so they admit as ONE burst → slots
+        # 0, 1, 2; the straggler lands in slot 2 (> bucket 2)
+        for i, r in enumerate(short + [long]):
+            eng._queue.put((r, mk(i), None))
+        eng.start()
+        assert done.wait(300), f"only {len(results)}/3 finished"
+        assert eng.stats["relocations"] >= 1, \
+            "straggler was never relocated into the small bucket"
+        for i, w in enumerate(wants):
+            assert results[i].global_tokens == w.global_tokens, f"req {i}"
+            assert results[i].semantic_tokens == w.semantic_tokens, f"req {i}"
+    finally:
+        eng.stop()
+
+
 def test_limit_zero_token_identical(params, static_engine, cont):
     """max_tokens=0 must emit ZERO semantic tokens in both engines (the
     continuous retire path used to emit one before idling)."""
