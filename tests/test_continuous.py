@@ -220,6 +220,64 @@ def test_limit_zero_token_identical(params, static_engine, cont):
     assert got.global_tokens == want.global_tokens
 
 
+def test_compaction_soak_random_traffic(params, static_engine):
+    """Randomized admission order, mixed lengths and modes, mid-flight
+    cancels — under small buckets so compaction fires repeatedly. Every
+    surviving request must be token-identical to the static engine (the
+    invariant compaction, bucketing and the pipelined loop must jointly
+    preserve)."""
+    import random
+
+    rng = random.Random(42)
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=4,
+                           slots=8, buckets=(2, 4))
+    try:
+        reqs = []
+        for i in range(12):
+            if i % 5 == 2:
+                reqs.append(TtsArgs(
+                    text=f"zs soak {i}", seed=500 + i, zero_shot=True,
+                    max_tokens=rng.choice([2, 6, 12, 20]),
+                    ref_global_tokens=[i % 32] * 32,
+                    ref_semantic_tokens=[1, 2, 3]))
+            else:
+                reqs.append(TtsArgs(text=f"soak request {i}", seed=500 + i,
+                                    max_tokens=rng.choice([2, 6, 12, 20])))
+        results = {}
+        done = threading.Event()
+        expected = len(reqs)
+
+        def mk(i):
+            def cb(res):
+                results[i] = res
+                if len(results) == expected:
+                    done.set()
+            return cb
+
+        cancel_idx = {3, 8}
+        for i, r in enumerate(reqs):
+            eng.submit(r, mk(i))
+            if i in cancel_idx:
+                eng.cancel(r)       # may race completion; both are fine
+            if i % 3 == 0:
+                import time
+                time.sleep(0.05)    # stagger admissions across blocks
+        assert done.wait(600), f"only {len(results)}/{expected} finished"
+
+        from rwkv_tts_tpu.runtime.continuous import RequestCancelled
+        for i, r in enumerate(reqs):
+            got = results[i]
+            if isinstance(got, RequestCancelled):
+                assert i in cancel_idx
+                continue
+            assert not isinstance(got, Exception), f"req {i}: {got!r}"
+            want = static_engine.generate(r)
+            assert got.global_tokens == want.global_tokens, f"req {i}"
+            assert got.semantic_tokens == want.semantic_tokens, f"req {i}"
+    finally:
+        eng.stop()
+
+
 def test_cancel_retires_slot(params, cont):
     """cancel() fires RequestCancelled and frees the slot for new work."""
     from rwkv_tts_tpu.runtime.continuous import RequestCancelled
