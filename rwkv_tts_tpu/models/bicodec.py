@@ -461,9 +461,11 @@ def _wavegen_conv(cfg: BiCodecConfig):
     "mxu" routes the stride-1 k7/k1 convs (the generator's FLOP bulk —
     docs/PERF.md "BiCodec vocoder precision policy") to the Pallas
     bf16-MXU kernel (ops/conv1d.conv1d_mxu); tconvs, the 1-channel
-    output conv and any grouped conv stay on the XLA path. CPU (tests)
-    runs the kernel in interpret mode so the policy stays testable."""
-    if cfg.conv_impl != "mxu":
+    output conv and any grouped conv stay on the XLA path. "mxu_fused"
+    additionally fuses each residual unit's snake prologues and residual
+    add INTO the kernel (see _residual_unit_fused). CPU (tests) runs the
+    kernel in interpret mode so the policy stays testable."""
+    if cfg.conv_impl not in ("mxu", "mxu_fused"):
         return _conv1d
     from ..ops.conv1d import conv1d_mxu
     interp = jax.default_backend() != "tpu"
@@ -489,16 +491,41 @@ def _residual_unit(p, x, dilation, conv=_conv1d):
     return x + h
 
 
+def _residual_unit_fused(p, x, dilation, interp):
+    """x + conv_k1(snake(conv_k7(snake(x)))) in exactly TWO kernel calls.
+
+    Both snakes and the residual add ride the conv kernels' fused
+    prologue/epilogue (ops/conv1d.conv1d_mxu), so the unit launches no
+    standalone elementwise pass over the [B, C, T] activations — the
+    in-context cost that made the bare "mxu" dispatch slower than XLA's
+    natively-fused convs (docs/PERF.md "Pallas MXU conv kernel")."""
+    from ..ops.conv1d import conv1d_mxu
+
+    k = p["w1"].shape[-1]
+    h = conv1d_mxu(x, p["w1"], p["b1"], dilation=dilation,
+                   padding=(k - 1) * dilation // 2,
+                   compute_dtype=jnp.bfloat16, out_dtype=x.dtype,
+                   interpret=interp, snake_alpha=p["alpha1"])
+    return conv1d_mxu(h, p["w2"], p["b2"], compute_dtype=jnp.bfloat16,
+                      out_dtype=x.dtype, interpret=interp,
+                      snake_alpha=p["alpha2"], residual=x)
+
+
 def wave_generator(p, x, cfg: BiCodecConfig):
     """x [B, 1024, S] → wav [B, S·320] in (−1, 1). DAC-style decoder."""
     conv = _wavegen_conv(cfg)
+    fused = cfg.conv_impl == "mxu_fused"
+    interp = jax.default_backend() != "tpu"
     h = conv(x, p["in_w"], p["in_b"], padding=p["in_w"].shape[-1] // 2)
     for blk, rate, k in zip(p["blocks"], cfg.dec_rates, cfg.dec_kernels):
         h = _snake(h, blk["alpha"])
         h = _tconv1d(h, blk["up_w"], blk["up_b"], stride=rate,
                      padding=(k - rate) // 2)
         for ru, d in zip(blk["res"], (1, 3, 9)):
-            h = _residual_unit(ru, h, d, conv=conv)
+            if fused and min(ru["w1"].shape[0], ru["w1"].shape[1]) >= 96:
+                h = _residual_unit_fused(ru, h, d, interp)
+            else:
+                h = _residual_unit(ru, h, d, conv=conv)
     h = _snake(h, p["alpha_out"])
     h = _conv1d(h, p["out_w"], p["out_b"], padding=p["out_w"].shape[-1] // 2)
     return jnp.tanh(h[:, 0, :].astype(jnp.float32))

@@ -136,6 +136,31 @@ def test_bicodec_decode_mxu_conv_close_to_native():
     assert c > 0.999, f"mxu/native waveform correlation {c}"
 
 
+def test_bicodec_decode_mxu_fused_close_to_native():
+    """conv_impl="mxu_fused" (residual units run as two Pallas calls with
+    in-kernel snake + residual add, models/bicodec._residual_unit_fused)
+    must track the native f32 decode like the plain "mxu" backend does."""
+    import dataclasses
+    cfg = BiCodecConfig.tiny(feat_dim=64, semantic_codebook=128,
+                             dec_channels=384)
+    params = bicodec.init_params(cfg, jax.random.PRNGKey(11))
+    params = jax.tree_util.tree_map(
+        lambda a: (a * 0.5).astype(a.dtype)
+        if a.dtype == jnp.float32 else a, params)
+    S = 16
+    g = jax.random.randint(jax.random.PRNGKey(12), (1, 32), 0, 4096)
+    s = jax.random.randint(jax.random.PRNGKey(13), (1, S), 0, 128)
+    ref = np.asarray(bicodec.decode(params, g, s, cfg))
+    cfg_f = dataclasses.replace(cfg, conv_impl="mxu_fused")
+    got = np.asarray(bicodec.decode(params, g, s, cfg_f))
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) < 0.05 * scale, (
+        f"fused vocoder diverged: max err {np.max(np.abs(got - ref))} "
+        f"vs signal {scale}")
+    c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999, f"fused/native waveform correlation {c}"
+
+
 def test_detokenize_wrapper_pads_and_trims(bc_params):
     g = list(range(32))
     s = list(range(50))         # not a multiple of the bucket

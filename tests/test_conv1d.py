@@ -65,6 +65,37 @@ def test_conv1d_mxu_bf16_policy_bounded():
     assert np.max(np.abs(got - ref)) < 0.02 * scale
 
 
+def test_conv1d_mxu_fused_snake_residual_matches_composition():
+    """The fused snake prologue + residual epilogue must equal the
+    unfused snake → conv → (+res) composition exactly at f32 compute —
+    the contract models/bicodec._residual_unit_fused relies on."""
+    from rwkv_tts_tpu.models.bicodec import _snake
+
+    key = jax.random.PRNGKey(7)
+    kx, kw1, kb1, ka1, kw2, kb2, ka2 = jax.random.split(key, 7)
+    B, C, T, K, dil = 2, 96, 640, 7, 3
+    x = jax.random.normal(kx, (B, C, T), jnp.float32)
+    w1 = jax.random.normal(kw1, (C, C, K), jnp.float32) / (C * K) ** 0.5
+    b1 = jax.random.normal(kb1, (C,), jnp.float32)
+    a1 = jax.random.uniform(ka1, (C,), jnp.float32, 0.1, 2.0)
+    w2 = jax.random.normal(kw2, (C, C, 1), jnp.float32) / C ** 0.5
+    b2 = jax.random.normal(kb2, (C,), jnp.float32)
+    a2 = jax.random.uniform(ka2, (C,), jnp.float32, 0.1, 2.0)
+    pad = (K - 1) * dil // 2
+
+    h_ref = _oracle(_snake(x, a1), w1, b1, dil, pad)
+    ref = x + _oracle(_snake(h_ref, a2), w2, b2, 1, 0)
+
+    h = conv1d_mxu(x, w1, b1, dilation=dil, padding=pad,
+                   compute_dtype=jnp.float32, out_dtype=jnp.float32,
+                   interpret=True, snake_alpha=a1)
+    got = conv1d_mxu(h, w2, b2, compute_dtype=jnp.float32,
+                     out_dtype=jnp.float32, interpret=True,
+                     snake_alpha=a2, residual=x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_conv1d_mxu_no_bias_default_out_dtype():
     x = jnp.ones((1, 96, 256), jnp.bfloat16)
     w = jnp.ones((96, 96, 1), jnp.float32)

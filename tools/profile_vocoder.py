@@ -130,9 +130,30 @@ def run_decode(which):
         bicodec._conv1d = native
 
 
+def run_decode_impl(impl):
+    """Time the full 8x512 decode at a BiCodecConfig.conv_impl setting
+    ("native" | "mxu" | "mxu_fused") — the production dispatch, no
+    monkeypatching."""
+    import dataclasses
+    cfg = dataclasses.replace(BiCodecConfig(), conv_impl=impl)
+    params = bicodec.init_params(cfg, jax.random.PRNGKey(1), fast=True)
+    g = jnp.zeros((B, 32), jnp.int32)
+    s = jnp.zeros((B, 512), jnp.int32)
+    w = bicodec.decode(params, g, s, cfg)
+    jax.device_get(w.ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        w = bicodec.decode(params, g, s, cfg)
+    jax.device_get(w.ravel()[:1])
+    print(f"decode[conv_impl={impl}]: "
+          f"{(time.perf_counter() - t0) / 10 * 1000:.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "shapes"
     if mode == "shapes":
         run_shapes()
+    elif mode == "impl":
+        run_decode_impl(sys.argv[2] if len(sys.argv) > 2 else "mxu_fused")
     else:
         run_decode(sys.argv[2] if len(sys.argv) > 2 else "all")

@@ -192,6 +192,49 @@ def main():
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             FAILURES.append(f"single_bt_stack folded B={B}")
 
+    # vocoder MXU conv kernel (ops/conv1d): plain, fused-snake and
+    # fused-snake+residual paths vs the XLA conv oracle at a wave-generator
+    # shape (bf16 compute → bounded drift, not TOL-exact)
+    from rwkv_tts_tpu.models.bicodec import _conv1d, _snake
+    from rwkv_tts_tpu.ops.conv1d import conv1d_mxu
+
+    rng = np.random.default_rng(7)
+    Ci, T, K, dil = 192, 2048, 7, 3
+    xc = jnp.asarray(rng.normal(0, 1, (2, Ci, T)), jnp.float32)
+    wc = jnp.asarray(rng.normal(0, (Ci * K) ** -0.5, (Ci, Ci, K)), jnp.float32)
+    bc = jnp.asarray(rng.normal(0, 0.1, (Ci,)), jnp.float32)
+    ac = jnp.asarray(rng.uniform(0.1, 2.0, (Ci,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(0, Ci ** -0.5, (Ci, Ci, 1)), jnp.float32)
+    pad = (K - 1) * dil // 2
+    for tag, fn, ref_fn in (
+        ("conv1d_mxu k7 d3", lambda: conv1d_mxu(xc, wc, bc, dilation=dil,
+                                                padding=pad),
+         lambda: _conv1d(xc, wc, bc, dilation=dil, padding=pad)),
+        ("conv1d_mxu fused snake", lambda: conv1d_mxu(
+            xc, wc, bc, dilation=dil, padding=pad, snake_alpha=ac),
+         lambda: _conv1d(_snake(xc, ac), wc, bc, dilation=dil, padding=pad)),
+        ("conv1d_mxu fused snake+res", lambda: conv1d_mxu(
+            xc, w1, bc, snake_alpha=ac, residual=xc),
+         lambda: xc + _conv1d(_snake(xc, ac), w1, bc)),
+    ):
+        t0 = time.perf_counter()
+        try:
+            got = np.asarray(fn())
+            ref = np.asarray(ref_fn())
+        except Exception as e:
+            print(f"FAIL {tag}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            FAILURES.append(tag)
+            continue
+        scale = np.abs(ref).max()
+        err = np.abs(got - ref).max()
+        ok = err < 0.02 * scale and np.isfinite(got).all()
+        print(f"{'ok  ' if ok else 'FAIL'} {tag}: max|dy|={err:.2e} "
+              f"(scale {scale:.2e})  ({time.perf_counter()-t0:.1f}s)",
+              flush=True)
+        if not ok:
+            FAILURES.append(tag)
+
     print(f"\n{'ALL OK' if not FAILURES else 'FAILURES: ' + str(FAILURES)}")
     sys.exit(1 if FAILURES else 0)
 
