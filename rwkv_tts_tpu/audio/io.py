@@ -1,6 +1,7 @@
 """Audio file IO: WAV (16/24/32-bit int, float32) decode, 16-bit WAV encode
-with the reference's dynamic gain, MP3 decode via ffmpeg or SDL_mixer
-(pygame), MP3 encode via ffmpeg when present.
+with the reference's dynamic gain, MP3 decode via libmpg123 / ffmpeg /
+SDL_mixer (pygame), MP3 encode via libmp3lame (the reference's own encoder)
+or ffmpeg.
 
 Replaces the reference's hound/symphonia decoders
 (src/ref_audio_utilities.rs:225-330) and the server's
@@ -140,9 +141,16 @@ def _read_mp3_sdl(path: str) -> Tuple[np.ndarray, int, int]:
 
 def read_mp3_file(path: str) -> Tuple[np.ndarray, int, int]:
     """Decode MP3 → (interleaved float32, rate, channels). The reference
-    links symphonia (src/ref_audio_utilities.rs:288-330); here: ffmpeg when
-    installed (native-rate decode), else in-process SDL_mixer (decodes at a
-    fixed 44.1 kHz spec — fine, the front end resamples to 16 kHz anyway)."""
+    links symphonia (src/ref_audio_utilities.rs:288-330); here, in order:
+    in-process libmpg123 (native-rate decode), ffmpeg when installed, else
+    SDL_mixer (decodes at a fixed 44.1 kHz spec — fine, the front end
+    resamples to 16 kHz anyway)."""
+    from . import mp3 as _mp3
+    if _mp3.mpg123_available():
+        try:
+            return _mp3.decode_mp3_mpg123(path)
+        except RuntimeError as e:
+            raise AudioDecodeError(f"MP3 decode failed: {e}") from e
     ff = _ffmpeg()
     if not ff:
         return _read_mp3_sdl(path)
@@ -186,13 +194,44 @@ def encode_wav_16bit(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def encode_mp3(samples: np.ndarray, sample_rate: int = 16000,
                bitrate: str = "128k") -> bytes:
-    """MP3 encode via ffmpeg (reference: mp3lame-encoder)."""
+    """MP3 encode matching the reference's mp3lame-encoder settings
+    (src/lightweight_tts_pipeline.rs:1031-1121: mono CBR 128 kbps, quality
+    Best, plain clamp → i16 — the dynamic gain applies only to the API's
+    base64 WAV, bin/server.rs:98-148). In-process libmp3lame when present,
+    else ffmpeg's libmp3lame."""
+    kbps = int(str(bitrate).lower().rstrip("k")) if bitrate else 128
+    from . import mp3 as _mp3
+    if _mp3.lame_available():
+        try:
+            return _mp3.encode_mp3_lame(samples, sample_rate,
+                                        bitrate_kbps=kbps)
+        except RuntimeError as e:
+            raise AudioDecodeError(f"MP3 encode failed: {e}") from e
     ff = _ffmpeg()
     if not ff:
-        raise AudioDecodeError("MP3 encode requires ffmpeg (not installed)")
-    wav = encode_wav_16bit(samples, sample_rate)
+        raise AudioDecodeError(
+            "MP3 encode requires libmp3lame or ffmpeg (neither installed)")
+    pcm = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+    wav = _plain_wav_16bit(pcm, sample_rate)
     return subprocess.run(
-        [ff, "-v", "error", "-f", "wav", "-i", "-", "-b:a", bitrate,
+        [ff, "-v", "error", "-f", "wav", "-i", "-", "-b:a", f"{kbps}k",
          "-f", "mp3", "-"],
         input=wav, capture_output=True, check=True,
     ).stdout
+
+
+def _plain_wav_16bit(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Clamp → i16 WAV with NO dynamic gain (the reference's file-save
+    conversion, src/lightweight_tts_pipeline.rs:1041-1048)."""
+    ints = np.clip(np.asarray(samples, np.float32), -1.0, 1.0) * 32767.0
+    pcm = ints.astype(np.int16).tobytes()
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + len(pcm)))
+    buf.write(b"WAVE")
+    buf.write(b"fmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", len(pcm)))
+    buf.write(pcm)
+    return buf.getvalue()

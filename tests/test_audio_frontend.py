@@ -192,16 +192,65 @@ def test_mel_jnp_backend_matches_numpy():
 
 
 def test_mp3_gated_without_any_backend(tmp_path, monkeypatch):
-    """Without ffmpeg AND SDL_mixer the MP3 error is explicit; MP3 encode
-    is ffmpeg-only (no LAME analog in-process)."""
+    """Without libmp3lame/libmpg123 AND ffmpeg AND SDL_mixer the MP3 error
+    is explicit."""
+    from rwkv_tts_tpu.audio import mp3 as m3
+    monkeypatch.setattr(m3, "lame_available", lambda: False)
+    monkeypatch.setattr(m3, "mpg123_available", lambda: False)
     monkeypatch.setattr(aio, "_ffmpeg", lambda: None)
     monkeypatch.setattr(aio, "_sdl_mixer", lambda: None)
     p = tmp_path / "x.mp3"
     p.write_bytes(b"\xff\xfb\x90\x00" * 10)
     with pytest.raises(aio.AudioDecodeError, match="ffmpeg or SDL_mixer"):
         aio.read_mp3_file(str(p))
-    with pytest.raises(aio.AudioDecodeError, match="ffmpeg"):
+    with pytest.raises(aio.AudioDecodeError, match="libmp3lame or ffmpeg"):
         aio.encode_mp3(np.zeros(100, np.float32))
+
+
+_mp3_mod = importlib.import_module("rwkv_tts_tpu.audio.mp3")
+
+
+@pytest.mark.skipif(not _mp3_mod.lame_available()
+                    or not _mp3_mod.mpg123_available(),
+                    reason="libmp3lame/libmpg123 not present")
+def test_mp3_lame_mpg123_round_trip(tmp_path):
+    """In-process native MP3 codec (the reference's own encoder — LAME,
+    src/lightweight_tts_pipeline.rs:1031-1121): a 440 Hz tone encodes to a
+    valid mono 16 kHz stream and decodes back at the NATIVE rate with the
+    tone intact."""
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    blob = aio.encode_mp3(sig, sr)
+    assert blob[:2] in (b"\xff\xf3", b"\xff\xfb", b"\xff\xf2") or blob[:3] == b"ID3"
+    p = tmp_path / "tone.mp3"
+    p.write_bytes(blob)
+
+    dec, rate, ch = aio.read_mp3_file(str(p))
+    assert rate == sr and ch == 1  # native rate, not a mixer respec
+    assert abs(dec.size / rate - 2.0) < 0.1  # duration within codec padding
+    spec = np.abs(np.fft.rfft(dec[:sr]))
+    assert abs(np.argmax(spec) * rate / sr - 440.0) < 2.0
+    peak = float(np.max(np.abs(dec)))
+    assert 0.3 < peak <= 1.0
+
+
+@pytest.mark.skipif(not _mp3_mod.lame_available(),
+                    reason="libmp3lame not present")
+def test_mp3_encode_no_dynamic_gain():
+    """The MP3 file-save conversion is a plain clamp → i16 (the reference
+    applies its dynamic gain only to the API's base64 WAV): a quiet signal
+    must stay quiet through the encoder."""
+    sr = 16000
+    quiet = (0.01 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)).astype(np.float32)
+    blob = aio.encode_mp3(quiet, sr)
+    if _mp3_mod.mpg123_available():
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".mp3") as f:
+            f.write(blob)
+            f.flush()
+            dec, _, _ = _mp3_mod.decode_mp3_mpg123(f.name)
+        assert float(np.max(np.abs(dec))) < 0.05  # not boosted toward 0.8
 
 
 def _pygame_example_mp3() -> str:
@@ -219,7 +268,9 @@ _SDL_FIXTURE_MP3 = _pygame_example_mp3()
                     reason="pygame example mp3 not present")
 def test_mp3_decode_via_sdl_mixer(monkeypatch):
     """In-process SDL_mixer MP3 decode: real MP3 file → sane PCM at the
-    fixed mixer spec (ffmpeg forced absent so the fallback path runs)."""
+    fixed mixer spec (mpg123 + ffmpeg forced absent so the fallback runs)."""
+    from rwkv_tts_tpu.audio import mp3 as m3
+    monkeypatch.setattr(m3, "mpg123_available", lambda: False)
     monkeypatch.setattr(aio, "_ffmpeg", lambda: None)
     samples, rate, ch = aio.read_mp3_file(_SDL_FIXTURE_MP3)
     assert rate == aio._SDL_RATE and ch == aio._SDL_CHANNELS
