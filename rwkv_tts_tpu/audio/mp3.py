@@ -120,13 +120,13 @@ def encode_mp3_lame(samples: np.ndarray, sample_rate: int = 16000,
         written = lib.lame_encode_buffer(gfp, pcm_ptr, pcm_ptr, n, buf, out_cap)
         if written < 0:
             raise RuntimeError(f"lame_encode_buffer error {written}")
-        out = bytes(buf[:written])
+        out = ctypes.string_at(buf, written)  # one memcpy, no per-byte boxing
 
         flush_buf = (ctypes.c_ubyte * 7200)()
         flushed = lib.lame_encode_flush_nogap(gfp, flush_buf, 7200)
         if flushed < 0:
             raise RuntimeError(f"lame_encode_flush_nogap error {flushed}")
-        return out + bytes(flush_buf[:flushed])
+        return out + ctypes.string_at(flush_buf, flushed)
     finally:
         lib.lame_close(gfp)
 
@@ -218,7 +218,7 @@ def decode_mp3_mpg123(path: str) -> Tuple[np.ndarray, int, int]:
         while True:
             rc = lib.mpg123_read(h, buf, buf_sz, ctypes.byref(done))
             if done.value:
-                chunks.append(bytes(buf[:done.value]))
+                chunks.append(ctypes.string_at(buf, done.value))
             if rc == _MPG123_DONE:
                 break
             if rc == _MPG123_NEW_FORMAT:

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["wkv7", "wkv7_scan", "wkv7_pallas"]
+__all__ = [
+    # public dispatches (what the model's forward/step actually use)
+    "wkv7", "wkv7_prefill_tpu", "wkv7_single", "wkv7_single_bt_stack",
+    # oracles / building blocks
+    "wkv7_scan", "wkv7_chunked", "wkv7_chunk_wy",
+]
 
 
 def wkv7_scan(r, w, k, v, a, b, state):
@@ -133,12 +138,15 @@ def wkv7_pallas(r, w, k, v, a, b, state, interpret=False):
 
 
 def wkv7(r, w, k, v, a, b, state, use_pallas: bool | None = None):
-    """Dispatch to the packed Pallas kernel on TPU, the scan oracle
-    elsewhere."""
+    """Public prefill entry point: the measured-best TPU dispatch
+    (:func:`wkv7_prefill_tpu` — WY chunkwise below B=128, sequence-bt
+    kernel above), the scan oracle elsewhere. The model's forward pass
+    calls the dispatch directly; this wrapper exists for external
+    callers."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return wkv7_pallas_packed(r, w, k, v, a, b, state)
+        return wkv7_prefill_tpu(r, w, k, v, a, b, state)
     return wkv7_scan(r, w, k, v, a, b, state)
 
 

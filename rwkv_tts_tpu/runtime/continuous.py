@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import queue
 import threading
 import time
@@ -121,7 +122,12 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
         ratio = s["win"].sum(axis=1) / jnp.maximum(s["nwin"], 1)
         allow_eos = (s["nwin"] >= C.ZS_EOS_WINDOW) & \
                     (ratio >= C.ZS_EOS_RATIO_THRESHOLD)
-        need_rs = s["zs"] & (tok_s == C.TTS_EOS_TOKEN) & (~allow_eos)
+        # gate on the live semantic stage too: a retired/cancelled zs slot
+        # keeps stale zs/win/nwin until re-admission, and its dead draws
+        # landing on EOS would otherwise force the spare resample pass
+        # every step (its output is masked out of feed/emit regardless)
+        need_rs = (s["zs"] & (stage == SEMANTIC)
+                   & (tok_s == C.TTS_EOS_TOKEN) & (~allow_eos))
 
         def _resample():
             no_eos = jnp.where((ids == C.TTS_EOS_TOKEN)[None, :], -jnp.inf,
@@ -655,7 +661,7 @@ class ContinuousEngine:
         for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
             resolved = args
             seed = resolved.seed if resolved.seed is not None else \
-                int.from_bytes(__import__("os").urandom(4), "little")
+                int.from_bytes(os.urandom(4), "little")
             zs = bool(resolved.zero_shot)
             limit = min(resolved.max_tokens, C.MAX_SEMANTIC_TOKENS,
                         self.engine_cfg.max_semantic_tokens)
@@ -823,7 +829,7 @@ class ContinuousEngine:
             if any_live:
                 with self._lock:
                     hi = (max(self._live) + 1) if self._live else 0
-                bucket = next((b for b in self.buckets if b >= hi), self.B)
+                bucket = self._bucket_for(hi)
                 t0 = time.perf_counter()
                 if bucket < self.B:
                     (self.state, self.logits, self.slots,
