@@ -166,18 +166,18 @@ class TtsPipeline:
                     args, zero_shot=True, ref_global_tokens=g,
                     ref_semantic_tokens=s,
                     prompt_text=args.prompt_text or prompt,
-                    # cloning forces a deterministic seed
-                    # (dynamic_batch_manager.rs:435-441)
-                    seed=args.seed if args.seed is not None else 0,
+                    # cloning IGNORES any user seed — the reference forces
+                    # StdRng::seed_from_u64(0) whenever ref tokens are
+                    # present (dynamic_batch_manager.rs:435-441, 489-496)
+                    seed=0,
                 )
         elif args.voice_id:
             log.warning("voice_id %r ignored: no voice store configured",
                         args.voice_id)
         if args.ref_global_tokens:
-            return dataclasses.replace(
-                args, zero_shot=True,
-                seed=args.seed if args.seed is not None else 0,
-            )
+            # direct ref tokens are also "cloning" for the reference's
+            # forced-deterministic-seed rule (dynamic_batch_manager.rs:487)
+            return dataclasses.replace(args, zero_shot=True, seed=0)
         return dataclasses.replace(args, zero_shot=False)
 
     # ------------------------------------------------------------------

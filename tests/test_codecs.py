@@ -299,6 +299,11 @@ def test_resolve_voice_falls_back_on_bad_id(bc_params, tmp_path):
     a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing",
                                    ref_global_tokens=[3] * 32))
     assert a.zero_shot and a.ref_global_tokens == [3] * 32
+    # cloning IGNORES the user seed — the reference forces seed 0 whenever
+    # ref tokens are present (dynamic_batch_manager.rs:435-441, 489-496)
+    a = pipe.resolve_voice(TtsArgs(text="x", seed=777,
+                                   ref_global_tokens=[3] * 32))
+    assert a.zero_shot and a.seed == 0
     # bad id, nothing else → property-token normal mode
     a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing"))
     assert not a.zero_shot
