@@ -318,9 +318,12 @@ class TtsEngine:
     def build_prompt(self, args: TtsArgs) -> Tuple[List[int], List[int]]:
         """Returns (prompt_ids, text_ids). Zero-shot prompts embed the
         reference global tokens; ref semantic tokens are intentionally NOT
-        prefilled (cross-lingual cloning, zero_shot_inference.rs:86-91)."""
+        prefilled (cross-lingual cloning, zero_shot_inference.rs:86-91),
+        and property tokens are NOT emitted — the voice is carried by the
+        ref global tokens (lightweight_tts_pipeline.rs:162-169 returns an
+        empty property list for zero-shot / pre-extracted voices)."""
         text_ids = self.encoder.encode(args.text)
-        props = convert_standard_properties_to_tokens(
+        props = [] if args.zero_shot else convert_standard_properties_to_tokens(
             args.age, args.gender, args.emotion, args.pitch, args.speed
         )
         prompt = list(props) + [C.TTS_TAG_2] + text_ids + [C.TTS_TAG_0]

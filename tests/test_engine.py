@@ -41,6 +41,9 @@ def test_prompt_assembly_zero_shot(engine):
                    ref_semantic_tokens=[1, 2, 3])
     prompt, _ = engine.build_prompt(args)
     assert prompt[-1] == C.TTS_TAG_1
+    # no property tokens in zero-shot: the voice rides the ref global
+    # tokens (lightweight_tts_pipeline.rs:162-169 emits an empty list)
+    assert prompt[0] == C.TTS_TAG_2
     # clamped to [0,4095] then offset (zero_shot_inference.rs:47,82-84)
     tail = prompt[-6:-1]
     assert tail == [C.GLOBAL_TOKEN_OFFSET + t for t in [0, 5, 4095, 4095, 0]]
