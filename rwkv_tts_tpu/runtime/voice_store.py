@@ -181,10 +181,18 @@ class VoiceStore:
             except (ChecksumError, FileNotFoundError, KeyError,
                     json.JSONDecodeError):
                 continue
+            path = self._path(vid)
             out.append({
+                # the reference's VoiceMetadata fields
+                # (voice_feature_manager.rs:40-48), so clients written
+                # against its /api/voice-clone/list keep working …
                 "id": feat.id, "name": feat.name,
                 "prompt_text": feat.prompt_text,
                 "created_at": feat.created_at,
+                "file_path": path,
+                "file_size": os.path.getsize(path),
+                "checksum": feat.checksum,
+                # … plus extras this store can answer cheaply
                 "audio_duration": feat.audio_duration,
                 "sample_rate": feat.sample_rate,
                 "semantic_token_count": len(feat.semantic_tokens),
