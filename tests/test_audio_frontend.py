@@ -235,6 +235,36 @@ def test_mp3_lame_mpg123_round_trip(tmp_path):
     assert 0.3 < peak <= 1.0
 
 
+@pytest.mark.skipif(not _mp3_mod.lame_available()
+                    or not _mp3_mod.mpg123_available(),
+                    reason="libmp3lame/libmpg123 not present")
+def test_mp3_codec_thread_safety(tmp_path):
+    """Concurrent encodes/decodes (the server encodes from multiple
+    handlers): every LAME/mpg123 handle is per-call, so parallel use must
+    neither crash nor cross streams."""
+    import concurrent.futures as cf
+
+    sr = 16000
+    freqs = [220.0, 330.0, 440.0, 550.0]
+    t = np.arange(sr) / sr
+    paths = []
+    for i, f in enumerate(freqs):
+        sig = (0.4 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        p = tmp_path / f"tone{i}.mp3"
+        p.write_bytes(_mp3_mod.encode_mp3_lame(sig, sr))
+        paths.append(str(p))
+
+    def roundtrip(i):
+        dec, rate, ch = _mp3_mod.decode_mp3_mpg123(paths[i])
+        spec = np.abs(np.fft.rfft(dec[:sr]))
+        return float(np.argmax(spec) * rate / sr)
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(roundtrip, list(range(4)) * 4))
+    for j, f in enumerate(got):
+        assert abs(f - freqs[j % 4]) < 2.0, (j, f)
+
+
 @pytest.mark.skipif(not _mp3_mod.lame_available(),
                     reason="libmp3lame not present")
 def test_mp3_encode_no_dynamic_gain():

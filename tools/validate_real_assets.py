@@ -1,0 +1,160 @@
+"""First-contact validation for the REAL published model assets.
+
+This environment has no network egress, so the five published files
+(`webrwkv.safetensors`, `tokenizer.json`, the three ONNX exports —
+bin/server.rs:1088-1094) have never been loaded here. Everything testable
+without them is tested (transpiler oracles, torch→ONNX-export parity,
+load-time cross-validation); THIS script is the one command to run on a
+machine that has them, and it validates the full chain end to end:
+
+  1. presence (attempts the reference's HF/mirror download for gaps)
+  2. safetensors header → shape class vs the pinned flagship (32L×2048E)
+  3. LM load + a seeded normal-mode synth (tokens + waveform sanity)
+  4. BiCodec/wav2vec2 import with the native↔transpiled parity gates
+     (models/codec_loader cross-validates both directions at load)
+  5. zero-shot synth from a shipped reference voice (.raf.json)
+  6. enrollment round trip (WAV → tokens → clone)
+
+Exit code 0 = every stage passed. Run:  python tools/validate_real_assets.py
+  [--model-dir assets/model] [--no-download] [--out /tmp/validate_out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# RWKV_TTS_PLATFORM=cpu forces a CPU run (the plain JAX_PLATFORMS env var
+# is trampled by sitecustomize on TPU-tunnel hosts; jax.config wins) —
+# same contract as the server (server/app.py:42-49)
+if os.environ.get("RWKV_TTS_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["RWKV_TTS_PLATFORM"])
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default="assets/model")
+    ap.add_argument("--raf-dir", default="assets/raf")
+    ap.add_argument("--no-download", action="store_true")
+    ap.add_argument("--out", default="/tmp/validate_real_assets")
+    ap.add_argument("--quant-type", default="int8",
+                    choices=["none", "int8", "int4", "nf4", "sf4"])
+    ap.add_argument("--max-tokens", type=int, default=0,
+                    help="cap the decode length (0 = serving default; "
+                         "useful to bound CPU smoke runs)")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    report = {}
+
+    def stage(name, ok, **info):
+        report[name] = {"ok": bool(ok), **info}
+        print(f"[{'PASS' if ok else 'FAIL'}] {name}"
+              + (f"  {info}" if info else ""), flush=True)
+        return ok
+
+    # 1. presence ---------------------------------------------------------
+    from rwkv_tts_tpu.utils.download import MODEL_FILES, ensure_models
+    missing = ([f for f in MODEL_FILES
+                if not os.path.exists(os.path.join(args.model_dir, f))]
+               if args.no_download else
+               ensure_models(args.model_dir, required=False))
+    if not stage("files_present", not missing, missing=missing):
+        print("cannot continue without the model files", flush=True)
+        _write(report, args.out)
+        return 1
+
+    # 2. header vs flagship shape ----------------------------------------
+    from rwkv_tts_tpu.models.convert import infer_config, read_safetensors
+    lm_path = os.path.join(args.model_dir, "webrwkv.safetensors")
+    tensors = read_safetensors(lm_path)
+    cfg = infer_config(tensors)
+    flagship_ok = (cfg.n_layer, cfg.n_embd) == (32, 2048)
+    stage("lm_shape_class", True, n_layer=cfg.n_layer, n_embd=cfg.n_embd,
+          head_size=cfg.head_size, matches_pinned_flagship=flagship_ok)
+    if not flagship_ok:
+        print("  NOTE: update __graft_entry__.FLAGSHIP + RwkvConfig "
+              "defaults to the real shape above", flush=True)
+
+    # 3-4. full pipeline load (codec parity gates run inside) -------------
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+    t0 = time.perf_counter()
+    kw = {}
+    if args.max_tokens:
+        from rwkv_tts_tpu.config import EngineConfig
+        kw["engine_cfg"] = EngineConfig(
+            prefill_buckets=(64, 128), max_semantic_tokens=args.max_tokens)
+    try:
+        pipe = TtsPipeline.from_checkpoints(
+            lm_path, raf_dir=args.raf_dir, quant_type=args.quant_type,
+            codec_dir=args.model_dir, **kw)
+    except Exception as e:  # noqa: BLE001 — report, don't crash
+        stage("pipeline_load", False, error=f"{type(e).__name__}: {e}")
+        _write(report, args.out)
+        return 1
+    stage("pipeline_load", True, seconds=round(time.perf_counter() - t0, 1),
+          quant=args.quant_type)
+
+    # 3b. seeded normal-mode synth ----------------------------------------
+    from rwkv_tts_tpu.config import TtsArgs
+    mt = {"max_tokens": args.max_tokens} if args.max_tokens else {}
+    res = pipe.synthesize(TtsArgs(text="你好，世界。Hello world.", seed=42,
+                                  **mt))
+    wav = np.asarray(res.audio)
+    min_samples = 16000 if not args.max_tokens else 320 * 2
+    ok = (wav.size >= min_samples and np.isfinite(wav).all()
+          and 0.01 < float(np.abs(wav).max()) <= 1.0
+          and len(res.global_tokens) == 32)
+    pipe.save_audio(res, os.path.join(args.out, "normal_seed42.wav"))
+    stage("normal_synth", ok, samples=int(wav.size),
+          seconds=round(wav.size / res.sample_rate, 2),
+          peak=round(float(np.abs(wav).max()), 3), rtf=round(res.rtf, 4),
+          semantic_tokens=len(res.semantic_tokens))
+
+    # 5. zero-shot from a shipped reference voice -------------------------
+    voices = pipe.voice_store.list()
+    if voices:
+        res_zs = pipe.synthesize(TtsArgs(text="a cloned voice speaking",
+                                         voice_id=voices[0]["id"], **mt))
+        wz = np.asarray(res_zs.audio)
+        pipe.save_audio(res_zs, os.path.join(args.out, "zero_shot.wav"))
+        stage("zero_shot_synth",
+              wz.size >= min_samples and np.isfinite(wz).all(),
+              voice=voices[0]["name"], samples=int(wz.size))
+    else:
+        stage("zero_shot_synth", False, error="no shipped voices found")
+
+    # 6. enrollment round trip --------------------------------------------
+    ref_wav = os.path.join(args.out, "normal_seed42.wav")
+    try:
+        feat = pipe.enroll_voice(ref_wav, "validate-enroll", "hello world")
+        res_c = pipe.synthesize(TtsArgs(text="enrollment round trip",
+                                        voice_id=feat.id, **mt))
+        ok = (len(feat.global_tokens) == 32 and len(feat.semantic_tokens) > 0
+              and np.isfinite(np.asarray(res_c.audio)).all())
+        stage("enroll_roundtrip", ok, global_tokens=len(feat.global_tokens),
+              semantic_tokens=len(feat.semantic_tokens))
+        pipe.voice_store.delete(feat.id)
+    except Exception as e:  # noqa: BLE001
+        stage("enroll_roundtrip", False, error=f"{type(e).__name__}: {e}")
+
+    _write(report, args.out)
+    failed = [k for k, v in report.items() if not v["ok"]]
+    print(("ALL STAGES PASSED — listen to the WAVs in " + args.out)
+          if not failed else f"FAILED stages: {failed}", flush=True)
+    return 1 if failed else 0
+
+
+def _write(report, out):
+    with open(os.path.join(out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
