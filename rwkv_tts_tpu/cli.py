@@ -39,6 +39,7 @@ def cmd_synth(args) -> int:
     req = TtsArgs(
         text=args.text, seed=args.seed, voice_id=args.voice_id,
         max_tokens=args.max_tokens,
+        zero_shot=bool(args.ref_audio), ref_audio_path=args.ref_audio,
         age=args.age, gender=args.gender, emotion=args.emotion,
         pitch=args.pitch, speed=args.speed,
     )
@@ -129,6 +130,9 @@ def main(argv=None) -> int:
     s.add_argument("-o", "--output", default="out.wav")
     s.add_argument("--seed", type=int, default=None)
     s.add_argument("--voice-id", default=None)
+    s.add_argument("--ref-audio", default=None,
+                   help="clone directly from a WAV/MP3 file (zero-shot, "
+                        "no prior enrollment)")
     s.add_argument("--max-tokens", type=int, default=8000)
     s.add_argument("--age", default="youth-adult")
     s.add_argument("--gender", default="female")

@@ -249,6 +249,10 @@ class TtsArgs:
     zero_shot: bool = False
     ref_global_tokens: Optional[Sequence[int]] = None
     ref_semantic_tokens: Optional[Sequence[int]] = None
+    # zero-shot from a ref-audio FILE without prior enrollment — the voice
+    # chain's third rung (lightweight_tts_pipeline.rs:773-781); tokens are
+    # extracted (checksum-cached) during resolve_voice
+    ref_audio_path: Optional[str] = None
     age: str = "youth-adult"
     gender: str = "female"
     emotion: str = "NEUTRAL"

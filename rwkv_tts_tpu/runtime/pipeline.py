@@ -10,8 +10,10 @@ instrumentation the reference reports in every response
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import logging
+import threading
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -70,6 +72,10 @@ class TtsPipeline:
         self.w2v_cfg = w2v_cfg
         self.w2v_output_layers = w2v_output_layers
         self.voice_store = voice_store
+        # ref-audio token cache (see extract_voice_tokens_cached)
+        self._extract_cache = collections.OrderedDict()
+        self._extract_cache_cap = 64
+        self._extract_cache_lock = threading.Lock()
 
     @classmethod
     def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
@@ -178,6 +184,15 @@ class TtsPipeline:
             # direct ref tokens are also "cloning" for the reference's
             # forced-deterministic-seed rule (dynamic_batch_manager.rs:487)
             return dataclasses.replace(args, zero_shot=True, seed=0)
+        if args.zero_shot and args.ref_audio_path:
+            # ref-audio FILE directly in the synthesis request — the chain's
+            # third rung (lightweight_tts_pipeline.rs:773-781
+            # process_reference_audio); tokens come from the checksum cache
+            # when the same file was extracted before
+            g, s, _dur = self.extract_voice_tokens_cached(args.ref_audio_path)
+            return dataclasses.replace(
+                args, zero_shot=True, ref_global_tokens=g,
+                ref_semantic_tokens=s, seed=0)
         return dataclasses.replace(args, zero_shot=False)
 
     # ------------------------------------------------------------------
@@ -267,6 +282,27 @@ class TtsPipeline:
         sem = [int(x) for x in np.asarray(sem[0])]
         glob = [int(x) for x in np.asarray(glob[0])]
         return glob, sem, pa.duration
+
+    def extract_voice_tokens_cached(self, audio_path: str):
+        """:func:`extract_voice_tokens` behind a file-checksum cache, so a
+        ref-audio file reused across requests tokenizes once. The C++
+        sibling persists the same thing per checksum
+        (参考/C/tts/sparktts.cpp:278-382); here it is an in-memory LRU
+        (the durable equivalent is voice ENROLLMENT — the .raf store)."""
+        import hashlib
+
+        with open(audio_path, "rb") as f:
+            key = hashlib.sha256(f.read()).hexdigest()
+        with self._extract_cache_lock:
+            if key in self._extract_cache:
+                self._extract_cache.move_to_end(key)
+                return self._extract_cache[key]
+        out = self.extract_voice_tokens(audio_path)
+        with self._extract_cache_lock:
+            self._extract_cache[key] = out
+            while len(self._extract_cache) > self._extract_cache_cap:
+                self._extract_cache.popitem(last=False)
+        return out
 
     def enroll_voice(self, audio_path: str, name: str, prompt_text: str = ""):
         if self.voice_store is None:

@@ -274,7 +274,7 @@ def test_conv1d_im2col_matches_native():
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_resolve_voice_falls_back_on_bad_id(bc_params, tmp_path):
+def test_resolve_voice_falls_back_on_bad_id(bc_params, w2v_params, tmp_path):
     """Library-level reference parity (lightweight_tts_pipeline.rs:753-767):
     a voice_id that fails to load falls down the chain (direct tokens →
     property tokens) instead of failing the batch. The HTTP layer
@@ -291,9 +291,10 @@ def test_resolve_voice_falls_back_on_bad_id(bc_params, tmp_path):
                         param_dtype="float32")
     pipe = TtsPipeline(
         rwkv7.init_params(lm_cfg, jax.random.PRNGKey(0)), lm_cfg,
-        bc_params, BC_CFG, voice_store=VoiceStore(str(tmp_path)),
+        bc_params, BC_CFG, w2v_params, W2V_CFG,
+        voice_store=VoiceStore(str(tmp_path)),
         engine_cfg=EngineConfig(prefill_buckets=(16,), max_semantic_tokens=4),
-        use_pallas=False)
+        use_pallas=False, w2v_output_layers=(2, 3))
 
     # bad id + direct ref tokens → zero-shot with the direct tokens
     a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing",
@@ -307,6 +308,28 @@ def test_resolve_voice_falls_back_on_bad_id(bc_params, tmp_path):
     # bad id, nothing else → property-token normal mode
     a = pipe.resolve_voice(TtsArgs(text="x", voice_id="missing"))
     assert not a.zero_shot
+    # ref-audio FILE directly in the request — the chain's third rung
+    # (lightweight_tts_pipeline.rs:773-781), tokens checksum-cached
+    # (参考/C/tts/sparktts.cpp:278-382)
+    import numpy as np
+
+    from rwkv_tts_tpu.audio.io import encode_wav_16bit
+    wavp = str(tmp_path / "ref_direct.wav")
+    tone = (0.3 * np.sin(2 * np.pi * 220 * np.arange(24000) / 16000))
+    with open(wavp, "wb") as f:
+        f.write(encode_wav_16bit(tone.astype(np.float32), 16000))
+    calls = []
+    orig = pipe.extract_voice_tokens
+    pipe.extract_voice_tokens = lambda p: (calls.append(p) or orig(p))
+    a1 = pipe.resolve_voice(TtsArgs(text="x", zero_shot=True,
+                                    ref_audio_path=wavp, seed=9))
+    assert a1.zero_shot and len(a1.ref_global_tokens) == 32 and a1.seed == 0
+    a2 = pipe.resolve_voice(TtsArgs(text="y", zero_shot=True,
+                                    ref_audio_path=wavp))
+    assert a2.ref_global_tokens == a1.ref_global_tokens
+    assert a2.ref_semantic_tokens == a1.ref_semantic_tokens
+    assert len(calls) == 1, "second resolve must hit the checksum cache"
+    pipe.extract_voice_tokens = orig
     # batch RTF accounting: same value per request, wall over TOTAL audio
     res = pipe.synthesize_batch([TtsArgs(text="one two", seed=1,
                                          max_tokens=4),
