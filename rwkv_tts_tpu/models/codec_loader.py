@@ -69,9 +69,11 @@ def load_bicodec(codec_dir: str, cfg: Optional[BiCodecConfig] = None,
         try:
             native = load_bicodec_weights(load_state_dict_file(sd_path), cfg)
             log.info("BiCodec: native import from %s", sd_path)
-        except KeyError as e:
-            log.warning("BiCodec state dict at %s did not map: %s",
-                        sd_path, e)
+        except Exception as e:  # noqa: BLE001 — unmapped names, corrupt
+            # or truncated file: the transpiled ONNX graphs below are the
+            # fallback, so a bad optional state dict must not kill startup
+            log.warning("BiCodec state dict at %s failed to import (%s: "
+                        "%s)", sd_path, type(e).__name__, e)
     tok = os.path.join(codec_dir, BICODEC_ONNX[0])
     detok = os.path.join(codec_dir, BICODEC_ONNX[1])
     onnx_pair = os.path.exists(tok) and os.path.exists(detok)
@@ -169,9 +171,10 @@ def load_w2v(codec_dir: str, cfg: Optional[Wav2Vec2Config] = None):
             params = load_wav2vec2_weights(load_state_dict_file(sd_path), cfg)
             log.info("wav2vec2: native import from %s", sd_path)
             return params, cfg, wav2vec2.OUTPUT_LAYERS
-        except KeyError as e:
-            log.warning("wav2vec2 state dict at %s did not map: %s",
-                        sd_path, e)
+        except Exception as e:  # noqa: BLE001 — see load_bicodec: the
+            # ONNX fallback below must get its chance
+            log.warning("wav2vec2 state dict at %s failed to import (%s: "
+                        "%s)", sd_path, type(e).__name__, e)
     onnx_path = os.path.join(codec_dir, W2V_ONNX)
     if os.path.exists(onnx_path):
         from .convert import read_onnx_initializers
@@ -181,8 +184,8 @@ def load_w2v(codec_dir: str, cfg: Optional[Wav2Vec2Config] = None):
                 read_onnx_initializers(onnx_path), cfg)
             log.info("wav2vec2: native import from ONNX initializers")
             return params, cfg, wav2vec2.OUTPUT_LAYERS
-        except KeyError:
-            pass
+        except Exception:  # noqa: BLE001 — not HF-named / unreadable:
+            pass           # the transpiler below parses it properly
         try:
             graph = wav2vec2.OnnxWav2Vec2(onnx_path)
             log.info("wav2vec2: transpiled ONNX graph (layer mix baked in)")

@@ -184,15 +184,25 @@ class TtsPipeline:
             # direct ref tokens are also "cloning" for the reference's
             # forced-deterministic-seed rule (dynamic_batch_manager.rs:487)
             return dataclasses.replace(args, zero_shot=True, seed=0)
-        if args.zero_shot and args.ref_audio_path:
+        if args.ref_audio_path:
             # ref-audio FILE directly in the synthesis request — the chain's
             # third rung (lightweight_tts_pipeline.rs:773-781
-            # process_reference_audio); tokens come from the checksum cache
-            # when the same file was extracted before
-            g, s, _dur = self.extract_voice_tokens_cached(args.ref_audio_path)
-            return dataclasses.replace(
-                args, zero_shot=True, ref_global_tokens=g,
-                ref_semantic_tokens=s, seed=0)
+            # process_reference_audio); activates on presence alone, like
+            # the direct-token rung. Tokens come from the checksum cache
+            # when the same file was extracted before. A failed extraction
+            # falls down the chain (per-request degradation, not a
+            # batch-wide failure — same contract as the voice_id rung).
+            try:
+                g, s, _dur = self.extract_voice_tokens_cached(
+                    args.ref_audio_path)
+            except Exception as e:  # noqa: BLE001 — fall down the chain
+                log.warning("ref_audio_path %r failed to extract (%s) — "
+                            "falling back down the voice chain",
+                            args.ref_audio_path, e)
+            else:
+                return dataclasses.replace(
+                    args, zero_shot=True, ref_global_tokens=g,
+                    ref_semantic_tokens=s, seed=0)
         return dataclasses.replace(args, zero_shot=False)
 
     # ------------------------------------------------------------------

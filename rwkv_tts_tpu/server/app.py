@@ -255,6 +255,11 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
             if item is None:
                 break
             if isinstance(item, Exception):
+                # retire the slot too: a producer-side error (vocoder
+                # failure, stream timeout) can leave the engine still
+                # generating for nobody — same starvation the disconnect
+                # path below guards against
+                cont.cancel(args)
                 await resp.write(json.dumps(
                     {"error": str(item), "final": True}).encode() + b"\n")
                 break
@@ -333,6 +338,8 @@ async def handle_voice_extract(request: web.Request) -> web.Response:
 
 async def handle_voice_list(request: web.Request) -> web.Response:
     store: VoiceStore = request.app["voice_store"]
+    if store is None:  # store-less pipeline: an empty library, not a 500
+        return web.json_response({"success": True, "voices": []})
     return web.json_response({"success": True, "voices": store.list()})
 
 
@@ -343,6 +350,8 @@ async def handle_voice_delete(request: web.Request) -> web.Response:
         vid = payload["voice_id"]
     except Exception:
         return _err("voice_id is required", status=400)
+    if store is None:
+        return _err(f"voice not found: {vid}", status=404)
     ok = store.delete(vid)
     return web.json_response({
         "success": ok,

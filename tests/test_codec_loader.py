@@ -147,6 +147,23 @@ def test_load_bicodec_onnx_only(model_dir, tmp_path):
     assert isinstance(params, bc.OnnxBiCodec)
 
 
+def test_corrupt_state_dict_falls_back_to_onnx(model_dir, tmp_path, caplog):
+    """A truncated/corrupt optional state dict must not kill startup when
+    valid ONNX exports sit in the same directory — the loader logs and
+    serves the transpiled graphs."""
+    import logging
+
+    d = tmp_path / "corrupt_sd"
+    d.mkdir()
+    for f in ("BiCodecTokenize.onnx", "BiCodecDetokenize.onnx"):
+        (d / f).write_bytes((model_dir / f).read_bytes())
+    (d / "BiCodec.safetensors").write_bytes(b"\x00garbage not safetensors")
+    with caplog.at_level(logging.WARNING, "rwkv_tts_tpu.models.codec_loader"):
+        params, cfg = load_bicodec(str(d), CFG)
+    assert isinstance(params, bc.OnnxBiCodec)
+    assert any("failed to import" in r.message for r in caplog.records)
+
+
 def test_missing_codec_raises_or_warns(tmp_path, caplog):
     import logging
 

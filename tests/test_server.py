@@ -398,3 +398,29 @@ def test_healthz_degraded_on_crashed_decode_loop(tmp_path):
         finally:
             cont._crashed = None
     run_client(tmp_path, go)
+
+
+def test_store_less_pipeline_voice_routes(tmp_path):
+    """A pipeline without a voice store serves the voice routes gracefully:
+    empty list, 404 delete, explicit extract error — not AttributeError
+    500s (/metrics already documents store-less support)."""
+    async def runner():
+        pipe = tiny_pipeline(tmp_path)
+        pipe.voice_store = None
+        app = create_app(pipe, BatchConfig(max_batch_size=4,
+                                           collect_timeout_ms=5,
+                                           inference_timeout_ms=120000))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/api/voice-clone/list")
+            assert r.status == 200
+            assert (await r.json()) == {"success": True, "voices": []}
+            r = await client.post("/api/voice-clone/delete",
+                                  json={"voice_id": "nope"})
+            assert r.status == 404
+            j = await r.json()
+            assert j["success"] is False
+        finally:
+            await client.close()
+    asyncio.run(runner())
