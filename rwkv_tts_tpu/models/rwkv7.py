@@ -275,6 +275,18 @@ def _step_unfused_front(lp, h, xx, v_first, is_first, cfg, cdt, n_head=None):
     )
     g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
 
+    v, kk, k_in, v_first = _v_blend_keys(lp, k, v, a, v_res_gate, v_first,
+                                         is_first, H, N)
+    return r, w, k_in, v, kk, a, g, v_first
+
+
+def _v_blend_keys(lp, k, v, a, v_res_gate, v_first, is_first, H, N):
+    """The parity-critical post-projection tail: first-layer v capture,
+    v-residual blend, l2-normalized write key, iclr-shaped read key.
+    ONE definition shared by the decode step (fused and unfused) and the
+    prefill time-mix — any drift here silently breaks static/continuous/
+    TP token parity. Returns (v f32, kk, k_in, v_first)."""
+    f32 = jnp.float32
     v_first = jnp.where(is_first, v.astype(f32), v_first)
     v = jnp.where(
         is_first, v.astype(f32),
@@ -282,7 +294,7 @@ def _step_unfused_front(lp, h, xx, v_first, is_first, cfg, cdt, n_head=None):
     )
     kk = _l2norm_heads(k.astype(f32) * lp["k_k"], H, N)
     k_in = k.astype(f32) * (1.0 + (a - 1.0) * lp["k_a"])
-    return r, w, k_in, v, kk, a, g, v_first
+    return v, kk, k_in, v_first
 
 
 def _step_post_wkv(lp, y, r, k_in, v, g, H, N, cfg, cdt):
@@ -456,43 +468,17 @@ def _time_mix(lp, x, shift_x, wkv_state, v_first, is_first, cfg, use_pallas,
     xx = xprev - x
     if "zrkv" in lp:
         r, k, v, w, a, v_res_gate, g = _fused_projections(lp, x, xx, cfg, cdt)
+        v, kk, k_in, v_first = _v_blend_keys(
+            lp, k, v, a, v_res_gate, v_first, is_first, H, N)
+        v = v.astype(cdt)
     else:
-        xr = x + xx * lp["x_r"].astype(cdt)
-        xw = x + xx * lp["x_w"].astype(cdt)
-        xk = x + xx * lp["x_k"].astype(cdt)
-        xv = x + xx * lp["x_v"].astype(cdt)
-        xa = x + xx * lp["x_a"].astype(cdt)
-        xg = x + xx * lp["x_g"].astype(cdt)
-
-        r = qmatmul(xr, lp["w_r"])
-        # decay in f32: soft-clamped log-log decay ≤ -0.5
-        w_lora = jnp.tanh(xw.astype(jnp.float32) @ lp["w1"].astype(jnp.float32))
-        w_lora = w_lora @ lp["w2"].astype(jnp.float32)
-        w = -jax.nn.softplus(-(lp["w0"] + w_lora)) - 0.5
-        k = qmatmul(xk, lp["w_k"])
-        v = qmatmul(xv, lp["w_v"])
-
-        v_res_gate = jax.nn.sigmoid(
-            lp["v0"]
-            + (xv.astype(jnp.float32) @ lp["v1"].astype(jnp.float32))
-            @ lp["v2"].astype(jnp.float32)
-        )
-        a = jax.nn.sigmoid(
-            lp["a0"]
-            + (xa.astype(jnp.float32) @ lp["a1"].astype(jnp.float32))
-            @ lp["a2"].astype(jnp.float32)
-        )
-        g = jax.nn.sigmoid(xg @ lp["g1"].astype(cdt)) @ lp["g2"].astype(cdt)
-
-    v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
-    v = jnp.where(
-        is_first,
-        v.astype(jnp.float32),
-        v.astype(jnp.float32) + (v_first - v.astype(jnp.float32)) * v_res_gate,
-    ).astype(cdt)
-
-    kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
-    k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
+        # the shared T=1 helper is last-dim generic, so [B, T, C] prefill
+        # reuses the SAME expression tree as the decode step — parity
+        # math in one place (it returns v in f32; prefill's historical
+        # numerics cast it back to the compute dtype post-blend)
+        r, w, k_in, v, kk, a, g, v_first = _step_unfused_front(
+            lp, x, xx, v_first, is_first, cfg, cdt, n_head=H)
+        v = v.astype(cdt)
 
     b_in = kk * a
     if mask is not None:
@@ -721,14 +707,8 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
         if "zrkv" in lp:
             r, k, v, w, a, v_res_gate, g = _fused_projections(
                 lp, h, xx, cfg, cdt)
-            v_first = jnp.where(is_first, v.astype(jnp.float32), v_first)
-            v = jnp.where(
-                is_first, v.astype(jnp.float32),
-                v.astype(jnp.float32)
-                + (v_first - v.astype(jnp.float32)) * v_res_gate,
-            )
-            kk = _l2norm_heads(k.astype(jnp.float32) * lp["k_k"], H, N)
-            k_in = k.astype(jnp.float32) * (1.0 + (a - 1.0) * lp["k_a"])
+            v, kk, k_in, v_first = _v_blend_keys(
+                lp, k, v, a, v_res_gate, v_first, is_first, H, N)
         else:
             r, w, k_in, v, kk, a, g, v_first = _step_unfused_front(
                 lp, h, xx, v_first, is_first, cfg, cdt)
@@ -808,9 +788,9 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)
     head = params["head"]
     if head_slice is not None:
-        if isinstance(head, dict):    # quantized leaf {"q"/"q4", "s"}
-            head = {k: (v[..., :head_slice] if k != "s"
-                        else v[..., :head_slice]) for k, v in head.items()}
+        if isinstance(head, dict):    # quantized leaf: every member ends
+            # in the output (vocab) dim, so one slice rule covers q/q4/s
+            head = {k: v[..., :head_slice] for k, v in head.items()}
         else:
             head = head[:, :head_slice]
     logits = qmatmul(x, head).astype(jnp.float32)

@@ -136,6 +136,18 @@ def tp_state_specs(state: State):
 
 
 def shard_params_tp(mesh: Mesh, params: Params) -> Params:
+    # 4-bit layouts are NOT TP-shardable (module docstring): NF4's scale
+    # leaf is also named "s", so without this guard tp_param_specs would
+    # misclassify it as an int8 scale and emit invalid shardings
+    # (from_checkpoints already coerces 4-bit → int8 when tp_mesh is set;
+    # this defends the direct API with a clear error instead)
+    leaf_names = {str(getattr(entry, "key", entry))
+                  for path, _ in
+                  jax.tree_util.tree_flatten_with_path(params)[0]
+                  for entry in path}
+    if leaf_names & {"q4", "q4p", "s4"}:
+        raise ValueError("int4/NF4 quantized layouts are not TP-shardable; "
+                         "use --quant-type int8 with tensor parallelism")
     specs = tp_param_specs(params)
     return jax.device_put(
         params,

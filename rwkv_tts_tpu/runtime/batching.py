@@ -71,8 +71,11 @@ class DynamicBatcher:
                 fut.set_exception(err)
         # wait for an in-flight batch to finish (its future fan-out runs in
         # _run_batch, which the cancel above may have interrupted — the
-        # executor thread itself is not cancellable)
-        self._executor.shutdown(wait=True)
+        # executor thread itself is not cancellable). Off the event loop:
+        # a flagship batch is seconds of device time, and a synchronous
+        # shutdown(wait=True) would freeze every other endpoint meanwhile.
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, self._executor.shutdown)
 
     async def submit(self, args: TtsArgs) -> SynthesisResult:
         """Enqueue one request; resolves when its batch completes."""
@@ -109,6 +112,14 @@ class DynamicBatcher:
                         self._queue.get(), timeout=remaining))
                 except asyncio.TimeoutError:
                     break
+            # shed dead load: a request whose future is already settled
+            # (client hit inference_timeout_ms and cancelled, or the
+            # batcher errored it) must not occupy a device batch — under
+            # backlog the device would otherwise keep synthesizing audio
+            # nobody will receive, sustaining the overload
+            batch = [(a, f) for a, f in batch if not f.done()]
+            if not batch:
+                continue
             # shielded: cancelling the collector (close()) must not skip
             # the result fan-out of a batch already on the device thread
             await asyncio.shield(self._run_batch(batch))
