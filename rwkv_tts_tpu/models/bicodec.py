@@ -539,7 +539,15 @@ def wave_generator(p, x, cfg: BiCodecConfig):
 def encode(params: Params, feat: jax.Array, mel: jax.Array,
            cfg: BiCodecConfig) -> Tuple[jax.Array, jax.Array]:
     """feat [B, T, 1024], mel [B, 128, F] → (semantic [B, T], global [B, 32]).
-    Parity: BiCodecTokenize.onnx (ref_audio_utilities.rs:1047-1257)."""
+    Parity: BiCodecTokenize.onnx (ref_audio_utilities.rs:1047-1257).
+
+    Shape note: T tracks the ref audio's length, so each distinct clip
+    length compiles a fresh executable (ONNX Runtime was dynamic-shape;
+    XLA is not). Padding cannot fix this exactly — the encoder stages see
+    the whole sequence, so padded frames would perturb real tokens.
+    Enrollment is a rare admin action; the persistent compilation cache
+    (enabled by server main()) absorbs repeats across restarts, and
+    pipeline.extract_voice_tokens_cached dedupes identical files."""
     z = encoder_forward(params["encoder"], feat, cfg)
     semantic = fvq_tokenize(params["quantizer"], z, cfg.vq_l2_norm)
     global_tokens = speaker_tokenize(params["speaker"], mel, cfg)
@@ -572,15 +580,22 @@ def decode(params: Params, global_tokens: jax.Array, semantic_tokens: jax.Array,
 
 
 def prepare_params(params: Params, cfg: BiCodecConfig) -> Params:
-    """One-time cast of the param tree to the cfg.dtype compute policy
-    (numerically identical to decode()'s in-graph fallback cast — norms/
-    snake/tanh upcast internally either way). Call at load so the
-    per-call tree conversion becomes a no-op."""
+    """One-time cast to the cfg.dtype compute policy — of the
+    DECODE-EXCLUSIVE subtrees only (prenet + wavegen, where the vocoder
+    FLOPs live). The encoder/quantizer/speaker trees are shared with the
+    ENCODE path (pipeline.extract_voice_tokens uses the same tree), whose
+    FSQ rounding and FVQ nearest-neighbor argmin can flip on near-ties —
+    bf16-rounding them would silently drift voice-clone tokens from the
+    f32 reference. decode() casts the (tiny) detokenize outputs to
+    cfg.dtype itself, so its numerics are unchanged by the scoping. Call
+    at load so the per-call conversion becomes a no-op."""
     cdt = jnp.dtype(cfg.dtype)
     if cdt == jnp.float32 or not isinstance(params, dict):
         return params
-    return jax.tree_util.tree_map(
-        lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params)
+    cast = jax.tree_util.tree_map(
+        lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
+        {k: params[k] for k in ("prenet", "wavegen") if k in params})
+    return {**params, **cast}
 
 
 # --------------------------------------------------------------------------

@@ -30,7 +30,8 @@ log = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------------------
-# safetensors reading (header-driven, zero-copy slices)
+# safetensors reading (header-driven; F32 tensors are zero-copy views of
+# the blob, BF16/F16 expand to f32 — the only copies made)
 # --------------------------------------------------------------------------
 
 _ST_DTYPES = {
@@ -66,6 +67,10 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
         if dt == "BF16":
             u16 = np.frombuffer(raw, np.uint16)
             arr = (u16.astype(np.uint32) << 16).view(np.float32)
+        elif _ST_DTYPES[dt] == np.float32:
+            # view, not copy: a flagship checkpoint would otherwise hold
+            # blob + a full f32 duplicate resident at load
+            arr = np.frombuffer(raw, np.float32)
         else:
             arr = np.frombuffer(raw, _ST_DTYPES[dt]).astype(np.float32)
         out[name] = arr.reshape(shape)

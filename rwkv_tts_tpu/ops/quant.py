@@ -10,8 +10,10 @@ via web-rwkv's Quant::Int8). TPU-native scheme:
     output — XLA lowers int8×bf16 efficiently on the MXU and the weights
     halve HBM traffic, which is exactly what a bandwidth-bound decode wants;
   * embedding/head can be quantized too (biggest tensors at 78k rows);
-  * ``quant_layers`` limits quantization to the first N blocks (parity with
-    the reference's per-layer option).
+  * ``quant_layers`` is an ALL-OR-NOTHING switch here (0 = none, anything
+    else = every block): per-layer partial quantization is a deliberate
+    deviation from the reference's first-N-layers option — stacked-layer
+    leaves would need ragged dtypes. See quantize_rwkv_params's docstring.
 
 The quantized pytree keeps the same keys: a dense leaf becomes
 ``{"q": int8, "s": f32}`` and models/rwkv7.py's ``_mm`` helper dispatches on
