@@ -418,11 +418,19 @@ def load_wav2vec2_weights(tensors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]
     convs = []
     for i in range(len(cfg.conv_dims)):
         base = f"feature_extractor.conv_layers.{i}"
-        convs.append({
+        conv = {
             "w": get(f"{base}.conv.weight"),
             "ln_w": get(f"{base}.layer_norm.weight"),
             "ln_b": get(f"{base}.layer_norm.bias"),
-        })
+        }
+        try:
+            # xlsr-53 has conv_bias=true — dropping it would silently
+            # skew every extracted feature; optional because group-norm
+            # base checkpoints ship without it
+            conv["b"] = get(f"{base}.conv.bias")
+        except KeyError:
+            pass
+        convs.append(conv)
     layers = []
     for i in range(cfg.num_layers):
         b = f"encoder.layers.{i}"

@@ -104,6 +104,10 @@ def extract_features(params: Params, wav: jax.Array, cfg: Wav2Vec2Config,
     x = wav[:, None, :].astype(jnp.float32)          # [B, 1, N]
     for conv, stride in zip(params["convs"], cfg.conv_strides):
         x = _conv1d(x, conv["w"], stride=stride)
+        if "b" in conv:
+            # xlsr-53 ships conv_bias=true (stable-LN checkpoints); HF
+            # group-norm base models have no conv bias — key is optional
+            x = x + conv["b"][None, :, None]
         x = jnp.moveaxis(x, 1, 2)                     # [B, T, C]
         x = _ln(x, conv["ln_w"], conv["ln_b"])
         x = jax.nn.gelu(jnp.moveaxis(x, 2, 1), approximate=False)

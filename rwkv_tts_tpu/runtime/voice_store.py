@@ -203,11 +203,14 @@ class VoiceStore:
         path = self._path(voice_id)
         with self._lock:
             self._cache.pop(voice_id, None)
-        if os.path.exists(path):
+        try:
+            # no exists-then-remove: two concurrent deletes of the same id
+            # would both pass the check and the loser would 500
             os.remove(path)
-            self._update_metadata()
-            return True
-        return False
+        except FileNotFoundError:
+            return False
+        self._update_metadata()
+        return True
 
     def rename(self, voice_id: str, new_name: str) -> VoiceFeature:
         feat = self.load(voice_id)

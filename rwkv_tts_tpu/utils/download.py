@@ -10,9 +10,10 @@ start in dev mode without weights.
 
 from __future__ import annotations
 
+import http.client
 import logging
 import os
-import shutil
+import time
 import urllib.error
 import urllib.request
 from typing import List, Sequence
@@ -54,22 +55,45 @@ def download_file(model_dir: str, filename: str,
     dest = os.path.join(model_dir, filename)
     for ep in _endpoints():
         url = f"{ep}/{repo}/resolve/main/{filename}"
-        tmp = dest + ".part"
+        # per-PROCESS temp name: a fixed dest+".part" shared by concurrent
+        # downloaders (server startup + a CLI run) interleaves writes and
+        # os.replace can publish a corrupt file
+        tmp = f"{dest}.part.{os.getpid()}"
         try:
             log.info("downloading %s from %s", filename, ep)
             req = urllib.request.Request(
                 url, headers={"User-Agent": "rwkv-tts-tpu/0.1"})
-            with urllib.request.urlopen(req, timeout=timeout) as r, \
-                    open(tmp, "wb") as f:
-                shutil.copyfileobj(r, f, length=1 << 20)
+            deadline = time.monotonic() + timeout
+            with urllib.request.urlopen(req, timeout=min(timeout, 60.0)) \
+                    as r, open(tmp, "wb") as f:
+                # chunked copy under a WHOLE-FILE deadline (the reference's
+                # 5-minute per-file timeout, bin/server.rs:1082): urllib's
+                # timeout alone is per socket operation, so a trickling
+                # server would stall startup indefinitely
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"{filename}: exceeded the {timeout:.0f}s "
+                            "whole-file deadline")
+                    f.write(chunk)
             os.replace(tmp, dest)
             log.info("downloaded %s (%d bytes)", filename,
                      os.path.getsize(dest))
             return True
-        except (urllib.error.URLError, OSError, TimeoutError) as e:
+        except (urllib.error.URLError, http.client.HTTPException,
+                OSError, TimeoutError) as e:
+            # HTTPException covers IncompleteRead & co. — mid-body drops
+            # must try the next mirror, not crash the fails-soft startup
             log.warning("download of %s from %s failed: %s", filename, ep, e)
+        finally:
             if os.path.exists(tmp):
-                os.remove(tmp)
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     return False
 
 

@@ -15,6 +15,7 @@ import shutil
 import struct
 import subprocess
 import tempfile
+import threading
 from typing import Dict, Optional
 
 log = logging.getLogger(__name__)
@@ -28,43 +29,53 @@ _CACHE_DIR = os.environ.get(
 _lib_cache: Dict[str, Optional[ctypes.CDLL]] = {}
 
 
+_build_lock = threading.Lock()
+
+
 def _build(source: str) -> Optional[ctypes.CDLL]:
-    """Compile a .cpp into a cached .so keyed by source hash."""
+    """Compile a .cpp into a cached .so keyed by source hash.
+
+    Serialized by a process-wide lock: two THREADS hitting a cold cache
+    concurrently would otherwise share the per-pid temp name, race g++
+    onto it, and publish a truncated .so into the content-addressed cache
+    — where the exists-check pins the corrupt artifact forever (compiles
+    are rare and ~1 s, so the lock costs nothing in steady state)."""
     src_path = os.path.abspath(os.path.join(_NATIVE_DIR, source))
-    if src_path in _lib_cache:
-        return _lib_cache[src_path]
-    lib = None
-    try:
-        with open(src_path, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        os.makedirs(_CACHE_DIR, exist_ok=True)
-        so_path = os.path.join(
-            _CACHE_DIR, f"{os.path.splitext(source)[0]}-{digest}.so")
-        if not os.path.exists(so_path):
-            gxx = shutil.which("g++")
-            if gxx is None:
-                raise RuntimeError("g++ not found")
-            # unique per-process temp: two concurrent builders (server +
-            # CLI) sharing one fixed tmp path could publish a half-written
-            # .so that then gets cached forever
-            tmp = f"{so_path}.tmp.{os.getpid()}"
-            try:
-                subprocess.run(
-                    [gxx, "-O2", "-std=c++17", "-shared", "-fPIC",
-                     "-o", tmp, src_path],
-                    check=True, capture_output=True,
-                )
-                os.replace(tmp, so_path)
-            finally:
-                if os.path.exists(tmp):
-                    os.remove(tmp)
-        lib = ctypes.CDLL(so_path)
-    except Exception as e:  # noqa: BLE001 — any failure → Python fallback
-        log.info("native %s unavailable (%s); using Python fallback",
-                 source, e)
+    with _build_lock:
+        if src_path in _lib_cache:
+            return _lib_cache[src_path]
         lib = None
-    _lib_cache[src_path] = lib
-    return lib
+        try:
+            with open(src_path, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            so_path = os.path.join(
+                _CACHE_DIR, f"{os.path.splitext(source)[0]}-{digest}.so")
+            if not os.path.exists(so_path):
+                gxx = shutil.which("g++")
+                if gxx is None:
+                    raise RuntimeError("g++ not found")
+                # unique per-process temp: two concurrent builder
+                # PROCESSES (server + CLI) sharing one fixed tmp path
+                # could publish a half-written .so that gets cached forever
+                tmp = f"{so_path}.tmp.{os.getpid()}"
+                try:
+                    subprocess.run(
+                        [gxx, "-O2", "-std=c++17", "-shared", "-fPIC",
+                         "-o", tmp, src_path],
+                        check=True, capture_output=True,
+                    )
+                    os.replace(tmp, so_path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+            lib = ctypes.CDLL(so_path)
+        except Exception as e:  # noqa: BLE001 — any failure → fallback
+            log.info("native %s unavailable (%s); using Python fallback",
+                     source, e)
+            lib = None
+        _lib_cache[src_path] = lib
+        return lib
 
 
 class NativeTrie:

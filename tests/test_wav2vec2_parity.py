@@ -34,6 +34,7 @@ def hf_and_ours():
         conv_stride=(5, 2, 2, 2, 2, 2, 2),
         conv_kernel=(10, 3, 3, 3, 3, 2, 2),
         do_stable_layer_norm=True, feat_extract_norm="layer",
+        conv_bias=True,  # as in the real xlsr-53 export
         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
         hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         feat_proj_dropout=0.0, layerdrop=0.0,
