@@ -29,7 +29,11 @@ def key_seed(key) -> int:
         import jax
         arr = np.asarray(jax.random.key_data(key))
     arr = arr.ravel()
-    return (int(arr[-1]) ^ (int(arr[0]) << 1)) & 0x7FFFFFFF
+    # full 64-bit combine: the old 31-bit mask aliased distinct keys
+    # (PRNGKey(0) vs PRNGKey(2**31)) onto one init stream. For the common
+    # PRNGKey(s < 2**31) — [0, s] — this still returns s, so seeded init
+    # streams (goldens, tests) are unchanged.
+    return (int(arr[0]) << 32) | int(arr[-1])
 
 
 def raw_threefry_key(seed: int) -> np.ndarray:
