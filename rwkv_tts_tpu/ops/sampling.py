@@ -180,9 +180,16 @@ def sample_with_strategy(logits: jax.Array, key: jax.Array,
     if kind == "greedy":
         return jnp.argmax(logits, axis=-1)
     if kind == "top_k":
-        return sample_logits(logits, key, 1.0, 1.0, int(strategy.top_k or 0))
+        return sample_logits(
+            logits, key, 1.0, 1.0,
+            int(strategy.top_k) if strategy.top_k is not None else 0)
     if kind == "top_p":
-        return sample_logits(logits, key, 1.0, float(strategy.top_p or 1.0), 0)
+        # `is not None`, not `or`: an explicit top_p=0.0 means cutoff at
+        # the max probability (near-greedy, as in the reference) — the
+        # falsy-zero `or 1.0` silently disabled nucleus filtering instead
+        return sample_logits(
+            logits, key, 1.0,
+            float(strategy.top_p) if strategy.top_p is not None else 1.0, 0)
     if kind == "temperature":
         # the strategy sampler scales LOGITS by 1/T (unlike the TTS
         # sampler's probability exponent)

@@ -197,12 +197,24 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
             ratio = win.sum(axis=1) / jnp.maximum(nwin, 1)
             allow_eos = (nwin >= C.ZS_EOS_WINDOW) & (ratio >= C.ZS_EOS_RATIO_THRESHOLD)
             need_resample = (tok == C.TTS_EOS_TOKEN) & (~allow_eos)
-            no_eos = jnp.where(
-                (jnp.arange(masked.shape[-1]) == C.TTS_EOS_TOKEN)[None, :],
-                -jnp.inf, masked,
-            )
-            keys2 = _fold_keys(base_keys, i + (1 << 20))
-            tok2 = _sample_batch(no_eos, keys2, sk["temperature"], sk["top_p"], sk["top_k"])
+
+            def _resample():
+                # gated like the continuous engine (continuous.py
+                # decode_block): the second full sampler pass over
+                # [B, 8320] only runs on steps where some slot actually
+                # drew a premature EOS — numerically exact, the keys are
+                # deterministic folds and a skipped pass contributed
+                # nothing to the emitted stream
+                no_eos = jnp.where(
+                    (jnp.arange(masked.shape[-1]) == C.TTS_EOS_TOKEN)[None, :],
+                    -jnp.inf, masked,
+                )
+                keys2 = _fold_keys(base_keys, i + (1 << 20))
+                return _sample_batch(no_eos, keys2, sk["temperature"],
+                                     sk["top_p"], sk["top_k"])
+
+            tok2 = jax.lax.cond(jnp.any(need_resample), _resample,
+                                lambda: tok)
             tok = jnp.where(need_resample, tok2, tok)
             # window tracks non-EOS of emitted (post-resample) tokens
             win = jnp.concatenate(

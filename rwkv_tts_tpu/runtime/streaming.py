@@ -195,7 +195,8 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             return
         if vocoder is None:
             # global tokens are final once semantic tokens start arriving
-            live_globals = _resolve_globals(continuous_engine, args, box)
+            live_globals = _resolve_globals(continuous_engine, args, box,
+                                            done)
             vocoder = StreamingVocoder(bicodec_params, bicodec_cfg,
                                        live_globals, chunk_tokens,
                                        low_latency=low_latency,
@@ -206,7 +207,7 @@ def stream_synthesize(continuous_engine, bicodec_params, bicodec_cfg,
             seq += 1
 
 
-def _resolve_globals(engine, args, box) -> List[int]:
+def _resolve_globals(engine, args, box, done) -> List[int]:
     """Speaker tokens for the vocoder, in trust order: the live slot, the
     finished result, the request's own reference tokens. A short request
     can retire (result_cb + slot pop happen in the same block iteration as
@@ -218,6 +219,12 @@ def _resolve_globals(engine, args, box) -> List[int]:
             if live.request is args:
                 return list(live.global_tokens)
     res = box.get("res")
+    if res is None and done.wait(timeout=10.0):
+        # close the retire window: the engine pops the slot from _live
+        # BEFORE result_cb stores the result — a consumer waking on the
+        # first chunk in that gap would find neither (TOCTOU). result_cb
+        # fires within the same block iteration, so the wait is ~instant.
+        res = box.get("res")
     if res is not None and not isinstance(res, Exception):
         return list(res.global_tokens)
     if args.ref_global_tokens:

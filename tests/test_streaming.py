@@ -135,20 +135,37 @@ def test_resolve_globals_trust_order():
     eng = types.SimpleNamespace(_lock=threading.Lock(), _live={})
     args = TtsArgs(text="short")
     res = GenerationResult(list(range(32)), [1, 2, 3], 4, 35)
+    fired = threading.Event()
+    fired.set()
 
     # retired request, result available → result's speaker tokens
-    assert _resolve_globals(eng, args, {"res": res}) == list(range(32))
+    assert _resolve_globals(eng, args, {"res": res}, fired) == list(range(32))
     # zero-shot fallback: the request carries its own reference tokens
     zs = TtsArgs(text="short", zero_shot=True,
                  ref_global_tokens=[7] * 32)
-    assert _resolve_globals(eng, zs, {}) == [7] * 32
+    assert _resolve_globals(eng, zs, {}, fired) == [7] * 32
     # engine failure → the Exception must not be mistaken for a result
     with pytest.raises(RuntimeError, match="speaker tokens"):
-        _resolve_globals(eng, args, {"res": ValueError("boom")})
+        _resolve_globals(eng, args, {"res": ValueError("boom")}, fired)
     # live slot wins over everything
     live = types.SimpleNamespace(request=args, global_tokens=[9] * 32)
     eng._live[0] = live
-    assert _resolve_globals(eng, args, {"res": res}) == [9] * 32
+    assert _resolve_globals(eng, args, {"res": res}, fired) == [9] * 32
+
+    # the retire TOCTOU window: slot already popped, result not yet
+    # stored — the resolver must WAIT for result_cb instead of raising
+    eng._live.clear()
+    box, pending = {}, threading.Event()
+
+    def _late_result():
+        box["res"] = res
+        pending.set()
+    t = threading.Timer(0.2, _late_result)
+    t.start()
+    try:
+        assert _resolve_globals(eng, args, box, pending) == list(range(32))
+    finally:
+        t.cancel()
 
 
 def test_streaming_tp_engine_sample_identical(bc_params):
