@@ -49,7 +49,6 @@ from .engine import (
     SEMANTIC_SLICE,
     GenerationResult,
     TtsEngine,
-    _fold_keys,
     _mask_global,
     _mask_semantic,
     _sample_batch,
@@ -194,8 +193,10 @@ def decode_block(params, state, logits, slots, cfg: RwkvConfig, block: int,
             new_logits, new_state = rwkv7.step(
                 params, feed, state, cfg, head_slice=hs,
                 use_pallas=use_pallas)
-        # idle slots keep their logits/state untouched (cheap: they computed
-        # anyway; correctness only needs active slots)
+        # idle slots ARE stepped (feed 0) — their state/logits keep
+        # evolving, which is fine because admission fully overwrites
+        # state, logits and every slot field; nothing may rely on a
+        # retired slot's state being preserved
         s2 = dict(s, stage=stage, override=override, n_glob=n_glob,
                   n_step=n_step, win=win, nwin=nwin)
         return (new_state, new_logits, s2), emit
@@ -456,18 +457,38 @@ class ContinuousEngine:
     # -- public API -----------------------------------------------------
 
     def start(self):
-        if self._thread is None:
-            self._stop = False
-            self._thread = threading.Thread(target=self._run, daemon=True,
-                                            name="continuous-decode")
-            self._thread.start()
+        t = self._thread
+        if t is not None and t.is_alive():
+            # never spawn a second driver over a live one (two threads
+            # would concurrently mutate device state); if a stop() is
+            # still draining, the caller can retry once it exits
+            if self._stop:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "start(): previous decode thread still exiting — "
+                    "not started")
+            return
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="continuous-decode")
+        self._thread.start()
 
-    def stop(self):
+    def stop(self, timeout: float = 10.0):
         self._stop = True
         self._wake.set()
-        if self._thread:
-            self._thread.join(timeout=10)
-            self._thread = None
+        t = self._thread
+        if t is not None:
+            t.join(timeout=timeout)
+            if t.is_alive():
+                # wedged (e.g. mid cold-compile through the tunnel): keep
+                # the handle so start() cannot double-spawn; the thread
+                # exits at its next loop check
+                import logging
+                logging.getLogger(__name__).warning(
+                    "stop(): decode thread still busy after %.0fs — it "
+                    "will exit at its next block boundary", timeout)
+            else:
+                self._thread = None
 
     def submit(self, args: TtsArgs, result_cb: Callable,
                chunk_cb: Optional[Callable] = None):
@@ -502,7 +523,17 @@ class ContinuousEngine:
             cancelled = [(s, l) for s, l in self._live.items() if l.cancelled]
         if not cancelled:
             return
-        idx = jnp.asarray([s for s, _ in cancelled], jnp.int32)
+        # pad the index vector to a power of two (repeating the last slot —
+        # idling an idle slot is a no-op): like every other device path
+        # here, an unpadded shape would compile _idle_slots once per
+        # distinct cancel COUNT, and the first client disconnect would pay
+        # a cold tunnel compile mid-stream
+        ids = [s for s, _ in cancelled]
+        pad = 1
+        while pad < len(ids):
+            pad *= 2
+        ids = ids + [ids[-1]] * (pad - len(ids))
+        idx = jnp.asarray(ids, jnp.int32)
         stage, limit = _idle_slots(self.slots["stage"], self.slots["limit"],
                                    idx)
         self.slots = dict(self.slots, stage=stage, limit=limit)
@@ -519,8 +550,18 @@ class ContinuousEngine:
             except Exception:  # noqa: BLE001
                 pass
 
+    def _warm_text_for(self, lo: int, base: str = "好") -> str:
+        """A text whose normal-mode prompt exceeds ``lo`` tokens, measured
+        through the real tokenizer (char↔token ratios vary with merges)."""
+        text = base
+        while True:
+            p, _ = self.inner.build_prompt(TtsArgs(text=text))
+            if len(p) > lo:
+                return text
+            text += base * max(1, lo - len(p))
+
     def warmup(self, max_burst: Optional[int] = None, text: str = "warm up",
-               timeout: float = 600.0):
+               timeout: float = 600.0, prefill_buckets: int = 2):
         """Precompile every admission/decode shape steady-state serving hits.
 
         Runs throwaway requests at each power-of-two burst size up to
@@ -532,8 +573,13 @@ class ContinuousEngine:
         requests that trigger it (measured: a cold 64-burst admission
         cost ~10 s; warm, ~30 ms). Each burst is enqueued while the
         decode thread is stopped so it admits as ONE burst of exactly
-        that padded size. Mirrors the reference's model warm-up at
-        startup (bin/server.rs:1306-1351 verifies assets before serving).
+        that padded size. ``prefill_buckets``: how many prompt-length
+        buckets to sweep per burst size — admission prefill compiles per
+        (burst, prompt-bucket) pair, and zero-shot prompts (+32 ref
+        tokens) routinely land in the SECOND bucket, so the default
+        covers both; raise it for long-text workloads. Mirrors the
+        reference's model warm-up at startup (bin/server.rs:1306-1351
+        verifies assets before serving).
         """
         hi = min(max_burst or self.B, self.B)
         sizes, m = [], 1
@@ -541,24 +587,28 @@ class ContinuousEngine:
             sizes.append(m)
             m *= 2
         sizes.append(hi)
+        pb = self.inner.engine_cfg.prefill_buckets
+        texts = [text] + [self._warm_text_for(pb[i - 1])
+                          for i in range(1, min(prefill_buckets, len(pb)))]
         for m in sizes:
-            self.stop()
-            done = threading.Event()
-            left = [m]
-            lk = threading.Lock()
+            for wt in texts:
+                self.stop()
+                done = threading.Event()
+                left = [m]
+                lk = threading.Lock()
 
-            def cb(_res):
-                with lk:
-                    left[0] -= 1
-                    if left[0] == 0:
-                        done.set()
+                def cb(_res):
+                    with lk:
+                        left[0] -= 1
+                        if left[0] == 0:
+                            done.set()
 
-            for _ in range(m):
-                self._queue.put((TtsArgs(text=text, seed=0, max_tokens=1),
-                                 cb, None))
-            self.start()
-            if not done.wait(timeout):
-                raise TimeoutError(f"warmup burst of {m} timed out")
+                for _ in range(m):
+                    self._queue.put((TtsArgs(text=wt, seed=0, max_tokens=1),
+                                     cb, None))
+                self.start()
+                if not done.wait(timeout):
+                    raise TimeoutError(f"warmup burst of {m} timed out")
         if self._crashed is not None:
             raise RuntimeError("decode loop crashed during warmup") \
                 from self._crashed
@@ -577,6 +627,17 @@ class ContinuousEngine:
                 self.state, self.logits, self.slots = _relocate(
                     self.state, self.logits, self.slots, src, dst)
                 m *= 2
+        # cancel path (_idle_slots) at every pad size: the first client
+        # disconnect otherwise pays its cold compile mid-stream (idling an
+        # already-idle slot is a no-op, so this is safe on a drained engine)
+        self.stop()
+        m = 1
+        while m <= self.B:
+            idx = jnp.asarray([0] * m, jnp.int32)
+            stage, limit = _idle_slots(self.slots["stage"],
+                                       self.slots["limit"], idx)
+            self.slots = dict(self.slots, stage=stage, limit=limit)
+            m *= 2
 
     def generate(self, args: TtsArgs, timeout: float = 600.0
                  ) -> GenerationResult:
@@ -856,6 +917,13 @@ class ContinuousEngine:
                 self.stats["process_s"] += time.perf_counter() - t0
             pending = nxt
 
+        if pending is not None:
+            # drain the in-flight block on exit: the device state already
+            # advanced past its tokens, so dropping its emits would leave
+            # every live stream with a gap of up to `block` tokens after
+            # a stop()/start() cycle
+            self._process_block(*pending)
+
     def _run(self):
         try:
             self._run_loop()
@@ -874,12 +942,15 @@ class ContinuousEngine:
                     l.result_cb(e)
                 except Exception:  # noqa: BLE001
                     pass
-            while not self._queue.empty():
+            while True:
                 try:
                     _, cb, _ = self._queue.get_nowait()
-                    cb(e)
-                except Exception:  # noqa: BLE001
+                except queue.Empty:
                     break
+                try:
+                    cb(e)
+                except Exception:  # noqa: BLE001 — one bad callback must
+                    pass           # not strand the rest of the queue
 
     def _process_block(self, emits, stages, seq):
         emits_np = np.asarray(emits)          # [block, B]
