@@ -31,17 +31,28 @@ import time
 
 # Fast TPU availability probe BEFORE touching the backend in-process: the
 # axon tunnel, when down, hangs backend init ~20 minutes and then raises —
-# fail within ~2 minutes with a message that says what happened instead.
+# fail within minutes with a message that says what happened instead.
+# Tunnel outages are often transient (observed: a 150 s probe timeout
+# followed by a clean connect two minutes later), so retry before giving up.
 if os.environ.get("RWKV_BENCH_SKIP_PROBE") != "1":
-    try:
-        _probe = subprocess.run(
-            [sys.executable, "-c", "import jax; assert jax.devices()"],
-            env={**os.environ, "RWKV_BENCH_SKIP_PROBE": "1"},
-            capture_output=True, text=True, timeout=150,
-        )
-        _probe_err = _probe.stderr[-500:] if _probe.returncode else None
-    except subprocess.TimeoutExpired:
-        _probe_err = "device probe timed out after 150 s"
+    _probe_err = None
+    for _attempt in range(3):
+        try:
+            _probe = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                env={**os.environ, "RWKV_BENCH_SKIP_PROBE": "1"},
+                capture_output=True, text=True, timeout=150,
+            )
+            _probe_err = _probe.stderr[-500:] if _probe.returncode else None
+        except subprocess.TimeoutExpired:
+            _probe_err = "device probe timed out after 150 s"
+        if _probe_err is None:
+            break
+        sys.stderr.write(
+            f"bench.py: device probe attempt {_attempt + 1}/3 failed "
+            f"({_probe_err.splitlines()[-1] if _probe_err else ''}); "
+            "retrying in 20 s\n")
+        time.sleep(20)
     if _probe_err is not None:
         sys.stderr.write(
             "bench.py: TPU backend unavailable (axon tunnel down?) — "
