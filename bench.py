@@ -46,7 +46,7 @@ if os.environ.get("RWKV_BENCH_SKIP_PROBE") != "1":
             _probe_err = _probe.stderr[-500:] if _probe.returncode else None
         except subprocess.TimeoutExpired:
             _probe_err = "device probe timed out after 150 s"
-        if _probe_err is None:
+        if _probe_err is None or _attempt == 2:
             break
         sys.stderr.write(
             f"bench.py: device probe attempt {_attempt + 1}/3 failed "
@@ -57,8 +57,8 @@ if os.environ.get("RWKV_BENCH_SKIP_PROBE") != "1":
         sys.stderr.write(
             "bench.py: TPU backend unavailable (axon tunnel down?) — "
             f"{_probe_err}\nLast measured numbers are recorded in "
-            "docs/PERF.md and BENCH_r01.json; rerun when the tunnel is "
-            "reachable.\n")
+            "docs/PERF.md and the latest BENCH_r*.json; rerun when the "
+            "tunnel is reachable.\n")
         sys.exit(2)
 
 import jax

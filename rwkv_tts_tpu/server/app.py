@@ -234,18 +234,48 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     loop = asyncio.get_running_loop()
     aq: asyncio.Queue = asyncio.Queue()
 
+    import threading
+    abandoned = threading.Event()
+
+    def _post(item) -> bool:
+        """Hand an item to the consumer; False once the stream is dead.
+
+        The producer thread can outlive the event loop (server shutdown
+        mid-stream): ``call_soon_threadsafe`` then raises RuntimeError
+        ("Event loop is closed") as an unhandled daemon-thread exception.
+        Treat a closed loop like an abandoned stream instead.
+        """
+        if abandoned.is_set():
+            return False
+        try:
+            loop.call_soon_threadsafe(aq.put_nowait, item)
+            return True
+        except RuntimeError:
+            abandoned.set()
+            return False
+
     def producer():
         try:
             for chunk in stream_synthesize(
                     cont, pipe.bicodec_params, pipe.bicodec_cfg, args,
                     low_latency=bool(payload.get("low_latency", False)),
                     latency_mode=latency_mode):
-                loop.call_soon_threadsafe(aq.put_nowait, chunk)
+                if not _post(chunk):
+                    break
         except Exception as e:  # noqa: BLE001
-            loop.call_soon_threadsafe(aq.put_nowait, e)
-        loop.call_soon_threadsafe(aq.put_nowait, None)
+            _post(e)
+        if abandoned.is_set():
+            # nobody is reading: retire the slot so the engine stops
+            # generating for a dead stream (same starvation guard as the
+            # consumer's disconnect path)
+            try:
+                cont.cancel(args)
+            except Exception:  # noqa: BLE001 — engine may be stopping too
+                pass
+        _post(None)
 
-    import threading
+    streams = app["runtime"].setdefault("streams", set())
+    streams.add(abandoned)
     threading.Thread(target=producer, daemon=True).start()
     t0 = time.perf_counter()
     first_chunk_ms = None
@@ -285,6 +315,7 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
         cont.cancel(args)
         raise
     finally:
+        streams.discard(abandoned)
         try:
             await resp.write_eof()
         except (ConnectionResetError, ConnectionError):
@@ -513,6 +544,11 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
     app.router.add_static("/", STATIC_DIR, show_index=False)
 
     async def on_cleanup(app):
+        # mark in-flight stream producers abandoned BEFORE stopping the
+        # engines: their threads must not touch the (soon-closed) event
+        # loop once the app is tearing down (see handle_tts_stream._post)
+        for ev in list(app["runtime"].get("streams", ())):
+            ev.set()
         await app["batcher"].close()
         if app["runtime"].get("continuous") is not None:
             app["runtime"]["continuous"].stop()

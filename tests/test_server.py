@@ -7,6 +7,7 @@ import asyncio
 import base64
 import io
 import json
+import time
 
 import jax
 import numpy as np
@@ -424,3 +425,48 @@ def test_store_less_pipeline_voice_routes(tmp_path):
         finally:
             await client.close()
     asyncio.run(runner())
+
+
+def test_stream_survives_server_teardown(tmp_path):
+    """Tearing the server down mid-stream must not leak an unhandled
+    producer-thread exception (the shutdown race: the producer calling
+    ``loop.call_soon_threadsafe`` after the event loop is closed)."""
+    import threading
+
+    thread_errors = []
+    orig_hook = threading.excepthook
+    threading.excepthook = lambda a: thread_errors.append(a)
+    try:
+        async def runner():
+            app = create_app(tiny_pipeline(tmp_path),
+                             BatchConfig(max_batch_size=4,
+                                         collect_timeout_ms=5,
+                                         inference_timeout_ms=120000))
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            import aiohttp
+            r = await client.post(
+                "/api/tts/stream",
+                json={"text": "abandoned mid stream", "seed": 3},
+                timeout=aiohttp.ClientTimeout(total=900))
+            assert r.status == 200
+            # read exactly one chunk, then tear the whole server down
+            # while the producer thread is still generating
+            async for line in r.content:
+                if line.strip():
+                    json.loads(line)
+                    break
+            await client.close()
+
+        asyncio.run(runner())
+        # the producer thread dies on the abandoned-stream path; give it
+        # a beat to finish before checking for leaked exceptions
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline and any(
+                t.name.startswith("Thread-") and t.is_alive()
+                and t.daemon for t in threading.enumerate()):
+            time.sleep(0.05)
+    finally:
+        threading.excepthook = orig_hook
+    assert not thread_errors, [
+        (e.exc_type, str(e.exc_value)) for e in thread_errors]
