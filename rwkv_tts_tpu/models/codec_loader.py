@@ -102,6 +102,62 @@ def load_bicodec(codec_dir: str, cfg: Optional[BiCodecConfig] = None,
     return None, cfg
 
 
+def _speech_fixture(cfg):
+    """Speech-shaped parity inputs (feat [1,T,D], mel [1,128,301]).
+
+    The load gate decides between a miswired native encode path and the
+    ground-truth transpiled graphs — on FIRST CONTACT with real weights
+    this check is all that stands between a broken clone path and
+    production, so its inputs must make the quantizers behave like they
+    do on real speech (Gaussian noise puts every codebook lookup at a
+    uniform-random near-tie; VERDICT r2 weak #6).
+
+    * mel: a synthetic vowel — vibrato'd 120 Hz harmonic series shaped
+      by three formant resonances + breath noise — pushed through the
+      REAL front end (ops/mel.py magnitude/Slaney contract), so the mel
+      statistics (harmonic ridges, formant envelope, linear magnitude
+      scale) are exactly what enrollment produces.
+    * feat: wav2vec2-like hidden states — per-frame z-normalized AR(1)
+      sequences (ρ=0.9) so temporal correlation matches an encoder
+      output rather than white noise.
+    """
+    from ..ops.mel import mel_spectrogram
+
+    sr, n = 16000, 96000  # the 6 s ref clip (get_ref_clip contract)
+    rng = np.random.default_rng(7)
+    t = np.arange(n) / sr
+    f0 = 120.0 * (1.0 + 0.03 * np.sin(2 * np.pi * 4.0 * t))  # vibrato
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    formants = ((500.0, 80.0), (1500.0, 120.0), (2500.0, 160.0))
+    sig = np.zeros(n)
+    for k in range(1, 61):
+        fk = k * 120.0
+        if fk > 7600.0:
+            break
+        env = sum(np.exp(-0.5 * ((fk - fc) / bw) ** 2)
+                  for fc, bw in formants)
+        sig += (env + 0.05) / k * np.sin(k * phase)
+    sig += 0.01 * rng.standard_normal(n)                      # breath
+    sig *= 0.3 / np.max(np.abs(sig))
+    mel = mel_spectrogram(sig.astype(np.float32))[None]       # [1,128,301]
+    if mel.shape[1] != cfg.mel_bins:      # tiny test configs: pool bins
+        idx = np.linspace(0, mel.shape[1], cfg.mel_bins + 1).astype(int)
+        mel = np.stack([mel[:, a:b].mean(axis=1)
+                        for a, b in zip(idx[:-1], idx[1:])], axis=1)
+    if mel.shape[2] != cfg.ref_mel_frames:
+        pos = np.linspace(0, mel.shape[2] - 1, cfg.ref_mel_frames).astype(int)
+        mel = mel[:, :, pos]
+
+    T = 50
+    feat = np.empty((T, cfg.feat_dim), np.float32)
+    x = rng.standard_normal(cfg.feat_dim)
+    for i in range(T):
+        x = 0.9 * x + np.sqrt(1 - 0.9 ** 2) * rng.standard_normal(cfg.feat_dim)
+        feat[i] = x
+    feat = (feat - feat.mean()) / (feat.std() + 1e-7)
+    return feat[None], mel.astype(np.float32)
+
+
 def _bicodec_parity(native, graphs, cfg, tol=5e-3) -> bool:
     """Cross-validate the native import against the transpiled graphs on
     BOTH directions. Decode compares waveforms; encode compares the
@@ -131,11 +187,8 @@ def _bicodec_parity(native, graphs, cfg, tol=5e-3) -> bool:
         log.warning("BiCodec encode parity skipped (no tokenize graph): "
                     "native encode wiring is UNVERIFIED")
         return True
-    feat = jnp.asarray(rng.standard_normal((1, 50, cfg.feat_dim)),
-                       jnp.float32)
-    mel = jnp.asarray(
-        rng.standard_normal((1, cfg.mel_bins, cfg.ref_mel_frames)),
-        jnp.float32)
+    feat_np, mel_np = _speech_fixture(cfg)
+    feat, mel = jnp.asarray(feat_np), jnp.asarray(mel_np)
     try:
         sem_n, glob_n = bicodec.encode(native, feat, mel, cfg)
         sem_o, glob_o = graphs.encode(feat, mel)

@@ -42,20 +42,23 @@ _ST_DTYPES = {
 
 def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Load all tensors from a .safetensors file as float32 numpy arrays."""
+    import os as _os
     with open(path, "rb") as f:
         (hlen,) = struct.unpack("<Q", f.read(8))
+        # a non-safetensors file (e.g. a CBOR prefab) yields a garbage
+        # header length here — reject BEFORE allocating it
+        if hlen > _os.fstat(f.fileno()).st_size - 8:
+            raise ValueError(
+                f"{path} is not a safetensors file (header length "
+                f"{hlen} exceeds the file)")
         try:
             header = json.loads(f.read(hlen))
         except (ValueError, UnicodeDecodeError) as e:
             # web-rwkv "prefab" checkpoints (CBOR, shared_runtime.rs:85-138)
-            # and other non-safetensors files land here — fail with a
-            # pointer instead of a cryptic JSON error
-            raise ValueError(
-                f"{path} is not a safetensors file"
-                + (" (web-rwkv .prefab CBOR checkpoints are not supported; "
-                   "export/convert to webrwkv.safetensors)"
-                   if path.endswith(".prefab") else "")
-            ) from e
+            # and other non-safetensors files land here; the LM loader
+            # sniffs formats via read_lm_checkpoint, which retries this
+            # file as a prefab (models/prefab.py)
+            raise ValueError(f"{path} is not a safetensors file") from e
         blob = f.read()
     out = {}
     for name, info in header.items():
@@ -81,6 +84,65 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
 # RWKV-7 checkpoint → rwkv7.py pytree
 # --------------------------------------------------------------------------
 
+# web-rwkv ecosystem naming drift (VERDICT r2 task 5b): the canonical
+# layout is BlinkDL's v7 names (blocks.N.att.x_r / w0..g2 / k_k / r_k /
+# receptance|key|value|output.weight …) — what web-rwkv's own loader
+# expects — but published conversions sometimes carry a wrapper prefix
+# (torch .module / HF "rwkv."/"model."), spelled-out submodule names, or
+# save the lora factors as nn.Linear children (att.w1.weight). Normalize
+# all of those onto the canonical names BEFORE shape inference so the
+# importer accepts any of them; unknown layouts still fail loudly in
+# stack().
+_RWKV_PREFIXES = ("rwkv.", "model.", "module.", "net.")
+_RWKV_SUBST = ((".attention.", ".att."), (".feed_forward.", ".ffn."))
+_RWKV_TOP_ALIASES = {
+    "embeddings.weight": "emb.weight",
+    "embedding.weight": "emb.weight",
+    "lm_head.weight": "head.weight",
+    "ln_f.weight": "ln_out.weight", "ln_f.bias": "ln_out.bias",
+    "norm.weight": "ln_out.weight", "norm.bias": "ln_out.bias",
+    "pre_ln.weight": "blocks.0.ln0.weight",
+    "pre_ln.bias": "blocks.0.ln0.bias",
+}
+_LORA_NAMES = ("w1", "w2", "a1", "a2", "v1", "v2", "g1", "g2")
+
+
+def normalize_rwkv7_names(tensors: Dict[str, np.ndarray]
+                          ) -> Dict[str, np.ndarray]:
+    """Canonicalize checkpoint tensor names; reject non-v7 files loudly
+    (parity: web-rwkv enforces "V7 only", shared_runtime.rs:115-120)."""
+    if any(".time_decay" in k or ".time_maa_" in k or ".time_mix_k" in k
+           for k in tensors):
+        raise ValueError(
+            "checkpoint has RWKV v5/v6 tensor names (time_decay/time_maa) "
+            "— this loader is V7 only, matching the reference "
+            "(shared_runtime.rs:115-120)")
+    out = {}
+    for k, v in tensors.items():
+        nk = k
+        changed = True
+        while changed:
+            changed = False
+            for p in _RWKV_PREFIXES:
+                if nk.startswith(p):
+                    nk = nk[len(p):]
+                    changed = True
+        for a, b in _RWKV_SUBST:
+            nk = nk.replace(a, b)
+        nk = _RWKV_TOP_ALIASES.get(nk, nk)
+        # lora factors exported as Linear children: att.w1.weight → att.w1
+        for ln in _LORA_NAMES:
+            suffix = f".att.{ln}.weight"
+            if nk.endswith(suffix):
+                nk = nk[: -len(".weight")]
+        if nk in out and nk != k:
+            log.warning("normalize_rwkv7_names: %s collides with existing "
+                        "%s; keeping the canonical-named tensor", k, nk)
+            continue
+        out[nk] = v
+    return out
+
+
 def infer_config(tensors: Dict[str, np.ndarray],
                  dtype: str = "bfloat16") -> RwkvConfig:
     """Derive the architecture from tensor shapes (SURVEY.md: actual dims
@@ -94,9 +156,12 @@ def infer_config(tensors: Dict[str, np.ndarray],
         n_embd // 64, 64
     )
     def lora(k):
+        # rank = the SMALL dim: robust to either save orientation
+        # ([C, rank] BlinkDL parameter vs [rank, C] Linear weight)
         t = tensors.get(k)
-        return int(t.shape[-1]) if t is not None and t.ndim == 2 else 0
-    ffn_hidden = tensors["blocks.0.ffn.key.weight"].shape[0]
+        return int(min(t.shape)) if t is not None and t.ndim == 2 else 0
+    # the big dim is the hidden one in either save orientation
+    ffn_hidden = max(tensors["blocks.0.ffn.key.weight"].shape)
     padded = ((vocab + 127) // 128) * 128
     return RwkvConfig(
         n_layer=n_layer, n_embd=n_embd, head_size=head_size,
@@ -110,13 +175,29 @@ def infer_config(tensors: Dict[str, np.ndarray],
     )
 
 
+def read_lm_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """LM container sniffing, parity with shared_runtime.rs:108-138: try
+    safetensors first, else treat the file as a web-rwkv CBOR prefab
+    (models/prefab.py)."""
+    try:
+        return read_safetensors(path)
+    except ValueError as st_err:
+        from .prefab import CborError, read_prefab
+        try:
+            return read_prefab(path)
+        except CborError as pe:
+            raise ValueError(
+                f"{path} is neither a safetensors file nor a readable "
+                f"web-rwkv prefab ({pe})") from st_err
+
+
 def load_rwkv7(path: str, dtype: str = "bfloat16"
                ) -> Tuple[Dict[str, Any], RwkvConfig]:
-    """Load webrwkv.safetensors into the stacked-layer pytree of
-    models/rwkv7.py. Returns (params, config)."""
+    """Load webrwkv.safetensors (or a CBOR prefab) into the
+    stacked-layer pytree of models/rwkv7.py. Returns (params, config)."""
     import jax.numpy as jnp
 
-    t = read_safetensors(path)
+    t = normalize_rwkv7_names(read_lm_checkpoint(path))
     cfg = infer_config(t, dtype)
     L, C, H, N = cfg.n_layer, cfg.n_embd, cfg.n_head, cfg.head_size
     V, PV = cfg.vocab_size, cfg.padded_vocab_size
@@ -162,6 +243,20 @@ def load_rwkv7(path: str, dtype: str = "bfloat16"
     f32 = jnp.float32
     tr = np.transpose  # torch Linear [out,in] → ours [in,out]
 
+    def orient(shape):
+        """Orientation-robust mapper for RECTANGULAR 2D tensors (loras,
+        ffn): accepts either save orientation, transposing only when the
+        shape proves it. Without this, reshape() would silently scramble
+        a transposed save (same element count). Square matrices stay on
+        the torch [out,in] convention (undetectable by shape)."""
+        def f(a):
+            a = np.asarray(a)
+            if a.ndim == 2 and tuple(a.shape) != tuple(shape) \
+                    and tuple(a.T.shape) == tuple(shape):
+                return a.T
+            return a
+        return f
+
     emb = np.zeros((PV, C), np.float32)
     emb[:V] = t["emb.weight"]
     head = np.zeros((C, PV), np.float32)
@@ -191,26 +286,26 @@ def load_rwkv7(path: str, dtype: str = "bfloat16"
             "w_v": j(stack("att.value.weight", (C, C), tr)),
             "w_o": j(stack("att.output.weight", (C, C), tr)),
             "w0": j(stack("att.w0", (C,)), f32),
-            "w1": j(stack("att.w1", (C, Dw))),
-            "w2": j(stack("att.w2", (Dw, C))),
+            "w1": j(stack("att.w1", (C, Dw), orient((C, Dw)))),
+            "w2": j(stack("att.w2", (Dw, C), orient((Dw, C)))),
             "a0": j(stack("att.a0", (C,)), f32),
-            "a1": j(stack("att.a1", (C, Da))),
-            "a2": j(stack("att.a2", (Da, C))),
+            "a1": j(stack("att.a1", (C, Da), orient((C, Da)))),
+            "a2": j(stack("att.a2", (Da, C), orient((Da, C)))),
             # layer 0 has no v-lora; zeros make σ(v0+..)=0.5 but v_first
             # branch is selected there, so the values are unused
             "v0": j(stack("att.v0", (C,), default=0.0), f32),
-            "v1": j(stack("att.v1", (C, Dv), default=0.0)),
-            "v2": j(stack("att.v2", (Dv, C), default=0.0)),
-            "g1": j(stack("att.g1", (C, Dg))),
-            "g2": j(stack("att.g2", (Dg, C))),
+            "v1": j(stack("att.v1", (C, Dv), orient((C, Dv)), default=0.0)),
+            "v2": j(stack("att.v2", (Dv, C), orient((Dv, C)), default=0.0)),
+            "g1": j(stack("att.g1", (C, Dg), orient((C, Dg)))),
+            "g2": j(stack("att.g2", (Dg, C), orient((Dg, C)))),
             "k_k": j(stack("att.k_k", (C,)), f32),
             "k_a": j(stack("att.k_a", (C,)), f32),
             "r_k": j(stack("att.r_k", (H, N)), f32),
             "ln_x_w": j(stack("att.ln_x.weight", (C,)), f32),
             "ln_x_b": j(stack("att.ln_x.bias", (C,)), f32),
             "ffn_x_k": j(stack("ffn.x_k", (C,)), f32),
-            "ffn_k": j(stack("ffn.key.weight", (C, cfg.ffn_mult * C), tr)),
-            "ffn_v": j(stack("ffn.value.weight", (cfg.ffn_mult * C, C), tr)),
+            "ffn_k": j(stack("ffn.key.weight", (C, cfg.ffn_mult * C), orient((C, cfg.ffn_mult * C)))),
+            "ffn_v": j(stack("ffn.value.weight", (cfg.ffn_mult * C, C), orient((cfg.ffn_mult * C, C)))),
         },
     }
     return params, cfg

@@ -1,0 +1,277 @@
+"""Minimal web-rwkv "prefab" (CBOR) checkpoint reader.
+
+The reference accepts two model containers with format sniffing
+(src/shared_runtime.rs:85-138): safetensors, or a "prefab" — a CBOR
+serialization of web-rwkv's ``v7::Model`` written by cbor4ii/serde
+(``web_rwkv::tensor::serialization::Seed``). Round 2 rejected prefabs
+with a message; this reader closes the gap for the common case:
+
+  * a from-scratch CBOR decoder (RFC 8949 subset: uint/nint, byte/text
+    strings, arrays, maps, tags (unwrapped), floats incl. f16, bool/null,
+    indefinite lengths);
+  * a tree walker that flattens the decoded document into dotted tensor
+    paths, recognizing tensor leaves structurally (a map carrying a
+    shape-like int list + a byte blob whose length matches the element
+    count at f16/f32/u8 width — web-rwkv serializes TensorGpu as
+    shape+data) and unwrapping serde enum variants (``{"Fp16": …}``);
+  * a name shim from web-rwkv struct-field spellings (``w_r``/``w_k``/
+    ``w_o``…) onto the BlinkDL checkpoint names models/convert.py
+    expects, so the result feeds the same ``normalize_rwkv7_names`` →
+    ``load_rwkv7`` pipeline as a safetensors file.
+
+QUANTIZED prefabs (Int8/NF4/SF4 variants) are detected and refused with
+a conversion pointer — re-quantization happens at load here (``--quant-type``),
+so shipping the f16 weights is strictly better. Anything unmappable
+fails loudly listing the discovered paths; exact field names can only be
+confirmed at first contact with a published prefab (no egress here).
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_BREAK = object()
+
+
+class CborError(ValueError):
+    pass
+
+
+def _read_f16(b: bytes) -> float:
+    return float(np.frombuffer(b, ">f2")[0])
+
+
+def decode_cbor(buf: bytes) -> Any:
+    """Decode a single CBOR item (RFC 8949 subset)."""
+    item, pos = _decode_item(buf, 0)
+    if item is _BREAK:
+        raise CborError("unexpected break code at top level")
+    return item
+
+
+def _decode_head(buf: bytes, pos: int) -> Tuple[int, int, int, int]:
+    """Returns (major, info, value, new_pos); value is -1 for
+    indefinite-length / break markers."""
+    if pos >= len(buf):
+        raise CborError("truncated CBOR")
+    ib = buf[pos]
+    major, info = ib >> 5, ib & 0x1F
+    pos += 1
+    if info < 24:
+        return major, info, info, pos
+    if info == 24:
+        if pos >= len(buf):
+            raise CborError("truncated CBOR head")
+        return major, info, buf[pos], pos + 1
+    if info == 25:
+        return major, info, struct.unpack_from(">H", buf, pos)[0], pos + 2
+    if info == 26:
+        return major, info, struct.unpack_from(">I", buf, pos)[0], pos + 4
+    if info == 27:
+        return major, info, struct.unpack_from(">Q", buf, pos)[0], pos + 8
+    if info == 31:
+        return major, info, -1, pos  # indefinite length / break
+    raise CborError(f"reserved additional info {info}")
+
+
+def _decode_item(buf: bytes, pos: int) -> Tuple[Any, int]:
+    major, info, val, pos = _decode_head(buf, pos)
+    if major == 0:
+        return val, pos
+    if major == 1:
+        return -1 - val, pos
+    if major in (2, 3):  # byte / text string
+        if val == -1:    # indefinite: concatenation of definite chunks
+            parts = []
+            while True:
+                item, pos = _decode_item(buf, pos)
+                if item is _BREAK:
+                    break
+                parts.append(item if major == 2 else item.encode())
+            joined = b"".join(parts)
+            return (joined if major == 2 else joined.decode("utf-8")), pos
+        raw = buf[pos:pos + val]
+        if len(raw) != val:
+            raise CborError("truncated string")
+        pos += val
+        return (raw if major == 2 else raw.decode("utf-8")), pos
+    if major == 4:       # array
+        items: List[Any] = []
+        if val == -1:
+            while True:
+                item, pos = _decode_item(buf, pos)
+                if item is _BREAK:
+                    break
+                items.append(item)
+        else:
+            for _ in range(val):
+                item, pos = _decode_item(buf, pos)
+                items.append(item)
+        return items, pos
+    if major == 5:       # map
+        d: Dict[Any, Any] = {}
+        if val == -1:
+            while True:
+                k, pos = _decode_item(buf, pos)
+                if k is _BREAK:
+                    break
+                v, pos = _decode_item(buf, pos)
+                d[k] = v
+        else:
+            for _ in range(val):
+                k, pos = _decode_item(buf, pos)
+                v, pos = _decode_item(buf, pos)
+                d[k] = v
+        return d, pos
+    if major == 6:       # tag: unwrap (content is what matters here)
+        return _decode_item(buf, pos)
+    # major 7: floats / simple values (dispatch on the HEAD INFO nibble,
+    # not the value — the value bytes are the float payload)
+    if info == 31:
+        return _BREAK, pos
+    if info == 20:
+        return False, pos
+    if info == 21:
+        return True, pos
+    if info in (22, 23):
+        return None, pos
+    if info == 25:
+        return _read_f16(buf[pos - 2:pos]), pos
+    if info == 26:
+        return struct.unpack(">f", buf[pos - 4:pos])[0], pos
+    if info == 27:
+        return struct.unpack(">d", buf[pos - 8:pos])[0], pos
+    if info < 20 or info == 24:
+        return val, pos  # simple value
+    raise CborError(f"unsupported simple/float info {info}")
+
+
+# --------------------------------------------------------------------------
+# tensor extraction
+# --------------------------------------------------------------------------
+
+_QUANT_VARIANTS = ("Int8", "NF4", "SF4", "Q8", "Q4")
+_FP_VARIANTS = ("Fp16", "Fp32", "F16", "F32")
+
+
+def _as_tensor(node: Any):
+    """Structurally recognize a serialized tensor: a map containing an
+    int-list shape and a byte blob whose length matches prod(shape) at
+    a known element width. Returns ndarray or None."""
+    if not isinstance(node, dict):
+        return None
+    shape = None
+    data = None
+    for k, v in node.items():
+        lk = str(k).lower()
+        if isinstance(v, list) and v and all(
+                isinstance(x, int) and x >= 0 for x in v):
+            if lk in ("shape", "dims", "dim", "size"):
+                shape = v
+        elif isinstance(v, (bytes, bytearray)) and lk in (
+                "data", "bytes", "buf", "buffer", "contents"):
+            data = bytes(v)
+    if shape is None or data is None:
+        return None
+    n = int(np.prod(shape)) if shape else 1
+    for dt, width in ((np.float16, 2), (np.float32, 4), (np.uint8, 1)):
+        if len(data) == n * width:
+            arr = np.frombuffer(data, dt)
+            return arr.astype(np.float32).reshape(shape)
+    # numeric list payloads (e.g. float arrays) — small tensors
+    return None
+
+
+def _walk(node: Any, path: str, out: Dict[str, np.ndarray]) -> None:
+    t = _as_tensor(node)
+    if t is not None:
+        out[path] = t
+        return
+    if isinstance(node, dict):
+        for k, v in node.items():
+            key = str(k)
+            # serde enum variants: {"Fp16": tensor} wraps transparently;
+            # a quantized variant is a hard stop (minimal reader)
+            if key in _QUANT_VARIANTS:
+                raise CborError(
+                    f"prefab tensor at '{path}' is pre-quantized "
+                    f"({key}); this minimal reader handles f16/f32 "
+                    "prefabs — export the unquantized safetensors and "
+                    "use --quant-type instead")
+            sub = path if key in _FP_VARIANTS else (
+                f"{path}.{key}" if path else key)
+            _walk(v, sub, out)
+    elif isinstance(node, list):
+        # a numeric leaf list (vector tensor) vs a struct array
+        if node and all(isinstance(x, float) for x in node):
+            out[path] = np.asarray(node, np.float32)
+            return
+        for i, v in enumerate(node):
+            _walk(v, f"{path}.{i}" if path else str(i), out)
+
+
+# web-rwkv struct-field spellings → BlinkDL checkpoint names (the shim
+# feeds convert.normalize_rwkv7_names, which handles the generic drift)
+_FIELD_SUBST = (
+    (".att.w_r", ".att.receptance.weight"),
+    (".att.w_k", ".att.key.weight"),
+    (".att.w_v", ".att.value.weight"),
+    (".att.w_o", ".att.output.weight"),
+    (".ffn.w_k", ".ffn.key.weight"),
+    (".ffn.w_v", ".ffn.value.weight"),
+    (".ffn.w_r", ".ffn.receptance.weight"),
+)
+# short layer-norm field spellings (exact suffix match only — a substring
+# replace would mangle the full ".weight"/".bias" names)
+_SUFFIX_SUBST = (
+    (".ln_x.w", ".ln_x.weight"), (".ln_x.b", ".ln_x.bias"),
+    (".ln1.w", ".ln1.weight"), (".ln1.b", ".ln1.bias"),
+    (".ln2.w", ".ln2.weight"), (".ln2.b", ".ln2.bias"),
+)
+_PREFIX_STRIP = ("tensor.", "model.", "weights.")
+_TOP_SUBST = (
+    ("embed.w", "emb.weight"), ("embed", "emb.weight"),
+    ("head.w", "head.weight"), ("head", "head.weight"),
+)
+
+
+def read_prefab(path: str) -> Dict[str, np.ndarray]:
+    """Prefab file → flat {BlinkDL-style name: f32 ndarray}."""
+    with open(path, "rb") as f:
+        doc = decode_cbor(f.read())
+    flat: Dict[str, np.ndarray] = {}
+    _walk(doc, "", flat)
+    if not flat:
+        raise CborError(f"{path}: decoded CBOR but found no tensors")
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        nk = k
+        for p in _PREFIX_STRIP:
+            if nk.startswith(p):
+                nk = nk[len(p):]
+        for a, b in _TOP_SUBST:
+            if nk == a:
+                nk = b
+        for a, b in _FIELD_SUBST:
+            nk = nk.replace(a, b)
+        for a, b in _SUFFIX_SUBST:
+            if nk.endswith(a):
+                nk = nk[: -len(a)] + b
+        out[nk] = v
+    known = [k for k in out
+             if k.startswith(("blocks.", "emb.", "head.", "ln_out", "ln0"))]
+    if not known:
+        sample = ", ".join(sorted(out)[:12])
+        raise CborError(
+            f"{path}: found {len(out)} tensors but none map onto the "
+            f"RWKV-7 layout; discovered paths start: [{sample}] — extend "
+            "models/prefab.py's name shim for this container")
+    log.info("prefab: %d tensors, %d mapped to RWKV-7 names",
+             len(out), len(known))
+    return out

@@ -243,3 +243,55 @@ def test_wav2vec2_weight_mapping(tmp_path):
     feats = wav2vec2.extract_features(params, wav, cfg, output_layers=(1, 2))
     assert feats.shape[0] == 1 and feats.shape[2] == H
     assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_naming_variant_checkpoints_load_identically(tmp_path):
+    """Ecosystem naming drift (VERDICT r2 task 5b): wrapper prefixes,
+    spelled-out submodules, Linear-child lora saves, and transposed
+    rectangular orientations must all land on the same params."""
+    import jax
+    from rwkv_tts_tpu.models.convert import load_rwkv7
+
+    t = make_rwkv7_checkpoint()
+    p0 = str(tmp_path / "canon.safetensors")
+    write_safetensors(p0, t)
+    ref, ref_cfg = load_rwkv7(p0, dtype="float32")
+
+    variant = {}
+    for k, v in t.items():
+        nk = ("rwkv." + k).replace(".att.", ".attention.").replace(
+            ".ffn.", ".feed_forward.")
+        nk = {"rwkv.emb.weight": "rwkv.embeddings.weight",
+              "rwkv.head.weight": "lm_head.weight",
+              "rwkv.ln_out.weight": "rwkv.ln_f.weight",
+              "rwkv.ln_out.bias": "rwkv.ln_f.bias"}.get(nk, nk)
+        # lora factors as nn.Linear children, saved [out, in]
+        for ln in ("w1", "w2", "a1", "a2", "v1", "v2", "g1", "g2"):
+            if nk.endswith(f".attention.{ln}"):
+                nk += ".weight"
+                v = v.T
+        # transposed ffn orientation
+        if nk.endswith("feed_forward.key.weight") or nk.endswith(
+                "feed_forward.value.weight"):
+            v = v.T
+        variant[nk] = np.ascontiguousarray(v)
+    p1 = str(tmp_path / "variant.safetensors")
+    write_safetensors(p1, variant)
+    got, got_cfg = load_rwkv7(p1, dtype="float32")
+
+    assert got_cfg == ref_cfg
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        ref, got)
+
+
+def test_v6_checkpoint_rejected(tmp_path):
+    from rwkv_tts_tpu.models.convert import load_rwkv7
+
+    t = dict(make_rwkv7_checkpoint())
+    t["blocks.0.att.time_decay"] = np.zeros(8, np.float32)
+    p = str(tmp_path / "v6.safetensors")
+    write_safetensors(p, t)
+    with pytest.raises(ValueError, match="V7 only"):
+        load_rwkv7(p)
