@@ -99,7 +99,13 @@ def test_http_soak_mixed_routes(tmp_path, seed):
         app = create_app(tiny_pipeline(tmp_path),
                          BatchConfig(max_batch_size=4, collect_timeout_ms=5,
                                      inference_timeout_ms=120000))
-        client = TestClient(TestServer(app))
+        # explicit generous per-request ceiling: the default 5-min
+        # ClientTimeout fired under full-suite contention on the
+        # single-core VM (r2 flake) — 14 concurrent requests share one
+        # core with XLA compiles
+        import aiohttp
+        client = TestClient(TestServer(app),
+                            timeout=aiohttp.ClientTimeout(total=1800))
         await client.start_server()
         errors: list = []
         try:

@@ -107,7 +107,10 @@ def test_validation_script_all_stages_pass(asset_dir, tmp_path):
         [sys.executable, os.path.join(REPO, "tools/validate_real_assets.py"),
          "--model-dir", asset_dir, "--raf-dir", str(raf), "--no-download",
          "--out", str(out), "--quant-type", "int8", "--max-tokens", "16"],
-        capture_output=True, text=True, cwd=REPO, timeout=1200)
+        # ceiling ≥3× the ~767 s idle runtime: the shared single-core VM
+        # inflates this subprocess under suite contention (r2 full-run
+        # flake); a generous ceiling only matters when genuinely hung
+        capture_output=True, text=True, cwd=REPO, timeout=3000)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ALL STAGES PASSED" in r.stdout
     report = json.loads((out / "report.json").read_text())
