@@ -89,6 +89,67 @@ PALLAS_STEP = jax.default_backend() == "tpu"
 DECODE_STEPS = 512          # ≈10.2 s of audio per request
 
 
+# v5e peaks for utilization accounting (VERDICT r2 task 4: the bench
+# artifact must carry checkable mfu / bandwidth-utilization numbers, not
+# just xRT): 197 bf16 TFLOP/s ⇒ 98.5 T MAC/s; HBM ≈ 819 GB/s.
+V5E_PEAK_MACS = 98.5e12
+V5E_HBM_BPS = 819e9
+HEAD_SLICE = 8320          # decode head computes the sampleable prefix only
+
+
+def _weight_stream_bytes(params, head_frac):
+    """Bytes of weights a decode step streams from HBM: every param leaf
+    at its ACTUAL storage dtype (int8 q + scales, f32 loras, …), minus
+    the embedding (one row gathered), with the head scaled to the
+    sampleable-prefix slice the decode head actually computes."""
+    import jax
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = jax.tree_util.keystr(path)
+        nb = leaf.size * leaf.dtype.itemsize
+        if "emb" in name:
+            continue
+        if "head" in name:
+            nb = int(nb * head_frac)
+        total += nb
+    return total
+
+
+def perf_model(cfg, params, batch, wall_lm, decode_steps):
+    """Analytic roofline bookkeeping for the LM decode region, per the
+    docs/PERF.md model: per-token matmul MACs from the architecture, the
+    measured-storage weight stream, and the bf16 WKV-state round trip.
+    The step wall divides the measured LM wall over the SEQUENTIAL AR
+    steps (32 global + decode_steps semantic; prefill is one parallel
+    call, ~2% here)."""
+    C, L = cfg.n_embd, cfg.n_layer
+    H, N = cfg.n_head, cfg.head_size
+    lora = 2 * C * (cfg.decay_lora + cfg.a_lora + cfg.v_lora + cfg.gate_lora)
+    per_layer = 12 * C * C + lora            # 4C² att + 8C² ffn + loras
+    hs = min(HEAD_SLICE, cfg.padded_vocab_size)
+    macs_per_token = L * per_layer + C * hs
+    weight_gb = _weight_stream_bytes(
+        params, hs / cfg.padded_vocab_size) / 1e9
+    # state: WKV [L,H,N,N] (f32-accum, stored at state_dtype) + shift
+    # states, read+write per step
+    sw = 2 if cfg.state_dtype == "bfloat16" else 4
+    state_gb = batch * L * (H * N * N + 2 * C) * sw * 2 / 1e9
+    steps = 32 + decode_steps
+    step_wall = wall_lm / steps
+    macs_per_step = macs_per_token * batch
+    return {
+        "mfu": round(macs_per_step / step_wall / V5E_PEAK_MACS, 4),
+        "hbm_bw_util": round(
+            (weight_gb + state_gb) * 1e9 / step_wall / V5E_HBM_BPS, 3),
+        "weight_stream_gb_per_step": round(weight_gb, 3),
+        "state_gb_per_step": round(state_gb, 3),
+        "step_wall_ms": round(step_wall * 1e3, 3),
+        "assumptions": "v5e 98.5 T MAC/s bf16, 819 GB/s HBM; weight "
+                       "bytes from actual param storage dtypes",
+    }
+
+
 def _sync(x):
     """Timing fence: fetch a single element. ``block_until_ready`` has
     been observed returning before execution completes through the axon
@@ -182,9 +243,13 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
         (zero_shot_inference.rs:75-85): first sound ≈ prefill + semantic
         chunk + one vocoder window.
 
+      * ``latency_mode="flash"`` — 8-token chunk + 4 lookahead (12 steps;
+        the r2-verdict "ultra+" first emit, runtime/streaming.py preset).
+
     Always prefill + [32 global steps + TAG_1 unless zero-shot] + semantic
     steps + one FULL-SIZE windowed BiCodec decode."""
-    chunk, look, ctx = (16, 8, 16) if latency_mode == "ultra" else (32, 16, 32)
+    chunk, look, ctx = {"low": (32, 16, 32), "ultra": (16, 8, 16),
+                        "flash": (8, 4, 16)}[latency_mode]
     steps = chunk + look
     tokens, lengths, keys, limits, hard_min = make_inputs(batch, steps)
     g_toks = jnp.zeros((1, C.GLOBAL_TOKENS_SIZE), jnp.int32)
@@ -232,6 +297,11 @@ def main():
     first_chunk_zs_ms = first_chunk_latency(qparams, bc_params, on_tpu,
                                             latency_mode="ultra",
                                             zero_shot=True)
+    first_chunk_flash_ms = first_chunk_latency(qparams, bc_params, on_tpu,
+                                               latency_mode="flash")
+    first_chunk_zs_flash_ms = first_chunk_latency(qparams, bc_params, on_tpu,
+                                                  latency_mode="flash",
+                                                  zero_shot=True)
 
     print(json.dumps({
         "metric": "synthesis_xrt_per_chip",
@@ -251,11 +321,17 @@ def main():
             "wall_s_detok_batch128": round(wall_detok, 3),
             "xrt_e2e_batch8": round(xrt_e2e_b8, 3),
             "rtf_e2e_batch8": round(1.0 / xrt_e2e_b8, 5),
+            "perf_model_batch128": perf_model(
+                CFG_SERVING, qparams, 128, wall_lm, DECODE_STEPS),
+            "perf_model_batch8": perf_model(
+                CFG_SERVING, qparams, 8, wall_lm8, DECODE_STEPS),
             "first_chunk_ms_batch8": round(first_chunk_ms, 1),
             "first_chunk_modes": {
                 "normal_ultra": round(first_chunk_ms, 1),
                 "normal_low": round(first_chunk_low_ms, 1),
+                "normal_flash": round(first_chunk_flash_ms, 1),
                 "zero_shot_ultra": round(first_chunk_zs_ms, 1),
+                "zero_shot_flash": round(first_chunk_zs_flash_ms, 1),
             },
         },
     }))

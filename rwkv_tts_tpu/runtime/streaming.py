@@ -44,7 +44,13 @@ class StreamingVocoder:
 
     # (context, lookahead, max first-chunk) per latency mode; "exact" uses
     # the decoder's receptive field for both (bit-identical windows).
-    LATENCY_PRESETS = {"low": (32, 16, 32), "ultra": (16, 8, 16)}
+    # "flash" (the r2-verdict "ultra+") emits the first sound after only
+    # chunk+lookahead = 12 semantic steps — 160 ms of audio per chunk;
+    # further down the same conditioning-tail-truncation dial as "ultra"
+    # (the wave generator's own receptive field is already wider than
+    # ultra's lookahead; quality degrades gracefully, latency does not).
+    LATENCY_PRESETS = {"low": (32, 16, 32), "ultra": (16, 8, 16),
+                       "flash": (16, 4, 8)}
 
     def __init__(self, params, cfg: BiCodecConfig, global_tokens: List[int],
                  chunk_tokens: int = 32, context_tokens: Optional[int] = None,

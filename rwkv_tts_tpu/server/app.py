@@ -221,8 +221,9 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     except FileNotFoundError as e:
         return _err(str(e), status=404)
     latency_mode = payload.get("latency_mode")
-    if latency_mode is not None and latency_mode not in ("exact", "low", "ultra"):
-        return _err("latency_mode must be exact|low|ultra", status=400)
+    if latency_mode is not None and latency_mode not in (
+            "exact", "low", "ultra", "flash"):
+        return _err("latency_mode must be exact|low|ultra|flash", status=400)
     cont = await _get_continuous_async(app)
     pipe: TtsPipeline = app["pipeline"]
 

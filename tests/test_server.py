@@ -363,6 +363,20 @@ def test_streaming_ultra_latency_mode(tmp_path):
         assert chunks and chunks[-1]["final"]
         pcm = b"".join(b64.b64decode(c.get("audio_base64", "")) for c in chunks)
         assert len(pcm) > 0 and len(pcm) % 2 == 0
+        # flash (8-token first emit) accepted and streams audio
+        r3 = await client.post("/api/tts/stream",
+                               json={"text": "flash stream", "seed": 12,
+                                     "latency_mode": "flash"},
+                               timeout=aiohttp.ClientTimeout(total=900))
+        assert r3.status == 200
+        chunks3 = []
+        async for line in r3.content:
+            if line.strip():
+                chunks3.append(json.loads(line))
+        assert chunks3 and chunks3[-1]["final"]
+        pcm3 = b"".join(b64.b64decode(c.get("audio_base64", ""))
+                        for c in chunks3)
+        assert len(pcm3) > 0
         # invalid mode is rejected up front
         r2 = await client.post("/api/tts/stream",
                                json={"text": "x", "latency_mode": "warp"})

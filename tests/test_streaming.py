@@ -202,3 +202,26 @@ def test_streaming_tp_engine_sample_identical(bc_params):
     plain = run(None)
     tp = run(meshlib.make_mesh(8, model_parallel=2))
     np.testing.assert_array_equal(tp, plain)
+
+
+def test_flash_latency_mode(bc_params):
+    """latency_mode='flash' (the r2-verdict 'ultra+'): 8-token first chunk
+    with 16/4 windows — first audio after only 12 real tokens."""
+    rng = np.random.default_rng(3)
+    g = list(rng.integers(0, 4096, 32))
+    sem = list(rng.integers(0, 128, 64))
+    full = bicodec.detokenize(bc_params, g, sem, BC_CFG, bucket=4)[0]
+
+    sv = StreamingVocoder(bc_params, BC_CFG, g, latency_mode="flash")
+    assert (sv.chunk, sv.context, sv.lookahead) == (8, 16, 4)
+    first = sv.push(sem[:12])
+    assert first.shape == (8 * 320,)
+    parts = [first]
+    for i in range(12, 64, 7):
+        parts.append(sv.push(sem[i:i + 7]))
+    parts.append(sv.push([], flush=True))
+    streamed = np.concatenate(parts)
+    assert streamed.shape == full.shape
+    err = np.abs(streamed - full)
+    assert float(err.mean()) < 0.6 * float(np.abs(full).mean() + 1e-9)
+    assert np.all(np.isfinite(streamed))
