@@ -200,6 +200,38 @@ def load_tokenizer(path: str | None = None) -> RwkvTokenizer:
     return tok
 
 
+_SPCT_MARKER = None  # compiled lazily (re imported here only)
+
+
+def encode_with_spct(tokenizer: RwkvTokenizer, text: str) -> List[int]:
+    """Encode text with pronunciation-hotfix markup expanded.
+
+    The published model supports runtime pronunciation fixes via literal
+    ``SPCT_48<word>SPCT_49<ipa-or-pinyin>SPCT_50`` markup (no spaces
+    around the markers), mapping each ``SPCT_n`` to the control token
+    ``<|spct_n|>`` = 77823+n (参考/python/README.md:55 — the Python
+    sibling implements it; the Rust server never wired it, so text
+    containing these markers is where this framework deliberately goes
+    BEYOND the reference server: without markers the encoding is
+    bit-identical). Any ``SPCT_n`` with n in [0, 99] expands — the same
+    id space the property tokens live in."""
+    global _SPCT_MARKER
+    if _SPCT_MARKER is None:
+        import re
+        _SPCT_MARKER = re.compile(r"SPCT_(\d{1,2})")
+    from .. import constants as C
+
+    out: List[int] = []
+    pos = 0
+    for m in _SPCT_MARKER.finditer(text):
+        if m.start() > pos:
+            out.extend(tokenizer.encode(text[pos:m.start()]))
+        out.append(C.TTS_SPECIAL_TOKEN_OFFSET + int(m.group(1)))
+        pos = m.end()
+    out.extend(tokenizer.encode(text[pos:]))
+    return out
+
+
 def normalize_text(text: str) -> str:
     """Whitespace cleanup ahead of encoding (parity with the reference's
     FeatureExtractor::preprocess_text, src/feature_extractor.rs:59-75):
@@ -216,7 +248,10 @@ class CachedEncoder:
     Thread-safe via functools.lru_cache's internal lock."""
 
     def __init__(self, tokenizer: RwkvTokenizer, maxsize: int = 1024,
-                 normalize: bool = True):
+                 normalize: bool = True, spct: bool = True):
+        """``spct``: expand SPCT_n pronunciation-hotfix markers
+        (:func:`encode_with_spct`); text without markers encodes
+        bit-identically either way."""
         import functools
 
         self._tok = tokenizer
@@ -226,6 +261,8 @@ class CachedEncoder:
         def _encode(text: str):
             if normalize:
                 text = normalize_text(text)
+            if spct and "SPCT_" in text:
+                return tuple(encode_with_spct(tokenizer, text))
             return tuple(tokenizer.encode(text))
 
         self._encode = _encode

@@ -130,3 +130,31 @@ def test_fuzz_unicode_roundtrip():
             chr(rng.randint(*ranges[rng.randrange(len(ranges))]))
             for _ in range(n))
         assert t.decode(t.encode(text)) == text, repr(text[:40])
+
+
+def test_spct_pronunciation_markers():
+    """SPCT_48word SPCT_49pinyin SPCT_50 markup expands to the control
+    ids <|spct_n|> = 77823+n (参考/python/README.md:55); text without
+    markers is bit-identical to plain encode."""
+    from rwkv_tts_tpu import constants as C
+    from rwkv_tts_tpu.tokenizer import load_tokenizer
+    from rwkv_tts_tpu.tokenizer.rwkv_tokenizer import (
+        CachedEncoder, encode_with_spct)
+
+    tok = load_tokenizer()
+    ids = encode_with_spct(tok, "read SPCT_48这SPCT_49zhei4SPCT_50 now")
+    off = C.TTS_SPECIAL_TOKEN_OFFSET
+    assert off + 48 in ids and off + 49 in ids and off + 50 in ids
+    i48, i49, i50 = (ids.index(off + n) for n in (48, 49, 50))
+    assert i48 < i49 < i50
+    # the wrapped word and the pinyin are ordinary text between markers
+    assert ids[i48 + 1:i49] == tok.encode("这")
+    assert ids[i49 + 1:i50] == tok.encode("zhei4")
+    # no markers → plain encode, bit-identical
+    assert encode_with_spct(tok, "hello world") == tok.encode("hello world")
+
+    enc = CachedEncoder(tok, normalize=False)
+    assert enc.encode("aSPCT_7b") == (
+        tok.encode("a") + [off + 7] + tok.encode("b"))
+    enc_off = CachedEncoder(tok, normalize=False, spct=False)
+    assert off + 7 not in enc_off.encode("aSPCT_7b")
