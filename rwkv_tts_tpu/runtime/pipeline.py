@@ -96,6 +96,20 @@ class TtsPipeline:
 
         from ..models.convert import load_rwkv7
         from ..tokenizer import load_tokenizer
+        if os.path.isdir(model_path):
+            # directory parity (shared_runtime.rs:85-97): prefer the int8
+            # export, then the standard name
+            for cand in ("rwkvtts-Int8_22.safetensors",
+                         "webrwkv.safetensors"):
+                p = os.path.join(model_path, cand)
+                if os.path.exists(p):
+                    model_path = p
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"No supported model file found in directory: "
+                    f"{model_path} (looked for rwkvtts-Int8_22.safetensors, "
+                    f"webrwkv.safetensors)")
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
         tp_mesh = kw.get("tp_mesh")
         if tp_mesh is not None:

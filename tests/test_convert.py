@@ -295,3 +295,34 @@ def test_v6_checkpoint_rejected(tmp_path):
     write_safetensors(p, t)
     with pytest.raises(ValueError, match="V7 only"):
         load_rwkv7(p)
+
+
+def test_from_checkpoints_directory_priority(tmp_path):
+    """Directory model paths resolve like the reference
+    (shared_runtime.rs:85-97): rwkvtts-Int8_22.safetensors preferred,
+    then webrwkv.safetensors; neither → clear error."""
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+
+    d = tmp_path / "model"
+    d.mkdir()
+    raf = tmp_path / "raf"
+    raf.mkdir()
+    t = make_rwkv7_checkpoint()
+    write_safetensors(str(d / "webrwkv.safetensors"), t)
+    pipe = TtsPipeline.from_checkpoints(
+        str(d), raf_dir=str(raf), dtype="float32",
+        allow_random_codec=True)
+    assert pipe.engine.cfg.n_layer == 2
+
+    # the int8 export wins when both exist
+    t2 = make_rwkv7_checkpoint(L=1)
+    write_safetensors(str(d / "rwkvtts-Int8_22.safetensors"), t2)
+    pipe2 = TtsPipeline.from_checkpoints(
+        str(d), raf_dir=str(raf), dtype="float32",
+        allow_random_codec=True)
+    assert pipe2.engine.cfg.n_layer == 1
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="No supported model file"):
+        TtsPipeline.from_checkpoints(str(empty), raf_dir=str(raf))
