@@ -47,9 +47,19 @@ def _read_f16(b: bytes) -> float:
     return float(np.frombuffer(b, ">f2")[0])
 
 
+_MAX_DEPTH = 256
+
+
 def decode_cbor(buf: bytes) -> Any:
-    """Decode a single CBOR item (RFC 8949 subset)."""
-    item, pos = _decode_item(buf, 0)
+    """Decode a single CBOR item (RFC 8949 subset). Malformed input of
+    ANY kind raises CborError — this parser fronts user-supplied
+    checkpoint files (fuzz-tested in tests/test_prefab.py)."""
+    try:
+        item, pos = _decode_item(buf, 0)
+    except (IndexError, struct.error, UnicodeDecodeError,
+            RecursionError, TypeError) as e:
+        # TypeError: malformed documents can produce unhashable map keys
+        raise CborError(f"malformed CBOR: {type(e).__name__}: {e}") from e
     if item is _BREAK:
         raise CborError("unexpected break code at top level")
     return item
@@ -80,7 +90,9 @@ def _decode_head(buf: bytes, pos: int) -> Tuple[int, int, int, int]:
     raise CborError(f"reserved additional info {info}")
 
 
-def _decode_item(buf: bytes, pos: int) -> Tuple[Any, int]:
+def _decode_item(buf: bytes, pos: int, depth: int = 0) -> Tuple[Any, int]:
+    if depth > _MAX_DEPTH:
+        raise CborError(f"nesting deeper than {_MAX_DEPTH}")
     major, info, val, pos = _decode_head(buf, pos)
     if major == 0:
         return val, pos
@@ -90,9 +102,14 @@ def _decode_item(buf: bytes, pos: int) -> Tuple[Any, int]:
         if val == -1:    # indefinite: concatenation of definite chunks
             parts = []
             while True:
-                item, pos = _decode_item(buf, pos)
+                item, pos = _decode_item(buf, pos, depth + 1)
                 if item is _BREAK:
                     break
+                # chunks must be definite strings of the same major type
+                if major == 2 and not isinstance(item, bytes):
+                    raise CborError("non-bytes chunk in indefinite bytes")
+                if major == 3 and not isinstance(item, str):
+                    raise CborError("non-text chunk in indefinite text")
                 parts.append(item if major == 2 else item.encode())
             joined = b"".join(parts)
             return (joined if major == 2 else joined.decode("utf-8")), pos
@@ -105,32 +122,32 @@ def _decode_item(buf: bytes, pos: int) -> Tuple[Any, int]:
         items: List[Any] = []
         if val == -1:
             while True:
-                item, pos = _decode_item(buf, pos)
+                item, pos = _decode_item(buf, pos, depth + 1)
                 if item is _BREAK:
                     break
                 items.append(item)
         else:
             for _ in range(val):
-                item, pos = _decode_item(buf, pos)
+                item, pos = _decode_item(buf, pos, depth + 1)
                 items.append(item)
         return items, pos
     if major == 5:       # map
         d: Dict[Any, Any] = {}
         if val == -1:
             while True:
-                k, pos = _decode_item(buf, pos)
+                k, pos = _decode_item(buf, pos, depth + 1)
                 if k is _BREAK:
                     break
-                v, pos = _decode_item(buf, pos)
+                v, pos = _decode_item(buf, pos, depth + 1)
                 d[k] = v
         else:
             for _ in range(val):
-                k, pos = _decode_item(buf, pos)
-                v, pos = _decode_item(buf, pos)
+                k, pos = _decode_item(buf, pos, depth + 1)
+                v, pos = _decode_item(buf, pos, depth + 1)
                 d[k] = v
         return d, pos
     if major == 6:       # tag: unwrap (content is what matters here)
-        return _decode_item(buf, pos)
+        return _decode_item(buf, pos, depth + 1)
     # major 7: floats / simple values (dispatch on the HEAD INFO nibble,
     # not the value — the value bytes are the float payload)
     if info == 31:

@@ -192,3 +192,28 @@ def test_sniffing_order(tmp_path):
         f.write(b"\x00\x01\x02garbage")
     with pytest.raises(ValueError, match="neither"):
         read_lm_checkpoint(bad)
+
+
+def test_cbor_fuzz_no_uncontrolled_exceptions():
+    """Arbitrary bytes must produce CborError (or a clean decode), never
+    an uncontrolled IndexError/struct.error/RecursionError — this parser
+    fronts user-supplied checkpoint files."""
+    import random
+
+    rng = random.Random(0)
+    for trial in range(300):
+        n = rng.randrange(0, 64)
+        buf = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            decode_cbor(buf)
+        except CborError:
+            pass
+        except RecursionError:
+            raise AssertionError(f"recursion blowup on {buf.hex()}")
+    # truncated versions of a valid document
+    valid = enc({"a": [1, 2.5, "x"], "b": b"\x00" * 8})
+    for cut in range(len(valid)):
+        try:
+            decode_cbor(valid[:cut])
+        except CborError:
+            pass

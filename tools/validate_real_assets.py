@@ -14,6 +14,9 @@ machine that has them, and it validates the full chain end to end:
      (models/codec_loader cross-validates both directions at load)
   5. zero-shot synth from a shipped reference voice (.raf.json)
   6. enrollment round trip (WAV → tokens → clone)
+  7. reference-RNG parity capture (runtime/parity.py): seed-fixed token
+     streams written to parity_tokens.json for A/B against the Rust
+     server on the same checkpoint/text/seed (docs/PARITY.md)
 
 Exit code 0 = every stage passed. Run:  python tools/validate_real_assets.py
   [--model-dir assets/model] [--no-download] [--out /tmp/validate_out]
@@ -143,6 +146,29 @@ def main() -> int:
         pipe.voice_store.delete(feat.id)
     except Exception as e:  # noqa: BLE001
         stage("enroll_roundtrip", False, error=f"{type(e).__name__}: {e}")
+
+    # 7. reference-RNG parity capture -------------------------------------
+    try:
+        from rwkv_tts_tpu.runtime.parity import ReferenceRngEngine
+        pe = ReferenceRngEngine(pipe.engine)
+        text = "parity capture 你好"
+        cap = {}
+        for seed in (0, 42):
+            r = pe.generate(TtsArgs(
+                text=text, seed=seed,
+                max_tokens=min(args.max_tokens or 64, 64)))
+            cap[str(seed)] = {"global": r.global_tokens,
+                              "semantic": r.semantic_tokens}
+        with open(os.path.join(args.out, "parity_tokens.json"), "w") as f:
+            json.dump({"text": text, "quant": args.quant_type,
+                       "seeds": cap}, f, indent=1)
+        stage("parity_capture",
+              all(len(v["global"]) == 32 for v in cap.values()),
+              note="A/B parity_tokens.json against the Rust server at the "
+                   "same checkpoint/text/seed (docs/PARITY.md); rerun with "
+                   "--quant-type none for the cleanest comparison")
+    except Exception as e:  # noqa: BLE001
+        stage("parity_capture", False, error=f"{type(e).__name__}: {e}")
 
     _write(report, args.out)
     failed = [k for k, v in report.items() if not v["ok"]]
