@@ -74,7 +74,7 @@ import numpy as np
 from rwkv_tts_tpu import constants as C
 from rwkv_tts_tpu.config import BiCodecConfig, RwkvConfig
 from rwkv_tts_tpu.models import bicodec, rwkv7
-from rwkv_tts_tpu.runtime.engine import global_stage, semantic_stage
+from rwkv_tts_tpu.runtime.engine import lm_program
 
 CFG = RwkvConfig()                      # flagship: 32L × 2048E
 CFG_SERVING = dataclasses.replace(CFG, state_dtype="bfloat16")
@@ -182,18 +182,13 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
     g_zero = jnp.zeros((batch, C.GLOBAL_TOKENS_SIZE), jnp.int32)
 
     def lm(tag):
-        state = rwkv7.init_state(cfg, batch)
-        logits, state = rwkv7.forward(
-            params, tokens, state, cfg, use_pallas=on_tpu, lengths=lengths
-        )
-        glob, state, logits = global_stage(params, state, logits, keys, cfg,
-                                           use_pallas=PALLAS_STEP)
-        sem, sem_lens, state = semantic_stage(
-            params, state, logits, keys, limits, hard_min,
-            cfg, decode_steps, False, use_pallas=PALLAS_STEP,
-            feed_tag1=True,
-        )
-        return glob, sem, sem_lens
+        # the engine's ONE-dispatch composite (prefill + global + TAG_1
+        # fold + semantic in a single program — runtime/engine.lm_program,
+        # the same path generate_batch serves)
+        return lm_program(params, tokens, lengths, keys, keys, limits,
+                          hard_min, cfg, decode_steps, False,
+                          use_pallas_fwd=on_tpu,
+                          use_pallas_step=PALLAS_STEP)
 
     # vocode in production-sized sub-batches: the serving pipeline decodes
     # per request (bucketed); a [64, 512-token] full-utterance vocoder call
@@ -256,15 +251,10 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
     sem_win = jnp.zeros((1, ctx + chunk + look), jnp.int32)
 
     def run():
-        state = rwkv7.init_state(cfg, batch)
-        logits, state = rwkv7.forward(params, tokens, state, cfg,
-                                      use_pallas=on_tpu, lengths=lengths)
-        if not zero_shot:
-            glob, state, logits = global_stage(params, state, logits, keys,
-                                               cfg, use_pallas=PALLAS_STEP)
-        sem, sem_lens, state = semantic_stage(
-            params, state, logits, keys, limits, hard_min, cfg, steps,
-            zero_shot, use_pallas=PALLAS_STEP, feed_tag1=not zero_shot)
+        glob, sem, sem_lens = lm_program(
+            params, tokens, lengths, keys, keys, limits, hard_min, cfg,
+            steps, zero_shot, use_pallas_fwd=on_tpu,
+            use_pallas_step=PALLAS_STEP)
         wav = bicodec.decode(bc_params, g_toks, sem_win, BC_CFG)
         return wav
 

@@ -250,6 +250,44 @@ def semantic_stage(params, state, first_logits, base_keys, limits, hard_min,
     return buf, lens, state
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_steps", "zero_shot", "use_pallas_fwd", "use_pallas_step"))
+def lm_program(params, tokens, lengths, glob_keys, sem_keys, limits,
+               hard_min, cfg: RwkvConfig, max_steps: int, zero_shot: bool,
+               use_pallas_fwd: bool = False, use_pallas_step: bool = False):
+    """ONE-dispatch LM path: prefill + (global stage +) TAG_1-folded
+    semantic stage composed into a single compiled program.
+
+    Numerically it is the staged path verbatim (the stage functions are
+    inlined, not rewritten; fused-vs-staged token equality is tested),
+    but the host dispatches once instead of three times — measured
+    13 ms off the batch-8 normal-mode first chunk on the real chip
+    (tools/profile_first_chunk.py, docs/PERF.md r3). Single prefill
+    chunk only; the engine falls back to the staged path for prompts
+    longer than the largest bucket (chunked prefill) and for TP meshes
+    (their prefill is forward_tp).
+
+    Returns (glob [B, 32] — zeros for zero-shot, sem, sem_lens).
+    """
+    B = tokens.shape[0]
+    state = rwkv7.init_state(cfg, B)
+    logits, state = rwkv7.forward(params, tokens, state, cfg,
+                                  use_pallas=use_pallas_fwd,
+                                  lengths=lengths)
+    if zero_shot:
+        glob = jnp.zeros((B, C.GLOBAL_TOKENS_SIZE), jnp.int32)
+        sem, lens, _ = semantic_stage(
+            params, state, logits, sem_keys, limits, hard_min, cfg,
+            max_steps, True, use_pallas=use_pallas_step)
+        return glob, sem, lens
+    glob, state, logits = global_stage(params, state, logits, glob_keys,
+                                       cfg, use_pallas=use_pallas_step)
+    sem, lens, _ = semantic_stage(
+        params, state, logits, sem_keys, limits, hard_min, cfg, max_steps,
+        False, use_pallas=use_pallas_step, feed_tag1=True)
+    return glob, sem, lens
+
+
 # --------------------------------------------------------------------------
 # host-side engine
 # --------------------------------------------------------------------------
@@ -428,11 +466,6 @@ class TtsEngine:
 
         prompts, texts = zip(*(self.build_prompt(r) for r in requests))
         prompt_lens = [len(p) for p in prompts]
-        state = rwkv7.init_state(cfg, B)
-        if self.tp_mesh is not None:
-            from ..parallel import tp as tplib
-            state = tplib.shard_state_tp(self.tp_mesh, state)
-        logits, state = self.prefill(prompts, state)
 
         seeds = [r.seed if r.seed is not None else
                  int.from_bytes(os.urandom(4), "little") for r in requests]
@@ -445,45 +478,65 @@ class TtsEngine:
                                    jnp.int32)
         else:
             hard_min = jnp.zeros((B,), jnp.int32)
+        sem_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
+        glob_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(s + C.GLOBAL_SEED_OFFSET) for s in seeds]))
 
+        max_bucket = ecfg.prefill_buckets[-1]
+        if self._step_fn is None and max(prompt_lens) <= max_bucket:
+            # ONE-dispatch path: prefill + stages in a single program
+            # (lm_program — saves the inter-stage dispatch glue)
+            T = self._bucket(max(prompt_lens))
+            tok_mat = np.zeros((B, T), np.int32)
+            for i, p in enumerate(prompts):
+                tok_mat[i, : len(p)] = p
+            glob, sem, sem_lens = lm_program(
+                self.params, jnp.asarray(tok_mat),
+                jnp.asarray(np.array(prompt_lens, np.int32)),
+                glob_keys, sem_keys, limits, hard_min, cfg,
+                ecfg.max_semantic_tokens, zero_shot,
+                use_pallas_fwd=self.use_pallas,
+                use_pallas_step=self.use_pallas_step)
+        else:
+            # staged path: chunked prefill (long prompts) or TP mesh
+            state = rwkv7.init_state(cfg, B)
+            if self.tp_mesh is not None:
+                from ..parallel import tp as tplib
+                state = tplib.shard_state_tp(self.tp_mesh, state)
+            logits, state = self.prefill(prompts, state)
+            if zero_shot:
+                glob = None
+                sem, sem_lens, state = semantic_stage(
+                    self.params, state, logits, sem_keys, limits, hard_min,
+                    cfg, ecfg.max_semantic_tokens, True,
+                    use_pallas=self.use_pallas_step, step_fn=self._step_fn,
+                )
+            else:
+                # normal mode: global stage, then TAG_1 (consumed INSIDE
+                # the semantic-stage program, feed_tag1), then semantic
+                glob, state, logits = global_stage(
+                    self.params, state, logits, glob_keys, cfg,
+                    use_pallas=self.use_pallas_step, step_fn=self._step_fn)
+                sem, sem_lens, state = semantic_stage(
+                    self.params, state, logits, sem_keys, limits, hard_min,
+                    cfg, ecfg.max_semantic_tokens, False,
+                    use_pallas=self.use_pallas_step, feed_tag1=True,
+                    step_fn=self._step_fn,
+                )
+
+        sem_np, len_np = np.asarray(sem), np.asarray(sem_lens)
         if zero_shot:
             ref_globals = [list(r.ref_global_tokens or []) for r in requests]
-            sem_keys = jnp.asarray(np.stack(
-                [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
-            sem, sem_lens, state = semantic_stage(
-                self.params, state, logits, sem_keys, limits, hard_min,
-                cfg, ecfg.max_semantic_tokens, True,
-                use_pallas=self.use_pallas_step, step_fn=self._step_fn,
-            )
-            sem_np, len_np = np.asarray(sem), np.asarray(sem_lens)
             out = []
             for i, r in enumerate(requests):
                 toks = [int(t) for t in sem_np[i, : len_np[i]]]
-                g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1) for t in ref_globals[i]]
-                out.append(GenerationResult(g, toks, prompt_lens[i], len(toks)))
+                g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
+                     for t in ref_globals[i]]
+                out.append(GenerationResult(g, toks, prompt_lens[i],
+                                            len(toks)))
             return out
-
-        # normal mode: global stage, then TAG_1, then semantic
-        glob_keys = jnp.asarray(np.stack(
-            [raw_threefry_key(s + C.GLOBAL_SEED_OFFSET) for s in seeds]))
-        glob, state, logits = global_stage(self.params, state, logits,
-                                           glob_keys, cfg,
-                                           use_pallas=self.use_pallas_step,
-                                           step_fn=self._step_fn)
-
-        # TAG_1 is consumed INSIDE the semantic-stage program
-        # (feed_tag1) — head-sliced like every decode step, and one
-        # device dispatch instead of a standalone step between stages.
-        sem_keys = jnp.asarray(np.stack(
-            [raw_threefry_key(s + C.SEMANTIC_SEED_OFFSET) for s in seeds]))
-        sem, sem_lens, state = semantic_stage(
-            self.params, state, logits, sem_keys, limits, hard_min,
-            cfg, ecfg.max_semantic_tokens, False,
-            use_pallas=self.use_pallas_step, feed_tag1=True,
-            step_fn=self._step_fn,
-        )
-
-        glob_np, sem_np, len_np = np.asarray(glob), np.asarray(sem), np.asarray(sem_lens)
+        glob_np = np.asarray(glob)
         out = []
         for i in range(B):
             toks = [int(t) for t in sem_np[i, : len_np[i]]]

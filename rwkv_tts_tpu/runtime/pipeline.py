@@ -364,59 +364,67 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     lazily per shape too, it just never addressed it."""
     import jax.numpy as jnp
 
-    from .engine import global_stage, semantic_stage
+    from .engine import global_stage, lm_program, semantic_stage
 
     eng = self.engine
     cfg, ecfg = eng.cfg, eng.engine_cfg
     out: Dict[str, float] = {}
-    # serving shapes exactly: under TP a B=1 request pads to the data-axis
-    # width and runs forward_tp + the stages' step_fn hook — warming the
-    # non-TP programs there would compile variants serving never executes
-    # (same rule as feed_tag1 below)
-    if eng.tp_mesh is not None:
+    modes = (False, True) if zero_shot_too else (False,)
+    buckets = prefill_buckets or ecfg.prefill_buckets[:2]
+    if eng.tp_mesh is None:
+        # serving runs the ONE-dispatch lm_program (generate_batch's fused
+        # path) — warm exactly that, per prefill bucket × mode. Warming
+        # the staged programs here would compile variants short-prompt
+        # serving never executes and leave the fused path cold.
+        B = 1
+        keys = jnp.zeros((B, 2), jnp.uint32)
+        limits = jnp.ones((B,), jnp.int32)
+        hard_min = jnp.zeros((B,), jnp.int32)
+        for T in buckets:
+            for zs in modes:
+                t0 = time.perf_counter()
+                _, sem, _ = lm_program(
+                    eng.params, jnp.zeros((B, T), jnp.int32),
+                    jnp.full((B,), T, jnp.int32), keys, keys, limits,
+                    hard_min, cfg, ecfg.max_semantic_tokens, zs,
+                    use_pallas_fwd=eng.use_pallas,
+                    use_pallas_step=eng.use_pallas_step)
+                sem.block_until_ready()
+                out[f"lm_{'zs' if zs else 'normal'}_{T}"] = \
+                    round(time.perf_counter() - t0, 2)
+    else:
+        # under TP a B=1 request pads to the data-axis width and runs
+        # forward_tp + the STAGED programs with the step_fn hook — warm
+        # those serving shapes exactly (feed_tag1 must match too)
         from ..parallel import mesh as meshlib
         from ..parallel import tp as tplib
         B = eng.tp_mesh.shape[meshlib.DATA_AXIS]
-    else:
-        B = 1
-    buckets = prefill_buckets or ecfg.prefill_buckets[:2]
-    for T in buckets:
-        t0 = time.perf_counter()
-        st = rwkv7.init_state(cfg, B)
-        if eng.tp_mesh is not None:
-            st = tplib.shard_state_tp(eng.tp_mesh, st)
+        for T in buckets:
+            t0 = time.perf_counter()
+            st = tplib.shard_state_tp(eng.tp_mesh, rwkv7.init_state(cfg, B))
             lg, st = tplib.forward_tp(
                 eng.params, jnp.zeros((B, T), jnp.int32), st, cfg,
                 eng.tp_mesh, lengths=jnp.full((B,), T, jnp.int32))
-        else:
-            lg, st = rwkv7.forward(
-                eng.params, jnp.zeros((B, T), jnp.int32), st, cfg,
-                use_pallas=eng.use_pallas,
-                lengths=jnp.full((B,), T, jnp.int32))
-        lg.block_until_ready()
-        out[f"prefill_{T}"] = round(time.perf_counter() - t0, 2)
-    keys = jnp.zeros((B, 2), jnp.uint32)
-    limits = jnp.ones((B,), jnp.int32)
-    t0 = time.perf_counter()
-    _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
-                               use_pallas=eng.use_pallas_step,
-                               step_fn=eng._step_fn)
-    lg2.block_until_ready()
-    out["global_stage"] = round(time.perf_counter() - t0, 2)
-    modes = (False, True) if zero_shot_too else (False,)
-    for zs in modes:
+            lg.block_until_ready()
+            out[f"prefill_{T}"] = round(time.perf_counter() - t0, 2)
+        keys = jnp.zeros((B, 2), jnp.uint32)
+        limits = jnp.ones((B,), jnp.int32)
         t0 = time.perf_counter()
-        # feed_tag1 is a static argname and must match the serving call
-        # exactly (normal mode folds TAG_1 into the stage, zero-shot does
-        # not — engine.py:353,378); a mismatched variant compiles a
-        # program no serving path ever runs.
-        sem, lens, _ = semantic_stage(
-            eng.params, st2, lg2, keys, limits, jnp.zeros((B,), jnp.int32),
-            cfg, ecfg.max_semantic_tokens, zs, use_pallas=eng.use_pallas_step,
-            feed_tag1=not zs, step_fn=eng._step_fn)
-        sem.block_until_ready()
-        out[f"semantic_{'zs' if zs else 'normal'}"] = \
-            round(time.perf_counter() - t0, 2)
+        _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
+                                   use_pallas=eng.use_pallas_step,
+                                   step_fn=eng._step_fn)
+        lg2.block_until_ready()
+        out["global_stage"] = round(time.perf_counter() - t0, 2)
+        for zs in modes:
+            t0 = time.perf_counter()
+            sem, lens, _ = semantic_stage(
+                eng.params, st2, lg2, keys, limits,
+                jnp.zeros((B,), jnp.int32), cfg, ecfg.max_semantic_tokens,
+                zs, use_pallas=eng.use_pallas_step,
+                feed_tag1=not zs, step_fn=eng._step_fn)
+            sem.block_until_ready()
+            out[f"semantic_{'zs' if zs else 'normal'}"] = \
+                round(time.perf_counter() - t0, 2)
     for S in detok_buckets:
         t0 = time.perf_counter()
         # default bucket ladder, same as serving: detokenize pads to

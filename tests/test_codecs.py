@@ -206,8 +206,9 @@ def test_pipeline_warmup_smoke(bc_params):
                                 max_semantic_tokens=8),
         use_pallas=False)
     times = pipe.warmup(detok_buckets=(64,))
-    assert "prefill_16" in times and "semantic_normal" in times \
-        and "detokenize_64" in times
+    # non-TP serving runs the fused lm_program per bucket × mode
+    assert "lm_normal_16" in times and "lm_zs_16" in times \
+        and "lm_normal_32" in times and "detokenize_64" in times
 
 
 def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
@@ -234,11 +235,12 @@ def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
         use_pallas=False)
 
     seen = []
-    real_stage = eng_mod.semantic_stage
+    real_lm = eng_mod.lm_program
     monkeypatch.setattr(
-        eng_mod, "semantic_stage",
-        lambda *a, **kw: seen.append((a[8], kw.get("feed_tag1", False)))
-        or real_stage(*a, **kw))
+        eng_mod, "lm_program",
+        lambda *a, **kw: seen.append(
+            (a[9], kw.get("use_pallas_fwd"), kw.get("use_pallas_step")))
+        or real_lm(*a, **kw))
     real_detok = bicodec.detokenize
     detok_buckets = []
     monkeypatch.setattr(
@@ -248,8 +250,12 @@ def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
         or real_detok(params, g, s, cfg, **kw))
 
     pipe.warmup(detok_buckets=(64,))
-    # (zero_shot, feed_tag1): serving pairs only — engine.py:353,378
-    assert (False, True) in seen and (True, False) in seen
+    # both serving modes of the fused program, with the engine's exact
+    # pallas statics (a mismatched variant compiles a program serving
+    # never runs)
+    eng = pipe.engine
+    assert (False, eng.use_pallas, eng.use_pallas_step) in seen
+    assert (True, eng.use_pallas, eng.use_pallas_step) in seen
     assert all(b == bicodec.DETOKENIZE_BUCKETS for b in detok_buckets)
 
 

@@ -127,3 +127,52 @@ def test_long_prompt_chunked_prefill(engine):
     b = wide.generate(TtsArgs(text=long_text, seed=4, max_tokens=8))
     assert a.global_tokens == b.global_tokens
     assert a.semantic_tokens == b.semantic_tokens
+
+
+def test_lm_program_matches_staged_path(engine):
+    """The ONE-dispatch lm_program must produce token-identical output to
+    the staged prefill→global→semantic path (it's the same programs
+    inlined; the engines-stay-token-identical contract, CLAUDE.md)."""
+    import numpy as np
+    from rwkv_tts_tpu.runtime.engine import lm_program
+    from rwkv_tts_tpu.utils.init import raw_threefry_key
+
+    for zero_shot, kwargs in (
+            (False, {}),
+            (True, {"zero_shot": True,
+                    "ref_global_tokens": list(range(32)),
+                    "ref_semantic_tokens": [1, 2]})):
+        args = TtsArgs(text="fused vs staged parity", seed=99,
+                       max_tokens=12, **kwargs)
+        res_fused = engine.generate(args)   # single-chunk prompt → fused
+
+        # staged reference: replicate generate_batch's staged branch
+        prompt, text_ids = engine.build_prompt(args)
+        from rwkv_tts_tpu.runtime.engine import (global_stage,
+                                                 semantic_stage, zs_hard_min)
+        state = rwkv7.init_state(CFG, 1)
+        logits, state = engine.prefill([prompt], state)
+        limits = jnp.asarray([12], jnp.int32)
+        hard_min = jnp.asarray(
+            [zs_hard_min(len(text_ids)) if zero_shot else 0], jnp.int32)
+        sem_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(99 + C.SEMANTIC_SEED_OFFSET)]))
+        glob_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(99 + C.GLOBAL_SEED_OFFSET)]))
+        if zero_shot:
+            sem, sem_lens, _ = semantic_stage(
+                engine.params, state, logits, sem_keys, limits, hard_min,
+                CFG, ECFG.max_semantic_tokens, True, use_pallas=False)
+        else:
+            glob, state, logits = global_stage(
+                engine.params, state, logits, glob_keys, CFG,
+                use_pallas=False)
+            sem, sem_lens, _ = semantic_stage(
+                engine.params, state, logits, sem_keys, limits, hard_min,
+                CFG, ECFG.max_semantic_tokens, False, use_pallas=False,
+                feed_tag1=True)
+            assert res_fused.global_tokens == [int(t) for t in
+                                               np.asarray(glob)[0]]
+        n = int(np.asarray(sem_lens)[0])
+        assert res_fused.semantic_tokens == [
+            int(t) for t in np.asarray(sem)[0, :n]]

@@ -110,6 +110,31 @@ def main():
         return bicodec.decode(bc_params, g_toks, sem_win, bc_cfg)
     t_voc = timeit(run_voc, tag="vocode80")
 
+    # 6. FUSED one-program LM path: prefill → global → TAG_1-folded
+    # semantic inside a single jit — measures what the 3 separate stage
+    # dispatches cost in host/dispatch glue (r3 experiment: can fusing
+    # recover the ~16 ms gap between component sum and measured bench
+    # first-chunk?)
+    @jax.jit
+    def fused_lm(params, tokens, lengths, state, keys, limits, hard_min):
+        logits, st = rwkv7.forward(params, tokens, state, cfg,
+                                   use_pallas=on_tpu, lengths=lengths)
+        glob, st, logits = global_stage(params, st, logits, keys, cfg,
+                                        use_pallas=on_tpu)
+        sem, lens, st = semantic_stage(params, st, logits, keys, limits,
+                                       hard_min, cfg, steps, False,
+                                       use_pallas=on_tpu, feed_tag1=True)
+        return glob, sem
+
+    def run_fused():
+        return fused_lm(qparams, tokens, lengths, state0, keys, limits,
+                        hard_min)
+    t_fused = timeit(run_fused, tag="fused_lm")
+    staged_lm = t_pre + t_glob + t_sem
+    print(f"fused LM program: {t_fused*1e3:8.1f} ms vs staged "
+          f"{staged_lm*1e3:.1f} ms (dispatch glue "
+          f"{(staged_lm - t_fused)*1e3:+.1f} ms)")
+
     total = t_pre + t_glob + t_tag1 + t_sem + t_voc
     print(f"\nprefill({PREFILL})   : {t_pre*1e3:8.1f} ms")
     print(f"global (32)   : {t_glob*1e3:8.1f} ms  "
