@@ -77,3 +77,45 @@ def test_golden_tokens(engine):
     for name in want:
         assert got[name]["global"] == want[name]["global"], name
         assert got[name]["semantic"] == want[name]["semantic"], name
+
+
+PARITY_GOLDEN_PATH = os.path.join(os.path.dirname(__file__),
+                                  "goldens_parity.json")
+
+PARITY_REQUESTS = {
+    "normal_seed42": TtsArgs(text="golden fixture text", seed=42,
+                             max_tokens=10),
+    "cloning_seed0": TtsArgs(text="clone fixture", seed=0, zero_shot=True,
+                             max_tokens=10,
+                             ref_global_tokens=list(range(32)),
+                             ref_semantic_tokens=[1, 2, 3]),
+}
+
+
+def test_parity_engine_golden_tokens(engine):
+    """Pinned draw sequences of the reference-RNG parity engine
+    (runtime/parity.py) — the true-A/B switch must not drift: any change
+    to the StdRng bitstream, the Rust-order sampler, or the loop quirks
+    changes these tokens. Regenerate ONLY for intentional behavior
+    changes (REGEN_GOLDENS=1)."""
+    from rwkv_tts_tpu.runtime.parity import ReferenceRngEngine
+
+    pe = ReferenceRngEngine(engine)
+    got = {}
+    for name, req in PARITY_REQUESTS.items():
+        res = pe.generate(req)
+        got[name] = {"global": res.global_tokens,
+                     "semantic": res.semantic_tokens}
+    if os.environ.get("REGEN_GOLDENS") == "1":
+        with open(PARITY_GOLDEN_PATH, "w") as f:
+            json.dump(got, f, indent=1)
+        pytest.skip("parity goldens regenerated")
+    assert os.path.exists(PARITY_GOLDEN_PATH), (
+        "goldens_parity.json missing — restore from git or regenerate "
+        "intentionally with REGEN_GOLDENS=1")
+    with open(PARITY_GOLDEN_PATH) as f:
+        want = json.load(f)
+    assert set(got) == set(want)
+    for name in want:
+        assert got[name]["global"] == want[name]["global"], name
+        assert got[name]["semantic"] == want[name]["semantic"], name
