@@ -448,6 +448,18 @@ class TtsEngine:
         groups mixed batches upstream."""
         if not requests:
             return []
+        # pow2 batch buckets: the decode step is weight-pipe bound and
+        # ~flat in batch (docs/PERF.md), so padding a 5-request batch to
+        # 8 costs almost nothing on-device while bounding the compiled
+        # program set to log2(max_batch) variants — without this, every
+        # distinct collect-window size compiles a fresh multi-minute
+        # program through the tunnel (the r3 soak's early p99 spikes)
+        B0 = len(requests)
+        Bp = 1 << (B0 - 1).bit_length()
+        if Bp != B0:
+            reqs = list(requests)
+            out = self.generate_batch(reqs + [reqs[-1]] * (Bp - B0))
+            return out[:B0]
         if self.tp_mesh is not None:
             # the data axis shards the batch; pad to a multiple of dp by
             # repeating the last request (same trick as continuous-engine

@@ -176,3 +176,16 @@ def test_lm_program_matches_staged_path(engine):
         n = int(np.asarray(sem_lens)[0])
         assert res_fused.semantic_tokens == [
             int(t) for t in np.asarray(sem)[0, :n]]
+
+
+def test_pow2_batch_padding_preserves_results(engine):
+    """generate_batch pads to pow2 sizes (bounded compile set); padding
+    must not change any real request's tokens vs running it alone."""
+    reqs = [TtsArgs(text=f"pad test {i}", seed=100 + i, max_tokens=8)
+            for i in range(3)]
+    batched = engine.generate_batch(reqs)       # pads 3 → 4 internally
+    assert len(batched) == 3
+    for r, b in zip(reqs, batched):
+        single = engine.generate(r)
+        assert single.global_tokens == b.global_tokens
+        assert single.semantic_tokens == b.semantic_tokens
