@@ -194,7 +194,13 @@ def _get_continuous(app):
             slots = max(slots, dp) - (max(slots, dp) % dp) or dp
         app["runtime"]["continuous"] = ContinuousEngine(
             eng.params, eng.cfg, eng.engine_cfg, tokenizer=eng.tokenizer,
-            use_pallas=eng.use_pallas, block=16,
+            use_pallas=eng.use_pallas,
+            # --stream-block: decode-block size gates streaming first-chunk
+            # granularity (flash mode needs only 12 tokens; the default
+            # block 16 would hold its first chunk one block anyway, but a
+            # block of 8 lets flash emit a block earlier at a small
+            # dispatch-frequency cost)
+            block=app.get("stream_block", 16),
             slots=slots, mesh=eng.tp_mesh)
     return app["runtime"]["continuous"]
 
@@ -510,11 +516,12 @@ async def logging_middleware(request, handler):
 # app factory
 # --------------------------------------------------------------------------
 
-def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig()
-               ) -> web.Application:
+def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig(),
+               stream_block: int = 16) -> web.Application:
     app = web.Application(middlewares=[cors_middleware, logging_middleware],
                           client_max_size=100 * 1024 * 1024)
     app["pipeline"] = pipeline
+    app["stream_block"] = int(stream_block)
     app["voice_store"] = pipeline.voice_store
     app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
     from ..utils.metrics import (
@@ -657,6 +664,11 @@ def main(argv=None):
                         "other value quantizes every block (stacked-layer "
                         "scan needs a uniform dtype; default -1 = all)")
     p.add_argument("--token-chunk-size", type=int, default=256)
+    p.add_argument("--stream-block", type=int, default=16,
+                   help="continuous-engine decode-block size; streaming "
+                        "chunks are delivered per block, so 8 pairs with "
+                        "latency_mode=flash (12-token first sound) at a "
+                        "small dispatch-frequency cost")
     p.add_argument("--no-download", action="store_true",
                    help="skip the HF model auto-download check")
     p.add_argument("--allow-random-codec", action="store_true",
@@ -683,7 +695,8 @@ def main(argv=None):
         collect_timeout_ms=args.batch_timeout,
         inference_timeout_ms=args.inference_timeout,
     )
-    app = create_app(pipeline, batch_cfg)
+    app = create_app(pipeline, batch_cfg,
+                     stream_block=getattr(args, "stream_block", 16))
     if args.warmup:
         log.info("warming up compiled programs …")
         times = pipeline.warmup()

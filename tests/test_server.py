@@ -484,3 +484,31 @@ def test_stream_survives_server_teardown(tmp_path):
         threading.excepthook = orig_hook
     assert not thread_errors, [
         (e.exc_type, str(e.exc_value)) for e in thread_errors]
+
+
+def test_stream_block_flag(tmp_path):
+    """--stream-block reaches the continuous engine's block size; a
+    block-8 stream still produces complete, correct audio."""
+    async def runner():
+        app = create_app(tiny_pipeline(tmp_path),
+                         BatchConfig(max_batch_size=4, collect_timeout_ms=5,
+                                     inference_timeout_ms=120000),
+                         stream_block=8)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            import aiohttp
+            r = await client.post("/api/tts/stream",
+                                  json={"text": "block eight", "seed": 4,
+                                        "latency_mode": "flash"},
+                                  timeout=aiohttp.ClientTimeout(total=900))
+            assert r.status == 200
+            chunks = []
+            async for line in r.content:
+                if line.strip():
+                    chunks.append(json.loads(line))
+            assert chunks and chunks[-1]["final"]
+            assert client.app["runtime"]["continuous"].block == 8
+        finally:
+            await client.close()
+    asyncio.run(runner())
