@@ -44,7 +44,12 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Load all tensors from a .safetensors file as float32 numpy arrays."""
     import os as _os
     with open(path, "rb") as f:
-        (hlen,) = struct.unpack("<Q", f.read(8))
+        head = f.read(8)
+        if len(head) < 8:
+            raise ValueError(
+                f"{path} is not a safetensors file (shorter than the "
+                f"8-byte header)")
+        (hlen,) = struct.unpack("<Q", head)
         # a non-safetensors file (e.g. a CBOR prefab) yields a garbage
         # header length here — reject BEFORE allocating it
         if hlen > _os.fstat(f.fileno()).st_size - 8:

@@ -94,6 +94,10 @@ def _decode_item(buf: bytes, pos: int, depth: int = 0) -> Tuple[Any, int]:
     if depth > _MAX_DEPTH:
         raise CborError(f"nesting deeper than {_MAX_DEPTH}")
     major, info, val, pos = _decode_head(buf, pos)
+    if val == -1 and major not in (2, 3, 4, 5, 7):
+        # RFC 8949: additional-info 31 is only valid for indefinite
+        # strings/arrays/maps and the break code — not ints or tags
+        raise CborError(f"indefinite-length head on major type {major}")
     if major == 0:
         return val, pos
     if major == 1:

@@ -456,7 +456,10 @@ class TtsEngine:
         # program through the tunnel (the r3 soak's early p99 spikes)
         B0 = len(requests)
         Bp = 1 << (B0 - 1).bit_length()
-        if Bp != B0:
+        # never pad BEYOND the operator's engine batch cap (a cap of 12
+        # chosen against chip memory must not silently run 16-wide);
+        # batches already above the cap run at their own size
+        if Bp != B0 and Bp <= self.engine_cfg.batch_size:
             reqs = list(requests)
             out = self.generate_batch(reqs + [reqs[-1]] * (Bp - B0))
             return out[:B0]

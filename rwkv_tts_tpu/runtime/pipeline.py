@@ -392,6 +392,33 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
                 sem.block_until_ready()
                 out[f"lm_{'zs' if zs else 'normal'}_{T}"] = \
                     round(time.perf_counter() - t0, 2)
+        # prompts LONGER than the largest bucket serve through the STAGED
+        # branch (chunked prefill → global_stage → semantic_stage) — warm
+        # those too or the first long-prompt request pays the cold
+        # multi-minute tunnel compiles (r3 review finding)
+        Tmax = ecfg.prefill_buckets[-1]
+        t0 = time.perf_counter()
+        st = rwkv7.init_state(cfg, B)
+        lg, st = rwkv7.forward(
+            eng.params, jnp.zeros((B, Tmax), jnp.int32), st, cfg,
+            use_pallas=eng.use_pallas,
+            lengths=jnp.full((B,), Tmax, jnp.int32))
+        lg.block_until_ready()
+        out[f"prefill_{Tmax}"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
+                                   use_pallas=eng.use_pallas_step)
+        lg2.block_until_ready()
+        out["global_stage"] = round(time.perf_counter() - t0, 2)
+        for zs in modes:
+            t0 = time.perf_counter()
+            sem, _, _ = semantic_stage(
+                eng.params, st2, lg2, keys, limits,
+                jnp.zeros((B,), jnp.int32), cfg, ecfg.max_semantic_tokens,
+                zs, use_pallas=eng.use_pallas_step, feed_tag1=not zs)
+            sem.block_until_ready()
+            out[f"semantic_{'zs' if zs else 'normal'}"] = \
+                round(time.perf_counter() - t0, 2)
     else:
         # under TP a B=1 request pads to the data-axis width and runs
         # forward_tp + the STAGED programs with the step_fn hook — warm

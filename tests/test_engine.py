@@ -189,3 +189,26 @@ def test_pow2_batch_padding_preserves_results(engine):
         single = engine.generate(r)
         assert single.global_tokens == b.global_tokens
         assert single.semantic_tokens == b.semantic_tokens
+
+
+def test_pow2_padding_respects_batch_cap():
+    """Padding must never exceed engine_cfg.batch_size (an operator cap
+    chosen against chip memory); over-cap batches run at their own size."""
+    import dataclasses
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    eng = TtsEngine(params, CFG,
+                    dataclasses.replace(ECFG, batch_size=3),
+                    use_pallas=False)
+    seen = []
+    orig = eng.prefill
+
+    def spy(prompts, state):
+        seen.append(len(prompts))
+        return orig(prompts, state)
+    eng.prefill = spy
+    # force the STAGED path so the spy observes the batch width
+    reqs = [TtsArgs(text="cap " * 200, seed=i, max_tokens=4)
+            for i in range(3)]
+    out = eng.generate_batch(reqs)
+    assert len(out) == 3
+    assert all(b == 3 for b in seen), seen  # 4 > cap 3 → no padding

@@ -217,3 +217,18 @@ def test_cbor_fuzz_no_uncontrolled_exceptions():
             decode_cbor(valid[:cut])
         except CborError:
             pass
+
+
+def test_cbor_rejects_indefinite_int_heads():
+    # RFC 8949: additional-info 31 is invalid for major 0/1/6
+    for b in (b"\x1f", b"\x3f", bytes([0xDF]) + enc(1)):
+        with pytest.raises(CborError):
+            decode_cbor(b)
+
+
+def test_short_file_is_clean_error(tmp_path):
+    p = str(tmp_path / "tiny.bin")
+    with open(p, "wb") as f:
+        f.write(b"\x01\x02")
+    with pytest.raises(ValueError, match="neither"):
+        read_lm_checkpoint(p)
