@@ -161,6 +161,10 @@ def fuse_params(params: Params, cfg: RwkvConfig) -> Params:
     picks up ``zrkv`` in place of w_r/w_k/w_v.
     """
     bp = params["blocks"]
+    if isinstance(bp, (tuple, list)):
+        raise ValueError("fuse_params must run BEFORE quantization "
+                         "(blocks are already split into partial-quant "
+                         "segments)")
     f32 = jnp.float32
 
     def hat(W, mu):
@@ -401,6 +405,37 @@ def state_from_bt(state: State, g: int = 1) -> State:
     return {**state, "wkv": w.reshape(L, gB // g, h0 * g, N, N)}
 
 
+def _seg_layers(seg) -> int:
+    """Layer count of one stacked blocks segment."""
+    return int(seg["ln1_w"].shape[0])
+
+
+def _scan_layers(body, carry, bp, state_xs, unroll: int = 1):
+    """``lax.scan`` over the layer stack.
+
+    ``bp`` is either a dict of stacked ``[L, ...]`` leaves or a tuple of
+    layer segments (partial quantization, ops/quant.quantize_rwkv_params
+    with ``0 < quant_layers < n_layer`` — the reference's first-N-layers
+    semantics, src/shared_runtime.rs:156-176). Segments scan back to back,
+    threading the carry, and stacked outputs concatenate along the layer
+    axis, so callers see exactly the single-scan contract.
+
+    ``state_xs``: per-layer state inputs ([L, ...] arrays) scanned
+    alongside the params; sliced to each segment's layer range."""
+    if not isinstance(bp, (tuple, list)):
+        return jax.lax.scan(body, carry, (bp, *state_xs), unroll=unroll)
+    off = 0
+    ys_parts = []
+    for seg in bp:
+        L = _seg_layers(seg)
+        xs = tuple(s[off:off + L] for s in state_xs)
+        carry, ys = jax.lax.scan(body, carry, (seg, *xs), unroll=unroll)
+        ys_parts.append(ys)
+        off += L
+    ys = jax.tree.map(lambda *ts: jnp.concatenate(ts, axis=0), *ys_parts)
+    return carry, ys
+
+
 def init_state(cfg: RwkvConfig, batch: int) -> State:
     """Fresh recurrent state — the analog of web-rwkv's ``state.init()``
     (src/normal_mode_inference.rs:66-71)."""
@@ -588,10 +623,11 @@ def forward(params: Params, tokens: jax.Array, state: State, cfg: RwkvConfig,
         x = x + ffn
         return (x, v_first, idx + 1), (att_x, ffn_x, wkv)
 
-    (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+    (x, _, _), (att_xs, ffn_xs, wkvs) = _scan_layers(
         layer_body,
         (x, v_first0, jnp.int32(0)),
-        (bp, state["att_x"], state["ffn_x"],
+        bp,
+        (state["att_x"], state["ffn_x"],
          state["wkv"].astype(jnp.float32)),
     )
     wkvs = wkvs.astype(jnp.dtype(cfg.state_dtype))
@@ -772,17 +808,19 @@ def step(params: Params, token: jax.Array, state: State, cfg: RwkvConfig,
 
     v_first0 = jnp.zeros((B, C), jnp.float32)
     if bt_stack:
-        (x, _, _, wkvs), (att_xs, ffn_xs) = jax.lax.scan(
+        (x, _, _, wkvs), (att_xs, ffn_xs) = _scan_layers(
             layer_body,
             (x, v_first0, jnp.int32(0), state["wkv"]),
-            (bp, state["att_x"], state["ffn_x"]),
+            bp,
+            (state["att_x"], state["ffn_x"]),
             unroll=STEP_UNROLL,
         )
     else:
-        (x, _, _), (att_xs, ffn_xs, wkvs) = jax.lax.scan(
+        (x, _, _), (att_xs, ffn_xs, wkvs) = _scan_layers(
             layer_body,
             (x, v_first0, jnp.int32(0)),
-            (bp, state["att_x"], state["ffn_x"], state["wkv"]),
+            bp,
+            (state["att_x"], state["ffn_x"], state["wkv"]),
             unroll=STEP_UNROLL,
         )
     x = _layer_norm(x, params["ln_out_w"], params["ln_out_b"], cfg.ln_eps)

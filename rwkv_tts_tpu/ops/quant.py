@@ -10,10 +10,10 @@ via web-rwkv's Quant::Int8). TPU-native scheme:
     output — XLA lowers int8×bf16 efficiently on the MXU and the weights
     halve HBM traffic, which is exactly what a bandwidth-bound decode wants;
   * embedding/head can be quantized too (biggest tensors at 78k rows);
-  * ``quant_layers`` is an ALL-OR-NOTHING switch here (0 = none, anything
-    else = every block): per-layer partial quantization is a deliberate
-    deviation from the reference's first-N-layers option — stacked-layer
-    leaves would need ragged dtypes. See quantize_rwkv_params's docstring.
+  * ``quant_layers`` follows the reference's first-N-layers semantics
+    (0 = none, -1 = all, 0 < N < n_layer = blocks 0..N quantized, rest
+    bf16). Partial quantization splits the stacked blocks into two scan
+    segments — see quantize_rwkv_params's docstring.
 
 The quantized pytree keeps the same keys: a dense leaf becomes
 ``{"q": int8, "s": f32}`` and models/rwkv7.py's ``_mm`` helper dispatches on
@@ -94,28 +94,55 @@ def qmatmul(x: jax.Array, w) -> jax.Array:
     return x @ w.astype(x.dtype)
 
 
+def n_layers_of(blocks) -> int:
+    """Layer count of a blocks pytree (dict of [L, ...] stacked leaves, or
+    a tuple of layer segments from partial quantization)."""
+    if isinstance(blocks, (tuple, list)):
+        return sum(n_layers_of(s) for s in blocks)
+    return int(blocks["ln1_w"].shape[0])
+
+
 def quantize_rwkv_params(params: Dict[str, Any], quant_layers: int = -1,
                          quantize_head: bool = True,
                          kind: str = "int8") -> Dict[str, Any]:
     """Quantize the dense projections of a models/rwkv7.py pytree.
 
-    quant_layers: 0 disables, any other value quantizes every block. (The
-    reference quantizes the first N layers only; with stacked-layer lax.scan
-    a per-layer dtype mix would force an unstacked loop, so we deliberately
-    support all-or-nothing — the quality/size trade-off is controlled by
-    which *tensors* quantize instead: DENSE_KEYS + optionally the head.)
+    quant_layers mirrors the reference's first-N-layers semantics
+    (src/shared_runtime.rs:156-176 quantizes layers ``0..quant_layers``;
+    CLI at bin/server.rs:1203-1233): 0 disables, -1 (or N ≥ n_layer)
+    quantizes every block, and ``0 < N < n_layer`` quantizes blocks
+    ``0..N`` only. Partial quantization stores ``blocks`` as a TUPLE of
+    two stacked segments — (quantized[:N], full[N:]) — because one
+    stacked lax.scan leaf cannot mix dtypes; models/rwkv7's layer scans
+    run segment-by-segment, threading the carry (rwkv7._scan_layers).
+    The head quantizes whenever any block does (it is the single biggest
+    tensor and the reference's Quant map covers embed/head implicitly).
     """
     if quant_layers == 0:
         return params
     qt = {"int8": quantize_tensor, "nf4": quantize_tensor_nf4,
           "int4": quantize_tensor_int4}[kind]
     out = dict(params)
-    blocks = dict(params["blocks"])
-    # fused layout (models/rwkv7.fuse_params) carries zrkv instead of w_r/k/v
-    keys = [k for k in ("zrkv",) + DENSE_KEYS if k in blocks]
-    for k in keys:
-        blocks[k] = qt(blocks[k])
-    out["blocks"] = blocks
+    blocks = params["blocks"]
+    if isinstance(blocks, (tuple, list)):
+        raise ValueError("params are already partially quantized")
+    L = n_layers_of(blocks)
+    n_q = L if quant_layers < 0 or quant_layers >= L else quant_layers
+
+    def quantize_segment(seg: Dict[str, Any]) -> Dict[str, Any]:
+        seg = dict(seg)
+        # fused layout (models/rwkv7.fuse_params) carries zrkv, not w_r/k/v
+        for k in ("zrkv",) + DENSE_KEYS:
+            if k in seg:
+                seg[k] = qt(seg[k])
+        return seg
+
+    if n_q == L:
+        out["blocks"] = quantize_segment(blocks)
+    else:
+        seg_q = jax.tree.map(lambda t: t[:n_q], blocks)
+        seg_f = jax.tree.map(lambda t: t[n_q:], blocks)
+        out["blocks"] = (quantize_segment(seg_q), seg_f)
     if quantize_head:
         out["head"] = qt(params["head"])
     return out

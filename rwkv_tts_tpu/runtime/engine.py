@@ -336,6 +336,10 @@ class TtsEngine:
                     f"tensor parallelism {mp} must divide the model's head "
                     f"count {cfg.n_head} (n_embd {cfg.n_embd} / head_size "
                     f"{cfg.head_size}) — lower --tp or use data parallelism")
+            if isinstance(params.get("blocks"), (tuple, list)):
+                raise ValueError(
+                    "tp_mesh does not compose with partial --quant-layers "
+                    "(segmented blocks); quantize all layers or none")
             if "zrkv" in params.get("blocks", {}):
                 raise ValueError("tp_mesh takes the RAW layout; fused "
                                  "(zrkv) params cannot be head-sharded")

@@ -660,9 +660,9 @@ def main(argv=None):
     p.add_argument("--inference-timeout", type=float, default=120000.0)
     p.add_argument("--quant-type", choices=["none", "int8", "int4", "nf4", "sf4"], default="none")
     p.add_argument("--quant-layers", type=int, default=-1,
-                   help="0 disables quantization (reference parity); any "
-                        "other value quantizes every block (stacked-layer "
-                        "scan needs a uniform dtype; default -1 = all)")
+                   help="quantize the first N blocks only, matching the "
+                        "reference (shared_runtime.rs:156-176); 0 disables "
+                        "quantization, -1 (default) quantizes every block")
     p.add_argument("--token-chunk-size", type=int, default=256)
     p.add_argument("--stream-block", type=int, default=16,
                    help="continuous-engine decode-block size; streaming "

@@ -213,20 +213,28 @@ def encode_with_spct(tokenizer: RwkvTokenizer, text: str) -> List[int]:
     sibling implements it; the Rust server never wired it, so text
     containing these markers is where this framework deliberately goes
     BEYOND the reference server: without markers the encoding is
-    bit-identical). Any ``SPCT_n`` with n in [0, 99] expands — the same
-    id space the property tokens live in."""
+    bit-identical). Only well-formed 48/49/50 triples expand; a lone
+    ``SPCT_n`` in ordinary text (or a malformed/partial triple) passes
+    through as plain text, so ids like ``SPCT_100`` or stray markers
+    can never silently become property-range control tokens."""
     global _SPCT_MARKER
     if _SPCT_MARKER is None:
         import re
-        _SPCT_MARKER = re.compile(r"SPCT_(\d{1,2})")
+        _SPCT_MARKER = re.compile(
+            r"SPCT_48(?!\d)(.*?)SPCT_49(?!\d)(.*?)SPCT_50(?!\d)", re.S)
     from .. import constants as C
 
+    off = C.TTS_SPECIAL_TOKEN_OFFSET
     out: List[int] = []
     pos = 0
     for m in _SPCT_MARKER.finditer(text):
         if m.start() > pos:
             out.extend(tokenizer.encode(text[pos:m.start()]))
-        out.append(C.TTS_SPECIAL_TOKEN_OFFSET + int(m.group(1)))
+        out.append(off + 48)
+        out.extend(tokenizer.encode(m.group(1)))
+        out.append(off + 49)
+        out.extend(tokenizer.encode(m.group(2)))
+        out.append(off + 50)
         pos = m.end()
     out.extend(tokenizer.encode(text[pos:]))
     return out

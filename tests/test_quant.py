@@ -69,6 +69,66 @@ def test_quant_layers_zero_is_identity():
     assert out is params
 
 
+def test_quant_layers_partial_first_n_only():
+    """--quant-layers N parity (shared_runtime.rs:156-176): blocks 0..N
+    quantize, the rest stay full precision, and both forward and step run
+    through the segmented layer scan with byte-identical layer-1 weights."""
+    from rwkv_tts_tpu.ops.quant import is_quantized
+
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params, quant_layers=1)
+    assert isinstance(q["blocks"], tuple) and len(q["blocks"]) == 2
+    seg_q, seg_f = q["blocks"]
+    assert is_quantized(seg_q["w_r"]) and is_quantized(seg_q["ffn_v"])
+    assert not is_quantized(seg_f["w_r"])
+    # the untouched segment is byte-identical to layer 1's original weights
+    np.testing.assert_array_equal(np.asarray(seg_f["w_r"][0]),
+                                  np.asarray(params["blocks"]["w_r"][1]))
+    assert int(seg_q["ln1_w"].shape[0]) == 1
+    assert int(seg_f["ln1_w"].shape[0]) == 1
+
+    tokens = jnp.array([[5, 17, 300, 42, 7]])
+    state = rwkv7.init_state(CFG, 1)
+    logits_fp, st_fp = rwkv7.forward(params, tokens, state, CFG)
+    logits_p, st_p = rwkv7.forward(q, tokens, state, CFG)
+    assert bool(jnp.all(jnp.isfinite(logits_p)))
+    assert st_p["wkv"].shape == st_fp["wkv"].shape
+    corr = np.corrcoef(np.asarray(logits_fp[0]), np.asarray(logits_p[0]))[0, 1]
+    assert corr > 0.99, corr
+    # partial quant errs no more than full quant (fewer layers perturbed)
+    full = quantize_rwkv_params(params)
+    logits_full, _ = rwkv7.forward(full, tokens, state, CFG)
+    err_p = float(jnp.mean(jnp.abs(logits_p - logits_fp)))
+    err_full = float(jnp.mean(jnp.abs(logits_full - logits_fp)))
+    assert err_p <= err_full * 1.05, (err_p, err_full)
+    # step path through the segmented scan
+    lq, st2 = rwkv7.step(q, jnp.array([3]), st_p, CFG)
+    assert bool(jnp.all(jnp.isfinite(lq)))
+    assert st2["wkv"].shape == st_fp["wkv"].shape
+
+
+def test_quant_layers_partial_composes_with_fused_layout():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    fused = rwkv7.fuse_params(params, CFG)
+    q = quantize_rwkv_params(fused, quant_layers=1)
+    assert isinstance(q["blocks"], tuple)
+    state = rwkv7.init_state(CFG, 2)
+    logits, st = rwkv7.step(q, jnp.array([3, 9]), state, CFG)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # fuse AFTER partial quantization is rejected loudly
+    import pytest
+    with pytest.raises(ValueError, match="BEFORE quantization"):
+        rwkv7.fuse_params(q, CFG)
+
+
+def test_quant_layers_ge_nlayer_is_full():
+    params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params, quant_layers=CFG.n_layer + 3)
+    assert isinstance(q["blocks"], dict)     # no segmentation
+    from rwkv_tts_tpu.ops.quant import is_quantized
+    assert is_quantized(q["blocks"]["w_r"])
+
+
 def test_quant_memory_halved():
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
     q = quantize_rwkv_params(params)

@@ -153,8 +153,17 @@ def test_spct_pronunciation_markers():
     # no markers → plain encode, bit-identical
     assert encode_with_spct(tok, "hello world") == tok.encode("hello world")
 
+    # a lone SPCT_n outside a well-formed triple stays plain text
     enc = CachedEncoder(tok, normalize=False)
-    assert enc.encode("aSPCT_7b") == (
-        tok.encode("a") + [off + 7] + tok.encode("b"))
+    assert enc.encode("aSPCT_7b") == tok.encode("aSPCT_7b")
+    # SPCT_100 must NOT partially match as SPCT_10 + '0'
+    assert encode_with_spct(tok, "xSPCT_100y") == tok.encode("xSPCT_100y")
+    # a partial triple (no closing SPCT_50) passes through as plain text
+    assert encode_with_spct(tok, "SPCT_48这SPCT_49zhei4") == tok.encode(
+        "SPCT_48这SPCT_49zhei4")
+    # SPCT_480 is not a marker: the (?!\d) guard rejects it
+    assert encode_with_spct(
+        tok, "SPCT_480xSPCT_49ySPCT_50") == tok.encode(
+        "SPCT_480xSPCT_49ySPCT_50")
     enc_off = CachedEncoder(tok, normalize=False, spct=False)
-    assert off + 7 not in enc_off.encode("aSPCT_7b")
+    assert off + 48 not in enc_off.encode("SPCT_48x SPCT_49y SPCT_50")
