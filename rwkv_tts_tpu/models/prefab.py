@@ -19,11 +19,19 @@ with a message; this reader closes the gap for the common case:
     expects, so the result feeds the same ``normalize_rwkv7_names`` →
     ``load_rwkv7`` pipeline as a safetensors file.
 
-QUANTIZED prefabs (Int8/NF4/SF4 variants) are detected and refused with
-a conversion pointer — re-quantization happens at load here (``--quant-type``),
-so shipping the f16 weights is strictly better. Anything unmappable
-fails loudly listing the discovered paths; exact field names can only be
-confirmed at first contact with a published prefab (no egress here).
+QUANTIZED prefabs: the ``Int8`` variant DECODES — web-rwkv's Quant::Int8
+is BlinkDL's asymmetric u8 scheme (per-row min/range ``my``/``ry``,
+per-column min/range ``mx``/``rx``; dequant w ≈ (q+0.5)/256·ry·rx+my+mx),
+and :func:`_decode_int8_variant` inverts it to f32 so the container
+feeds the normal ``load_rwkv7`` path (re-quantize at load with
+``--quant-type`` to keep the memory point). ``NF4``/``SF4`` variants
+still refuse with a conversion pointer (their packed nibble layout is
+web-rwkv-internal). An Int8 variant whose inner structure doesn't match
+the known field set fails loudly LISTING the fields found, so first
+contact with a drifted container yields an actionable error rather than
+garbage weights. Bare u8 byte blobs not wrapped in a recognized variant
+are refused for the same reason (they would otherwise load 0–255
+integers as weights).
 """
 
 from __future__ import annotations
@@ -177,14 +185,16 @@ def _decode_item(buf: bytes, pos: int, depth: int = 0) -> Tuple[Any, int]:
 # tensor extraction
 # --------------------------------------------------------------------------
 
-_QUANT_VARIANTS = ("Int8", "NF4", "SF4", "Q8", "Q4")
+_QUANT_VARIANTS = ("NF4", "SF4", "Q4")   # Int8/Q8 decode instead (below)
 _FP_VARIANTS = ("Fp16", "Fp32", "F16", "F32")
 
 
-def _as_tensor(node: Any):
+def _raw_tensor(node: Any, allow_u8: bool = False):
     """Structurally recognize a serialized tensor: a map containing an
     int-list shape and a byte blob whose length matches prod(shape) at
-    a known element width. Returns ndarray or None."""
+    a known element width. Returns (ndarray, is_u8) or None. u8 payloads
+    are only decoded when ``allow_u8`` (inside a recognized quantized
+    variant); elsewhere the width-1 match is rejected by the caller."""
     if not isinstance(node, dict):
         return None
     shape = None
@@ -201,16 +211,125 @@ def _as_tensor(node: Any):
     if shape is None or data is None:
         return None
     n = int(np.prod(shape)) if shape else 1
-    for dt, width in ((np.float16, 2), (np.float32, 4), (np.uint8, 1)):
+    for dt, width in ((np.float16, 2), (np.float32, 4)):
         if len(data) == n * width:
             arr = np.frombuffer(data, dt)
-            return arr.astype(np.float32).reshape(shape)
-    # numeric list payloads (e.g. float arrays) — small tensors
+            return arr.astype(np.float32).reshape(shape), False
+    if len(data) == n:
+        if not allow_u8:
+            return None, True        # sentinel: looks packed/quantized
+        return np.frombuffer(data, np.uint8).reshape(shape), True
     return None
 
 
+def _as_tensor(node: Any, path: str = ""):
+    """f16/f32 tensor leaf → f32 ndarray; a bare u8 blob (quantized or
+    packed payload outside a recognized variant) refuses loudly (a
+    0–255 integer load would silently corrupt the model)."""
+    rt = _raw_tensor(node)
+    if rt is None:
+        return None
+    arr, is_u8 = rt
+    if arr is None and is_u8:
+        raise CborError(
+            f"prefab tensor at '{path}' is a raw byte payload (width-1 "
+            "element match) outside a recognized quantized variant — "
+            "refusing to load it as weights; this minimal reader handles "
+            "f16/f32 tensors and web-rwkv Int8 variants")
+    return arr
+
+
+def quantize_int8_blinkdl(w: np.ndarray):
+    """BlinkDL/web-rwkv asymmetric u8 quantization of a 2-D matrix
+    (ChatRWKV's ``i8`` strategy, the scheme behind web-rwkv Quant::Int8):
+    subtract per-row min ``my`` then per-column min ``mx``, divide by
+    per-column range ``rx`` then per-row range ``ry``, scale ×256 → u8.
+    Returns (q u8 [R, C], mx [C], rx [C], my [R], ry [R]) — the exact
+    inverse of :func:`_dequant_int8_blinkdl`. Used by the fixture tests
+    and by tools/validate_real_assets.py for first-contact cross-checks."""
+    w = np.asarray(w, np.float32)
+    my = w.min(axis=1, keepdims=True)
+    w = w - my
+    mx = w.min(axis=0, keepdims=True)
+    w = w - mx
+    rx = np.maximum(w.max(axis=0, keepdims=True), 1e-12)
+    w = w / rx
+    ry = np.maximum(w.max(axis=1, keepdims=True), 1e-12)
+    w = w / ry
+    q = np.clip(np.floor(w * 256.0), 0, 255).astype(np.uint8)
+    return q, mx[0], rx[0], my[:, 0], ry[:, 0]
+
+
+def _dequant_int8_blinkdl(q, mx, rx, my, ry) -> np.ndarray:
+    """w ≈ (q + 0.5)/256 · ry⊗rx + my ⊕ mx (row vectors broadcast)."""
+    qf = q.astype(np.float32)
+    return ((qf + 0.5) / 256.0 * ry[:, None] * rx[None, :]
+            + my[:, None] + mx[None, :])
+
+
+def _decode_int8_variant(node: Any, path: str) -> np.ndarray:
+    """web-rwkv ``Int8`` matrix variant → dequantized f32 ndarray.
+
+    Expected inner structure (Matrix::Int8 struct fields): a u8 weight
+    tensor ``w`` and four float vectors ``mx``/``rx`` (per column) and
+    ``my``/``ry`` (per row). Field spellings are matched
+    case-insensitively; any other structure raises listing the fields
+    found so a drifted container gives an actionable first-contact
+    error instead of corrupt weights."""
+    if not isinstance(node, dict):
+        raise CborError(
+            f"prefab Int8 variant at '{path}' is not a struct "
+            f"(got {type(node).__name__})")
+    fields: Dict[str, Any] = {str(k).lower(): v for k, v in node.items()}
+    w_node = fields.get("w") or fields.get("q") or fields.get("weight")
+    vec_nodes = {k: fields.get(k) for k in ("mx", "rx", "my", "ry")}
+    if w_node is None or any(v is None for v in vec_nodes.values()):
+        raise CborError(
+            f"prefab Int8 variant at '{path}' has fields "
+            f"{sorted(fields)} — expected w + mx/rx/my/ry (web-rwkv "
+            "Quant::Int8); extend models/prefab.py's Int8 shim for "
+            "this container")
+    rt = _raw_tensor(w_node, allow_u8=True)
+    if rt is None or rt[0] is None or not rt[1]:
+        raise CborError(
+            f"prefab Int8 variant at '{path}': field 'w' is not a u8 "
+            "tensor payload")
+    q = rt[0]
+    if q.ndim == 1:
+        raise CborError(
+            f"prefab Int8 variant at '{path}': weight tensor is 1-D "
+            f"({q.shape}) — need the [rows, cols] matrix shape to "
+            "apply the row/col scales")
+    q = q.reshape(q.shape[0] if q.ndim == 2 else int(
+        np.prod(q.shape[:-1])), q.shape[-1])
+    vecs = {}
+    for name, vn in vec_nodes.items():
+        vrt = _raw_tensor(vn)
+        if vrt is None or vrt[0] is None:
+            # serde may emit small float vectors as plain lists
+            if isinstance(vn, list) and vn and all(
+                    isinstance(x, (int, float)) for x in vn):
+                vecs[name] = np.asarray(vn, np.float32)
+                continue
+            raise CborError(
+                f"prefab Int8 variant at '{path}': field '{name}' is "
+                "not a float tensor/list")
+        vecs[name] = vrt[0].reshape(-1)
+    R, C = q.shape
+    for name, want in (("mx", C), ("rx", C), ("my", R), ("ry", R)):
+        if vecs[name].size != want:
+            raise CborError(
+                f"prefab Int8 variant at '{path}': |{name}| = "
+                f"{vecs[name].size}, expected {want} for weight "
+                f"[{R}, {C}]")
+    w = _dequant_int8_blinkdl(q, vecs["mx"], vecs["rx"],
+                              vecs["my"], vecs["ry"])
+    log.info("prefab: dequantized Int8 tensor '%s' [%d, %d]", path, R, C)
+    return w
+
+
 def _walk(node: Any, path: str, out: Dict[str, np.ndarray]) -> None:
-    t = _as_tensor(node)
+    t = _as_tensor(node, path)
     if t is not None:
         out[path] = t
         return
@@ -218,13 +337,16 @@ def _walk(node: Any, path: str, out: Dict[str, np.ndarray]) -> None:
         for k, v in node.items():
             key = str(k)
             # serde enum variants: {"Fp16": tensor} wraps transparently;
-            # a quantized variant is a hard stop (minimal reader)
+            # {"Int8": struct} dequantizes; NF4/SF4 are a hard stop
+            if key in ("Int8", "Q8"):
+                out[path] = _decode_int8_variant(v, path)
+                continue
             if key in _QUANT_VARIANTS:
                 raise CborError(
                     f"prefab tensor at '{path}' is pre-quantized "
-                    f"({key}); this minimal reader handles f16/f32 "
-                    "prefabs — export the unquantized safetensors and "
-                    "use --quant-type instead")
+                    f"({key}); this minimal reader handles f16/f32 and "
+                    "Int8 prefabs — export the unquantized safetensors "
+                    "and use --quant-type instead")
             sub = path if key in _FP_VARIANTS else (
                 f"{path}.{key}" if path else key)
             _walk(v, sub, out)

@@ -461,9 +461,13 @@ class TtsEngine:
         B0 = len(requests)
         Bp = 1 << (B0 - 1).bit_length()
         # never pad BEYOND the operator's engine batch cap (a cap of 12
-        # chosen against chip memory must not silently run 16-wide);
-        # batches already above the cap run at their own size
-        if Bp != B0 and Bp <= self.engine_cfg.batch_size:
+        # chosen against chip memory must not silently run 16-wide) —
+        # with a non-pow2 cap, batches in (cap/2, cap] pad to the cap
+        # itself so the compile set stays bounded (pow2 ladder + cap);
+        # only batches already above the cap run at their own size
+        if Bp > self.engine_cfg.batch_size:
+            Bp = self.engine_cfg.batch_size if B0 <= self.engine_cfg.batch_size else B0
+        if Bp != B0:
             reqs = list(requests)
             out = self.generate_batch(reqs + [reqs[-1]] * (Bp - B0))
             return out[:B0]

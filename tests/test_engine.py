@@ -193,7 +193,10 @@ def test_pow2_batch_padding_preserves_results(engine):
 
 def test_pow2_padding_respects_batch_cap():
     """Padding must never exceed engine_cfg.batch_size (an operator cap
-    chosen against chip memory); over-cap batches run at their own size."""
+    chosen against chip memory). With a non-pow2 cap, batches in
+    (cap/2, cap] pad TO the cap — the compile set stays bounded at
+    {pow2 ladder ≤ cap, cap} (ADVICE r3) — while over-cap batches run
+    at their own size."""
     import dataclasses
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
     eng = TtsEngine(params, CFG,
@@ -211,4 +214,14 @@ def test_pow2_padding_respects_batch_cap():
             for i in range(3)]
     out = eng.generate_batch(reqs)
     assert len(out) == 3
-    assert all(b == 3 for b in seen), seen  # 4 > cap 3 → no padding
+    assert all(b == 3 for b in seen), seen  # 3 → cap width 3 (no pow2 4)
+    # over-half-cap batch (2 of cap 3): pow2 keeps it at 2
+    seen.clear()
+    out = eng.generate_batch(reqs[:2])
+    assert len(out) == 2 and all(b == 2 for b in seen), seen
+    # over-cap batch (5 > 3) runs at its own size, never padded up
+    seen.clear()
+    reqs5 = [TtsArgs(text="cap " * 200, seed=i, max_tokens=4)
+             for i in range(5)]
+    out = eng.generate_batch(reqs5)
+    assert len(out) == 5 and all(b == 5 for b in seen), seen
