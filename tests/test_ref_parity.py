@@ -76,6 +76,123 @@ def test_rng_pinned_fixture():
 
 
 # --------------------------------------------------------------------------
+# Independent cross-validation (VERDICT r3 next-round #3): the ChaCha core
+# against OpenSSL (via `cryptography`) and the PCG-XSH-RR output function
+# against the published pcg32 known-answer sequence — both external to
+# this repo, so the keystream contract is no longer only self-consistent.
+# --------------------------------------------------------------------------
+
+def _openssl_chacha20():
+    try:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms)
+    except Exception:                                # pragma: no cover
+        pytest.skip("cryptography not available")
+    return Cipher, algorithms
+
+
+def test_chacha_core_matches_openssl_many_states():
+    """chacha_block(…, 20) equals OpenSSL's ChaCha20 keystream for random
+    keys and word-12..15 states (OpenSSL's 16-byte 'nonce' maps verbatim
+    onto state words 12..15 — verified layout, incl. 64-bit counter)."""
+    import struct
+
+    Cipher, algorithms = _openssl_chacha20()
+    rng = np.random.default_rng(0)
+    const = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+    for _ in range(8):
+        key = rng.bytes(32)
+        nonce16 = rng.bytes(16)
+        kw = list(struct.unpack("<8I", key))
+        nw = list(struct.unpack("<4I", nonce16))
+        enc = Cipher(algorithms.ChaCha20(key, nonce16),
+                     mode=None).encryptor()
+        theirs = enc.update(bytes(128))              # two blocks
+        mine0 = struct.pack("<16I", *chacha_block(const + kw + nw, 20))
+        w12 = (nw[0] + 1) & 0xFFFFFFFF
+        w13 = (nw[1] + (1 if w12 == 0 else 0)) & 0xFFFFFFFF
+        mine1 = struct.pack(
+            "<16I", *chacha_block(const + kw + [w12, w13] + nw[2:], 20))
+        assert mine0 + mine1 == theirs
+
+
+def test_chacha_64bit_counter_carry_matches_openssl():
+    """rand_chacha's from_seed layout is a 64-bit block counter in words
+    12-13 (stream id in 14-15). OpenSSL uses the same original-djb
+    layout: crossing 2^32 must carry into word 13."""
+    import struct
+
+    Cipher, algorithms = _openssl_chacha20()
+    key = bytes(range(32))
+    kw = list(struct.unpack("<8I", key))
+    nonce16 = struct.pack("<IIII", 0xFFFFFFFF, 5, 7, 9)
+    enc = Cipher(algorithms.ChaCha20(key, nonce16), mode=None).encryptor()
+    theirs = enc.update(bytes(128))
+    const = [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+    mine0 = struct.pack(
+        "<16I", *chacha_block(const + kw + [0xFFFFFFFF, 5, 7, 9], 20))
+    mine1 = struct.pack(
+        "<16I", *chacha_block(const + kw + [0, 6, 7, 9], 20))
+    assert mine0 + mine1 == theirs
+
+
+def test_stdrng_plumbing_matches_openssl_at_20_rounds():
+    """End-to-end RustStdRng consumption (seed fill → block buffer →
+    counter advance → word order) against OpenSSL, with only the round
+    count raised to 20 (the single code-path difference vs ChaCha12)."""
+    import struct
+
+    Cipher, algorithms = _openssl_chacha20()
+    r = RustStdRng(42)
+    r.ROUNDS = 20                                    # instance override
+    key = struct.pack("<8I", *seed_from_u64_words(42))
+    enc = Cipher(algorithms.ChaCha20(key, bytes(16)), mode=None).encryptor()
+    theirs = struct.unpack("<64I", enc.update(bytes(256)))
+    assert [r.next_u32() for _ in range(64)] == list(theirs)
+
+
+def test_pcg_xsh_rr_matches_published_pcg32_demo():
+    """The seed_from_u64 fill is rand_core 0.6.4's PCG32 (XSH-RR 64/32,
+    MUL 6364136223846793005). Validate the identical output function
+    against the published pcg32-demo known-answer test: seeded with
+    pcg32_srandom(42, 54), the first outputs are 0xa15c02b7 0x7b47f409
+    0xba1d3330 0x83d2f293 0xbfa4784b 0xcbed606e (PCG reference
+    implementation's demo, O'Neill). rand_core differs only in a fixed
+    increment and advance-before-output — both visible in its source and
+    covered by the structural test above."""
+    M64 = (1 << 64) - 1
+    MUL = 6364136223846793005
+
+    def pcg32_ref(state, inc):
+        old = state
+        state = (old * MUL + inc) & M64
+        xs = (((old >> 18) ^ old) >> 27) & 0xFFFFFFFF
+        rot = old >> 59
+        out = ((xs >> rot) | (xs << ((-rot) & 31))) & 0xFFFFFFFF
+        return out, state
+
+    inc = ((54 << 1) | 1) & M64
+    st = 0
+    _, st = pcg32_ref(st, inc)
+    st = (st + 42) & M64
+    _, st = pcg32_ref(st, inc)
+    outs = []
+    for _ in range(6):
+        o, st = pcg32_ref(st, inc)
+        outs.append(o)
+    assert outs == [0xA15C02B7, 0x7B47F409, 0xBA1D3330,
+                    0x83D2F293, 0xBFA4784B, 0xCBED606E]
+    # and the rand_core variant (advance-first, fixed INC) is exactly
+    # what seed_from_u64_words implements: reproduce word 0 by hand
+    INC = 11634580027462260723
+    s = (42 * MUL + INC) & M64
+    xs = (((s >> 18) ^ s) >> 27) & 0xFFFFFFFF
+    rot = s >> 59
+    w0 = ((xs >> rot) | (xs << ((-rot) & 31))) & 0xFFFFFFFF
+    assert seed_from_u64_words(42)[0] == w0
+
+
+# --------------------------------------------------------------------------
 # sampler order + fallbacks (stub RNG injects exact uniforms)
 # --------------------------------------------------------------------------
 

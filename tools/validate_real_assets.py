@@ -149,16 +149,33 @@ def main() -> int:
 
     # 7. reference-RNG parity capture -------------------------------------
     try:
+        from rwkv_tts_tpu import constants as C
         from rwkv_tts_tpu.runtime.parity import ReferenceRngEngine
+        from rwkv_tts_tpu.utils.rustrng import RustStdRng
         pe = ReferenceRngEngine(pipe.engine)
         text = "parity capture 你好"
+        _M64 = (1 << 64) - 1
         cap = {}
         for seed in (0, 42):
             r = pe.generate(TtsArgs(
                 text=text, seed=seed,
                 max_tokens=min(args.max_tokens or 64, 64)))
+            # expected raw f32 keystream per stage seed: on the Rust
+            # side, StdRng::seed_from_u64(seed +w offset) then ten
+            # gen::<f32>() calls must print exactly these values — the
+            # A/B is a diff, not a procedure (docs/PARITY.md "Raw draw
+            # vectors"; offsets: src/rwkv_sampler.rs:265-275)
+            draws = {}
+            for name, off in (("global", C.GLOBAL_SEED_OFFSET),
+                              ("semantic", C.SEMANTIC_SEED_OFFSET)):
+                rng = RustStdRng((seed + off) & _M64)
+                draws[name] = {
+                    "stage_seed": (seed + off) & _M64,
+                    "first_10_f32": [rng.next_f32() for _ in range(10)],
+                }
             cap[str(seed)] = {"global": r.global_tokens,
-                              "semantic": r.semantic_tokens}
+                              "semantic": r.semantic_tokens,
+                              "expected_raw_draws": draws}
         with open(os.path.join(args.out, "parity_tokens.json"), "w") as f:
             json.dump({"text": text, "quant": args.quant_type,
                        "seeds": cap}, f, indent=1)
