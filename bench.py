@@ -160,12 +160,12 @@ def _sync(x):
     return jax.device_get(x.ravel()[:1])
 
 
-def make_inputs(batch, decode_steps):
+def make_inputs(batch, decode_steps, prefill_len=PREFILL_LEN):
     tokens = jnp.asarray(
-        np.random.default_rng(0).integers(12293, 40000, (batch, PREFILL_LEN)),
+        np.random.default_rng(0).integers(12293, 40000, (batch, prefill_len)),
         jnp.int32,
     )
-    lengths = jnp.full((batch,), PREFILL_LEN, jnp.int32)
+    lengths = jnp.full((batch,), prefill_len, jnp.int32)
     keys = jnp.asarray(
         np.stack([np.array([0, s], np.uint32) for s in range(batch)]))
     limits = jnp.full((batch,), decode_steps, jnp.int32)
@@ -226,7 +226,8 @@ def serving_run(params, bc_params, batch, decode_steps, on_tpu,
 
 
 def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
-                        latency_mode="low", zero_shot=False):
+                        latency_mode="low", zero_shot=False,
+                        prefill_len=PREFILL_LEN):
     """Time-to-first-audio for a request at the latency batch, per the
     streaming modes of runtime/streaming.py:
 
@@ -246,7 +247,8 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
     chunk, look, ctx = {"low": (32, 16, 32), "ultra": (16, 8, 16),
                         "flash": (8, 4, 16)}[latency_mode]
     steps = chunk + look
-    tokens, lengths, keys, limits, hard_min = make_inputs(batch, steps)
+    tokens, lengths, keys, limits, hard_min = make_inputs(
+        batch, steps, prefill_len)
     g_toks = jnp.zeros((1, C.GLOBAL_TOKENS_SIZE), jnp.int32)
     sem_win = jnp.zeros((1, ctx + chunk + look), jnp.int32)
 
@@ -292,6 +294,17 @@ def main():
     first_chunk_zs_flash_ms = first_chunk_latency(qparams, bc_params, on_tpu,
                                                   latency_mode="flash",
                                                   zero_shot=True)
+    # cached-speaker fast path (round 4): a property-controlled request
+    # served through the zero-shot chain with 32 cached speaker tokens +
+    # TAG_1 prefilled — the prompt is text + 34 extra ids, and the
+    # 32-step global stage never runs (cache warm; the once-per-
+    # (props, seed) enrollment is off the request path by construction)
+    first_chunk_cached_ms = first_chunk_latency(
+        qparams, bc_params, on_tpu, latency_mode="flash", zero_shot=True,
+        prefill_len=PREFILL_LEN + 34)
+    first_chunk_cached_ultra_ms = first_chunk_latency(
+        qparams, bc_params, on_tpu, latency_mode="ultra", zero_shot=True,
+        prefill_len=PREFILL_LEN + 34)
 
     print(json.dumps({
         "metric": "synthesis_xrt_per_chip",
@@ -322,6 +335,8 @@ def main():
                 "normal_flash": round(first_chunk_flash_ms, 1),
                 "zero_shot_ultra": round(first_chunk_zs_ms, 1),
                 "zero_shot_flash": round(first_chunk_zs_flash_ms, 1),
+                "normal_cached": round(first_chunk_cached_ms, 1),
+                "normal_cached_ultra": round(first_chunk_cached_ultra_ms, 1),
             },
         },
     }))

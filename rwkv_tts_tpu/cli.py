@@ -42,6 +42,8 @@ def cmd_synth(args) -> int:
         zero_shot=bool(args.ref_audio), ref_audio_path=args.ref_audio,
         age=args.age, gender=args.gender, emotion=args.emotion,
         pitch=args.pitch, speed=args.speed,
+        cached_speaker=(True if getattr(args, "cached_speaker", False)
+                        else None),
     )
     res = pipe.synthesize(req)
     pipe.save_audio(res, args.output)
@@ -139,6 +141,9 @@ def main(argv=None) -> int:
     s.add_argument("--emotion", default="NEUTRAL")
     s.add_argument("--pitch", default="medium_pitch")
     s.add_argument("--speed", default="medium")
+    s.add_argument("--cached-speaker", action="store_true",
+                   help="reuse cached speaker tokens per (properties, "
+                        "seed) and skip the 32-step speaker stage")
     s.set_defaults(fn=cmd_synth)
 
     e = add_parser("extract", help="enroll a voice from reference audio")

@@ -253,6 +253,13 @@ class TtsArgs:
     # chain's third rung (lightweight_tts_pipeline.rs:773-781); tokens are
     # extracted (checksum-cached) during resolve_voice
     ref_audio_path: Optional[str] = None
+    # cached-speaker fast path (this framework's addition — no reference
+    # analog): property-controlled requests reuse 32 cached speaker
+    # tokens keyed by (properties, seed) and run the short zero-shot
+    # chain, skipping the 32-step global stage. None = follow the
+    # server/pipeline default; explicit False opts out even when the
+    # server default is on. See TtsPipeline.resolve_voice.
+    cached_speaker: Optional[bool] = None
     age: str = "youth-adult"
     gender: str = "female"
     emotion: str = "NEUTRAL"

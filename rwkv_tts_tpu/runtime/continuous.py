@@ -324,6 +324,8 @@ class _Live:
     prefill_tokens: int
     zero_shot: bool
     t_start: float
+    t_submit: float = 0.0     # submit() wall clock (queue-wait accounting)
+    t_first_emit: float = 0.0  # first semantic token routed to host
     admit_seq: int = 0        # dispatch count at admission (pipelining guard)
     cancelled: bool = False   # marked by cancel(); the decode thread retires
 
@@ -402,7 +404,25 @@ class ContinuousEngine:
         # (includes the device wait when the device is the bottleneck).
         self.stats = {"blocks": 0, "dispatch_s": 0.0, "process_s": 0.0,
                       "admit_s": 0.0, "admitted": 0, "relocations": 0,
-                      "compact_s": 0.0}
+                      "compact_s": 0.0, "prefill_s": 0.0}
+        # Per-request serving-stage histograms (VERDICT r3 #2: the soak's
+        # first-chunk gap must be ATTRIBUTABLE): where a request's wall
+        # clock goes between submit() and its first audible token —
+        #   queue_wait   submit → admission (slot availability + loop lag)
+        #   first_emit   admission → first SEMANTIC token routed to host
+        #                (covers prefill + global stage + first decode
+        #                 block + the pipelined emit readback)
+        # The HTTP layer adds first-chunk (incl. vocode) and total
+        # histograms; /metrics renders all of them.
+        from ..utils.metrics import STAGE_BUCKETS, Histogram
+        self.hist = {
+            "queue_wait": Histogram(
+                "rwkv_tts_stage_queue_wait_seconds", STAGE_BUCKETS,
+                "submit() to slot admission"),
+            "first_emit": Histogram(
+                "rwkv_tts_stage_first_emit_seconds", STAGE_BUCKETS,
+                "admission to first semantic token on host"),
+        }
         self._reset_device_state()
 
     # ------------------------------------------------------------------
@@ -501,7 +521,7 @@ class ContinuousEngine:
             raise RuntimeError(
                 "continuous decode loop crashed and is offline"
             ) from self._crashed
-        self._queue.put((args, result_cb, chunk_cb))
+        self._queue.put((args, result_cb, chunk_cb, time.perf_counter()))
         self._wake.set()
         self.start()
 
@@ -605,7 +625,7 @@ class ContinuousEngine:
 
                 for _ in range(m):
                     self._queue.put((TtsArgs(text=wt, seed=0, max_tokens=1),
-                                     cb, None))
+                                     cb, None, time.perf_counter()))
                 self.start()
                 if not done.wait(timeout):
                     raise TimeoutError(f"warmup burst of {m} timed out")
@@ -693,8 +713,11 @@ class ContinuousEngine:
         # burst — a per-request scatter loop costs ~12 round trips per
         # request on a remote-tunnel TPU (measured: it dominated the
         # continuous engine's wall clock there).
+        t_admit = time.perf_counter()
+        for _, entry in incoming:
+            self.hist["queue_wait"].observe(t_admit - entry[3])
         prompts, texts = [], []
-        for _, (args, _, _) in incoming:
+        for _, (args, _, _, _) in incoming:
             p, t = self.inner.build_prompt(args)
             prompts.append(p)
             texts.append(t)
@@ -712,14 +735,16 @@ class ContinuousEngine:
         pad = mb - m
         prompts_p = prompts + [prompts[-1]] * pad
         stb = rwkv7.init_state(self.cfg, mb)
+        t0 = time.perf_counter()
         lgb, stb = self.inner.prefill(prompts_p, stb)
         lgb = lgb[..., : self.logits.shape[-1]]
+        self.stats["prefill_s"] += time.perf_counter() - t0
 
         # host-side per-request values (padding repeats the last request —
         # duplicate scatter indices then write identical values)
         slots_np, stages, limits, hmins, zss, gkeys, skeys = \
             [], [], [], [], [], [], []
-        for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
+        for j, (slot, (args, result_cb, chunk_cb, _ts)) in enumerate(incoming):
             resolved = args
             seed = resolved.seed if resolved.seed is not None else \
                 int.from_bytes(os.urandom(4), "little")
@@ -770,7 +795,8 @@ class ContinuousEngine:
                 s["gkey"] = s["gkey"].at[slot].set(gkeys[j])
                 s["skey"] = s["skey"].at[slot].set(skeys[j])
 
-        for j, (slot, (args, result_cb, chunk_cb)) in enumerate(incoming):
+        for j, (slot, (args, result_cb, chunk_cb, t_sub)) in enumerate(
+                incoming):
             resolved = args
             zs = zss[j]
             ref_g = [min(max(int(t), 0), C.GLOBAL_VOCAB - 1)
@@ -780,7 +806,7 @@ class ContinuousEngine:
                     request=resolved, result_cb=result_cb, chunk_cb=chunk_cb,
                     global_tokens=list(ref_g), semantic_tokens=[],
                     prefill_tokens=len(prompts[j]), zero_shot=zs,
-                    t_start=time.perf_counter(),
+                    t_start=time.perf_counter(), t_submit=t_sub,
                     admit_seq=self._block_seq,
                 )
 
@@ -944,7 +970,7 @@ class ContinuousEngine:
                     pass
             while True:
                 try:
-                    _, cb, _ = self._queue.get_nowait()
+                    cb = self._queue.get_nowait()[1]
                 except queue.Empty:
                     break
                 try:
@@ -975,6 +1001,10 @@ class ContinuousEngine:
                 else:
                     new_sem.append(int(e))
             if new_sem:
+                if not live.semantic_tokens and not live.t_first_emit:
+                    live.t_first_emit = time.perf_counter()
+                    self.hist["first_emit"].observe(
+                        live.t_first_emit - live.t_start)
                 live.semantic_tokens.extend(new_sem)
                 if live.chunk_cb is not None:
                     try:

@@ -571,3 +571,34 @@ class TtsEngine:
 
     def generate(self, args: TtsArgs) -> GenerationResult:
         return self.generate_batch([args])[0]
+
+    def generate_speaker_tokens(self, args: TtsArgs, seed: int) -> List[int]:
+        """32 speaker (global) tokens for a property set, from a TEXT-FREE
+        prompt — the cached-speaker fast path's enrollment step.
+
+        Prompt = props + TAG_2 + TAG_0 (the normal-mode assembly,
+        normal_mode_inference.rs:37-41, with the text span empty), then
+        the exact 32-token global stage (t=1.0/p=.95/k=20, logits[0:4096),
+        feedback +8196 — normal_mode_inference.rs:219-287) at the
+        reference's stage seed (seed + 1000, rwkv_sampler.rs:265-275).
+
+        Documented deviation from the reference: its global tokens
+        condition on the request text; these condition on the properties
+        only, so one speaker identity can serve MANY texts through the
+        zero-shot chain (that is what makes it cacheable — the same
+        trade the reference's own voice library makes,
+        lightweight_tts_pipeline.rs:747-787)."""
+        props = convert_standard_properties_to_tokens(
+            args.age, args.gender, args.emotion, args.pitch, args.speed)
+        prompt = list(props) + [C.TTS_TAG_2, C.TTS_TAG_0]
+        state = rwkv7.init_state(self.cfg, 1)
+        if self.tp_mesh is not None:
+            from ..parallel import tp as tplib
+            state = tplib.shard_state_tp(self.tp_mesh, state)
+        logits, state = self.prefill([prompt], state)
+        glob_keys = jnp.asarray(
+            raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET))[None]
+        glob, _, _ = global_stage(
+            self.params, state, logits, glob_keys, self.cfg,
+            use_pallas=self.use_pallas_step, step_fn=self._step_fn)
+        return [int(t) for t in np.asarray(glob)[0]]

@@ -13,6 +13,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import logging
+import os
 import threading
 import time
 from typing import Dict, List, Optional, Sequence
@@ -62,7 +63,8 @@ class TtsPipeline:
                  voice_store: Optional[VoiceStore] = None,
                  engine_cfg: EngineConfig = EngineConfig(),
                  tokenizer=None, use_pallas: Optional[bool] = None,
-                 w2v_output_layers=wav2vec2.OUTPUT_LAYERS, tp_mesh=None):
+                 w2v_output_layers=wav2vec2.OUTPUT_LAYERS, tp_mesh=None,
+                 cached_speaker_default: bool = False):
         self.engine = TtsEngine(lm_params, lm_cfg, engine_cfg,
                                 tokenizer=tokenizer, use_pallas=use_pallas,
                                 tp_mesh=tp_mesh)
@@ -76,6 +78,11 @@ class TtsPipeline:
         self._extract_cache = collections.OrderedDict()
         self._extract_cache_cap = 64
         self._extract_cache_lock = threading.Lock()
+        # cached-speaker fast path (VERDICT r3 #1): per-(props, seed)
+        # speaker tokens; OFF by default (opt-in flag/server default)
+        self.cached_speaker_default = cached_speaker_default
+        self._speaker_cache: Dict[tuple, List[int]] = {}
+        self._speaker_cache_lock = threading.Lock()
 
     @classmethod
     def from_checkpoints(cls, model_path: str, raf_dir: str = "assets/raf",
@@ -217,7 +224,46 @@ class TtsPipeline:
                 return dataclasses.replace(
                     args, zero_shot=True, ref_global_tokens=g,
                     ref_semantic_tokens=s, seed=0)
+        # cached-speaker fast path (opt-in; no reference analog): a
+        # property-controlled request reuses 32 cached speaker tokens and
+        # runs the SHORT zero-shot chain (prefill embeds the speaker →
+        # semantic decode only), skipping the 32-step global stage — the
+        # same trade the reference's own voice library makes for enrolled
+        # voices (lightweight_tts_pipeline.rs:747-787). Deviations,
+        # documented in engine.generate_speaker_tokens and docs/PARITY.md:
+        # speaker tokens condition on the properties only (not the
+        # text), and the user seed is KEPT for the semantic stage (unlike
+        # cloning's forced seed 0) so different seeds still vary the
+        # delivery.
+        use_cached = (args.cached_speaker if args.cached_speaker is not None
+                      else self.cached_speaker_default)
+        if use_cached:
+            g = self.get_cached_speaker(args)
+            return dataclasses.replace(
+                args, zero_shot=True, ref_global_tokens=g,
+                ref_semantic_tokens=[])
         return dataclasses.replace(args, zero_shot=False)
+
+    def get_cached_speaker(self, args: TtsArgs) -> List[int]:
+        """Speaker tokens for (properties, seed), generated once and
+        cached. ``seed=None`` is its own cache key: a stable
+        server-lifetime "default voice" drawn once from OS entropy (the
+        operator-enrolled-default semantics of the reference's raf
+        library)."""
+        key = (args.age, args.gender, args.emotion, args.pitch,
+               args.speed, args.seed)
+        with self._speaker_cache_lock:
+            hit = self._speaker_cache.get(key)
+        if hit is not None:
+            return list(hit)
+        seed = (int(args.seed) if args.seed is not None
+                else int.from_bytes(os.urandom(4), "little"))
+        toks = self.engine.generate_speaker_tokens(args, seed)
+        with self._speaker_cache_lock:
+            # a concurrent miss may have raced us; first writer wins so
+            # every request with this key sees ONE speaker identity
+            hit = self._speaker_cache.setdefault(key, toks)
+        return list(hit)
 
     # ------------------------------------------------------------------
     # synthesis

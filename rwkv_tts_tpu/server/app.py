@@ -101,6 +101,11 @@ def build_tts_args(payload: dict) -> TtsArgs:
         emotion=str(payload.get("emotion") or "NEUTRAL"),
         pitch=str(payload.get("pitch") or "medium_pitch"),
         speed=coerce_speed(payload.get("speed")),
+        # cached-speaker fast path: absent → follow the server default
+        # (--cached-speaker); explicit true/false overrides per request
+        cached_speaker=(bool(payload["cached_speaker"])
+                        if payload.get("cached_speaker") is not None
+                        else None),
     )
 
 
@@ -304,6 +309,7 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
             pcm16 = (pcm * 32767.0).astype("<i2").tobytes()
             if first_chunk_ms is None and len(pcm16):
                 first_chunk_ms = (time.perf_counter() - t0) * 1000.0
+                app["hist_first_chunk"].observe(first_chunk_ms / 1000.0)
             await resp.write(json.dumps({
                 "seq": item.seq,
                 "audio_base64": base64.b64encode(pcm16).decode(),
@@ -463,6 +469,13 @@ async def handle_metrics(request: web.Request) -> web.Response:
     lines = [f"rwkv_tts_{k} {v}" for k, v in sorted(m.items())]
     lines += request.app["hist_latency"].render()
     lines += request.app["hist_rtf"].render()
+    lines += request.app["hist_first_chunk"].render()
+    if cont is not None:
+        # per-request serving-stage breakdown (queue wait, first emit) —
+        # owned by the continuous engine so attribution works without an
+        # HTTP layer too (VERDICT r3 #2)
+        for h in cont.hist.values():
+            lines += h.render()
     return web.Response(text="\n".join(lines) + "\n",
                         content_type="text/plain")
 
@@ -533,6 +546,10 @@ def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig(),
     app["hist_rtf"] = Histogram(
         "rwkv_tts_rtf", RTF_BUCKETS,
         "Per-request real-time factor (synthesis wall / audio seconds)")
+    from ..utils.metrics import STAGE_BUCKETS
+    app["hist_first_chunk"] = Histogram(
+        "rwkv_tts_stage_first_chunk_seconds", STAGE_BUCKETS,
+        "Stream request start to first audio chunk written (incl. vocode)")
     app["metrics"] = {"tts_requests": 0, "tts_audio_seconds": 0.0,
                       "voices_extracted": 0}
     app["t_start"] = time.monotonic()
@@ -618,6 +635,7 @@ def build_pipeline_from_args(args) -> TtsPipeline:
         tp_mesh = meshlib.make_mesh(n, model_parallel=args.tp)
         log.info("tensor parallelism: mesh (data=%d, model=%d)",
                  n // args.tp, args.tp)
+    cached_default = bool(getattr(args, "cached_speaker", False))
     if os.path.exists(args.model_path):
         pipeline = TtsPipeline.from_checkpoints(
             args.model_path, raf_dir=args.raf_dir,
@@ -625,13 +643,14 @@ def build_pipeline_from_args(args) -> TtsPipeline:
             quant_layers=args.quant_layers,
             vocab_path=args.vocab_path, engine_cfg=engine_cfg,
             allow_random_codec=getattr(args, "allow_random_codec", False),
-            tp_mesh=tp_mesh)
+            tp_mesh=tp_mesh, cached_speaker_default=cached_default)
         log.info("loaded checkpoint %s", args.model_path)
     else:
         log.warning("checkpoint %s not found — serving with random weights "
                     "(dev mode)", args.model_path)
         pipeline = build_dev_pipeline(args.raf_dir, engine_cfg=engine_cfg,
                                       tp_mesh=tp_mesh)
+        pipeline.cached_speaker_default = cached_default
     return pipeline
 
 
@@ -681,6 +700,12 @@ def main(argv=None):
                         "first-chunk latency on a multi-chip slice)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting traffic")
+    p.add_argument("--cached-speaker", action="store_true",
+                   help="serve property-controlled requests through the "
+                        "cached-speaker fast path by default (32 speaker "
+                        "tokens cached per (properties, seed); skips the "
+                        "32-step global stage — sub-200 ms first chunk on "
+                        "one chip). Per-request 'cached_speaker' overrides.")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,

@@ -16,6 +16,11 @@ LATENCY_BUCKETS = (0.05, 0.1, 0.2, 0.35, 0.5, 0.75, 1.0, 1.5, 2.5, 5.0,
                    10.0, 20.0, 40.0, 60.0)
 # RTF: 0.002 (500× realtime) … 1.0
 RTF_BUCKETS = (0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.3, 0.5, 1.0)
+# per-request serving stages (queue wait / prefill / first emit / first
+# chunk): finer low end than LATENCY_BUCKETS — the interesting regime is
+# tens of ms, and attribution needs resolution there
+STAGE_BUCKETS = (0.01, 0.025, 0.05, 0.1, 0.15, 0.25, 0.4, 0.6, 1.0, 1.5,
+                 2.5, 4.0, 6.0, 10.0, 20.0)
 
 
 class Histogram:

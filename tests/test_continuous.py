@@ -2,6 +2,7 @@
 reuse, streaming chunk callbacks."""
 
 import threading
+import time
 
 import jax
 import pytest
@@ -198,7 +199,7 @@ def test_compaction_relocates_straggler(params, static_engine):
         # it on the first request) so they admit as ONE burst → slots
         # 0, 1, 2; the straggler lands in slot 2 (> bucket 2)
         for i, r in enumerate(short + [long]):
-            eng._queue.put((r, mk(i), None))
+            eng._queue.put((r, mk(i), None, time.perf_counter()))
         eng.start()
         assert done.wait(300), f"only {len(results)}/3 finished"
         assert eng.stats["relocations"] >= 1, \

@@ -328,6 +328,38 @@ def test_metrics_histograms(tmp_path):
     run_client(tmp_path, go)
 
 
+def test_stage_breakdown_histograms(tmp_path):
+    """VERDICT r3 #2: per-request serving-stage histograms (queue wait,
+    first emit, first chunk) populate after a streamed request and render
+    in /metrics, so the soak's first-chunk latency is attributable."""
+    async def go(client):
+        import aiohttp
+        r = await client.post("/api/tts/stream",
+                              json={"text": "stage timing", "seed": 4},
+                              timeout=aiohttp.ClientTimeout(total=900))
+        assert r.status == 200
+        async for line in r.content:
+            pass                                     # drain the stream
+        m = await (await client.get("/metrics")).text()
+        for h in ("rwkv_tts_stage_queue_wait_seconds",
+                  "rwkv_tts_stage_first_emit_seconds",
+                  "rwkv_tts_stage_first_chunk_seconds"):
+            assert f"# TYPE {h} histogram" in m, h
+            import re
+            count = int(re.search(rf"^{h}_count (\d+)$", m,
+                                  re.MULTILINE).group(1))
+            assert count >= 1, h
+        # stage sums are sane: queue_wait + first_emit <= total-ish; all
+        # positive
+        import re
+        qw = float(re.search(r"^rwkv_tts_stage_queue_wait_seconds_sum (\S+)$",
+                             m, re.MULTILINE).group(1))
+        fe = float(re.search(r"^rwkv_tts_stage_first_emit_seconds_sum (\S+)$",
+                             m, re.MULTILINE).group(1))
+        assert qw >= 0.0 and fe > 0.0
+    run_client(tmp_path, go)
+
+
 def test_streaming_low_latency_option(tmp_path):
     async def go(client):
         import base64 as b64

@@ -179,6 +179,32 @@ async def soak(app, minutes: float, port: int, snapshot_every: float,
             while time.monotonic() < deadline:
                 await one_request(kinds[(wid + stats["ok"]) % len(kinds)])
 
+        def _stage_means(text, prev):
+            """Server-side stage attribution from the /metrics histograms:
+            per-window mean seconds of each serving stage (delta of _sum /
+            delta of _count since the last snapshot). The sum of the
+            engine-side stages vs the client-observed first chunk is the
+            attribution the r3 verdict asked for."""
+            out = {}
+            for stage in ("queue_wait", "first_emit", "first_chunk"):
+                s = re.search(
+                    rf"^rwkv_tts_stage_{stage}_seconds_sum (\S+)$",
+                    text, re.MULTILINE)
+                c = re.search(
+                    rf"^rwkv_tts_stage_{stage}_seconds_count (\S+)$",
+                    text, re.MULTILINE)
+                if not (s and c):
+                    continue
+                ds = float(s.group(1)) - prev.get(stage + "_sum", 0.0)
+                dc = float(c.group(1)) - prev.get(stage + "_count", 0)
+                prev[stage + "_sum"] = float(s.group(1))
+                prev[stage + "_count"] = float(c.group(1))
+                out[f"{stage}_mean_ms"] = (
+                    round(ds / dc * 1000.0, 1) if dc else None)
+            return out
+
+        stage_prev: dict = {}
+
         async def snapshotter():
             while time.monotonic() < deadline:
                 await asyncio.sleep(min(snapshot_every,
@@ -188,6 +214,7 @@ async def soak(app, minutes: float, port: int, snapshot_every: float,
                 m = dict(re.findall(r"^rwkv_tts_(\S+) (\S+)$", text,
                                     re.MULTILINE))
                 snap = {
+                    "stages": _stage_means(text, stage_prev),
                     "t_min": round((time.monotonic() -
                                     (deadline - minutes * 60)) / 60, 1),
                     "rss_mb": round(_rss_mb(), 1),
