@@ -161,8 +161,13 @@ def _sync(x):
 
 
 def make_inputs(batch, decode_steps, prefill_len=PREFILL_LEN):
+    # serving semantics: generate_batch pads prompts to a pow2 prefill
+    # BUCKET with real lengths masked (engine._bucket) — an unbucketed
+    # ragged T would fall off the WY all-GEMM prefill path (4 ∤ T →
+    # packed-kernel fallback, ~2× slower) which serving never does
+    T = 1 << (prefill_len - 1).bit_length()
     tokens = jnp.asarray(
-        np.random.default_rng(0).integers(12293, 40000, (batch, prefill_len)),
+        np.random.default_rng(0).integers(12293, 40000, (batch, T)),
         jnp.int32,
     )
     lengths = jnp.full((batch,), prefill_len, jnp.int32)

@@ -403,11 +403,20 @@ class TtsPipeline:
 # ---------------------------------------------------------------------------
 
 def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
-                     zero_shot_too: bool = True) -> Dict[str, float]:
+                     zero_shot_too: bool = True,
+                     batch_ladder=None) -> Dict[str, float]:
     """Compile the hot programs up front (first-request latency otherwise
     pays for prefill-bucket + stage + vocoder compiles). Returns per-program
     wall seconds. The reference has no analog — its wgpu pipelines compile
-    lazily per shape too, it just never addressed it."""
+    lazily per shape too, it just never addressed it.
+
+    ``batch_ladder``: lm_program batch widths to warm. generate_batch pads
+    to pow2 buckets capped at engine_cfg.batch_size (over-half-cap batches
+    run at the cap), so the DEFAULT ladder is every width serving can hit:
+    {1, 2, 4, …} ∪ {cap}. Warming batch=1 only (the r3 behavior) left
+    batches of 2/4/8 to cold-compile on first traffic — the soak's early
+    p99 spikes (ADVICE r3 #1). The persistent compile cache makes this a
+    once-per-config cost."""
     import jax.numpy as jnp
 
     from .engine import global_stage, lm_program, semantic_stage
@@ -417,27 +426,38 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     out: Dict[str, float] = {}
     modes = (False, True) if zero_shot_too else (False,)
     buckets = prefill_buckets or ecfg.prefill_buckets[:2]
+    if batch_ladder is None:
+        batch_ladder = []
+        b = 1
+        while b < ecfg.batch_size:
+            batch_ladder.append(b)
+            b *= 2
+        batch_ladder.append(ecfg.batch_size)   # covers non-pow2 caps too
     if eng.tp_mesh is None:
         # serving runs the ONE-dispatch lm_program (generate_batch's fused
-        # path) — warm exactly that, per prefill bucket × mode. Warming
-        # the staged programs here would compile variants short-prompt
-        # serving never executes and leave the fused path cold.
+        # path) — warm exactly that, per prefill bucket × mode × batch
+        # width. Warming the staged programs here would compile variants
+        # short-prompt serving never executes and leave the fused path
+        # cold.
+        for B in batch_ladder:
+            keys = jnp.zeros((B, 2), jnp.uint32)
+            limits = jnp.ones((B,), jnp.int32)
+            hard_min = jnp.zeros((B,), jnp.int32)
+            for T in buckets:
+                for zs in modes:
+                    t0 = time.perf_counter()
+                    _, sem, _ = lm_program(
+                        eng.params, jnp.zeros((B, T), jnp.int32),
+                        jnp.full((B,), T, jnp.int32), keys, keys, limits,
+                        hard_min, cfg, ecfg.max_semantic_tokens, zs,
+                        use_pallas_fwd=eng.use_pallas,
+                        use_pallas_step=eng.use_pallas_step)
+                    sem.block_until_ready()
+                    out[f"lm_{'zs' if zs else 'normal'}_{T}_b{B}"] = \
+                        round(time.perf_counter() - t0, 2)
         B = 1
         keys = jnp.zeros((B, 2), jnp.uint32)
         limits = jnp.ones((B,), jnp.int32)
-        hard_min = jnp.zeros((B,), jnp.int32)
-        for T in buckets:
-            for zs in modes:
-                t0 = time.perf_counter()
-                _, sem, _ = lm_program(
-                    eng.params, jnp.zeros((B, T), jnp.int32),
-                    jnp.full((B,), T, jnp.int32), keys, keys, limits,
-                    hard_min, cfg, ecfg.max_semantic_tokens, zs,
-                    use_pallas_fwd=eng.use_pallas,
-                    use_pallas_step=eng.use_pallas_step)
-                sem.block_until_ready()
-                out[f"lm_{'zs' if zs else 'normal'}_{T}"] = \
-                    round(time.perf_counter() - t0, 2)
         # prompts LONGER than the largest bucket serve through the STAGED
         # branch (chunked prefill → global_stage → semantic_stage) — warm
         # those too or the first long-prompt request pays the cold
@@ -465,6 +485,13 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
             sem.block_until_ready()
             out[f"semantic_{'zs' if zs else 'normal'}"] = \
                 round(time.perf_counter() - t0, 2)
+        if self.cached_speaker_default:
+            # cached-speaker serving: warm the enrollment programs (short
+            # prefill bucket + B=1 global stage) through the real path —
+            # also pre-populates the default-properties entry
+            t0 = time.perf_counter()
+            self.get_cached_speaker(TtsArgs(text="", seed=0))
+            out["speaker_cache"] = round(time.perf_counter() - t0, 2)
     else:
         # under TP a B=1 request pads to the data-axis width and runs
         # forward_tp + the STAGED programs with the step_fn hook — warm
