@@ -280,7 +280,15 @@ def main():
     # throughput, and host-side flagship init + the tunnel transfer cost
     # 15+ minutes on this single-core VM (production decode layout: fused
     # projections + int8 weights).
-    qparams = rwkv7.make_serving_params(CFG, jax.random.PRNGKey(0))
+    # RAW (unfused) int8 layout: fuse_params doubles the r/k/v + LoRA-A
+    # weight bytes ([2C, 3C] zrkv), and with int8 weights the extra
+    # 0.78 GB/step of HBM traffic outweighs the launch savings at EVERY
+    # batch — measured r4 (tools/profile_fused_ab.py): batch 128
+    # 8.07 vs 8.66 ms/step, batch 8 3.48 vs 4.17 (the r2-era fused win
+    # predates int8). Serving (pipeline.from_checkpoints) defaults raw
+    # for the same reason.
+    qparams = rwkv7.make_serving_params(CFG, jax.random.PRNGKey(0),
+                                        fused=False)
     bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1), fast=True)
 
     xrt_e2e, xrt_lm, wall_lm, wall_detok = serving_run(

@@ -123,7 +123,7 @@ def init_params(cfg: RwkvConfig, key: jax.Array, fast: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "fused", "quant"))
-def make_serving_params(cfg: RwkvConfig, key: jax.Array, fused: bool = True,
+def make_serving_params(cfg: RwkvConfig, key: jax.Array, fused: bool = False,
                         quant: str | None = "int8") -> Params:
     """Materialize a random serving-layout pytree ON DEVICE in one program:
     init → (fuse) → (quantize), no host generation, no tunnel transfer.
@@ -131,6 +131,11 @@ def make_serving_params(cfg: RwkvConfig, key: jax.Array, fused: bool = True,
     For benches/profilers/compile-checks on this environment (single host
     core + slow axon transfers, where host-side flagship init costs 10+
     minutes). Real checkpoints load through models/convert.py instead.
+
+    ``fused`` defaults False since r4: with int8 weights the fused zrkv
+    layout streams +0.78 GB/step of HBM and measures SLOWER at every
+    batch (tools/profile_fused_ab.py: B=128 8.66 vs 8.07 ms/step, B=8
+    4.17 vs 3.48) — matching pipeline.from_checkpoints' serving default.
     """
     from ..ops.quant import quantize_rwkv_params
 

@@ -119,6 +119,7 @@ class TtsPipeline:
                     f"webrwkv.safetensors)")
         lm_params, lm_cfg = load_rwkv7(model_path, dtype=dtype)
         tp_mesh = kw.get("tp_mesh")
+        fuse = kw.pop("fuse", False)
         if tp_mesh is not None:
             # layer tensor parallelism (parallel/tp.py) shards the RAW
             # unfused layout; fusion is a single-device decode optimization
@@ -131,10 +132,16 @@ class TtsPipeline:
             log.info("tp_mesh set: raw %s layout, weights shard 1/%d "
                      "per chip", quant_type,
                      tp_mesh.shape.get("model", 1))
-        else:
-            # decode-loop optimization: 7 projections → 2 matmuls
-            # (numerically equivalent modulo f32 reassociation;
-            # see rwkv7.fuse_params)
+        elif fuse:
+            # OPT-IN projection fusion (7 projections → 2 matmuls,
+            # rwkv7.fuse_params). No longer the default: fusion doubles
+            # the r/k/v + LoRA-A weight bytes ([2C, 3C] zrkv), and with
+            # int8 weights the extra ~0.78 GB/step of HBM traffic costs
+            # more than the launch savings at every batch — measured r4
+            # on the real chip (tools/profile_fused_ab.py): batch 128
+            # 8.07 raw vs 8.66 fused ms/step, batch 8 3.48 vs 4.17. The
+            # raw layout is also bit-closer to the CPU goldens/parity
+            # path (no f32 reassociation from the stacked [2C] dots).
             lm_params = rwkv7.fuse_params(lm_params, lm_cfg)
         if vocab_path:
             kw.setdefault("tokenizer", load_tokenizer(vocab_path))
