@@ -979,8 +979,10 @@ class ContinuousEngine:
                     pass           # not strand the rest of the queue
 
     def _process_block(self, emits, stages, seq):
-        emits_np = np.asarray(emits)          # [block, B]
-        stages_np = np.asarray(stages)
+        # ONE readback for both arrays: separate np.asarray calls are two
+        # host↔device transfers, and on a remote-tunnel TPU each pays a
+        # full RTT — this is on the per-block critical path
+        emits_np, stages_np = jax.device_get((emits, stages))
 
         with self._lock:
             live_slots = list(self._live.items())
