@@ -540,6 +540,24 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         bicodec.detokenize(self.bicodec_params, [0] * 32, [0] * S,
                            self.bicodec_cfg)
         out[f"detokenize_{S}"] = round(time.perf_counter() - t0, 2)
+    # streaming vocode windows: each latency mode compiles exactly two
+    # [1, W] decode shapes (interior window + flush) that BYPASS the
+    # detokenize bucket ladder — leaving them cold puts a multi-second
+    # tunnel compile inside the first stream of each mode (the r4 probe
+    # measured a 12 s first-flash-stream outlier)
+    from .streaming import StreamingVocoder
+    for mode in ("exact", "low", "ultra", "flash"):
+        sv = StreamingVocoder(self.bicodec_params, self.bicodec_cfg,
+                              [0] * 32, latency_mode=mode)
+        for W in sorted({sv.window_bucket, sv.flush_bucket}):
+            t0 = time.perf_counter()
+            g = jnp.zeros((1, 32), jnp.int32)
+            s = jnp.zeros((1, W), jnp.int32)
+            if isinstance(self.bicodec_params, bicodec.OnnxBiCodec):
+                self.bicodec_params.decode(g, s)
+            else:
+                bicodec.decode(self.bicodec_params, g, s, self.bicodec_cfg)
+            out[f"stream_{mode}_{W}"] = round(time.perf_counter() - t0, 2)
     return out
 
 
