@@ -226,7 +226,12 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
     try:
         args = build_tts_args(payload)
         _validate_voice(app, args)
-        args = app["pipeline"].resolve_voice(args)
+        # resolve OFF the event loop: the cached-speaker rung can run a
+        # device program on a cache miss (32-token speaker enrollment),
+        # and the ref-audio rung can extract features — blocking work
+        # that would stall every concurrent request if run inline here
+        args = await asyncio.get_running_loop().run_in_executor(
+            None, app["pipeline"].resolve_voice, args)
     except (TypeError, ValueError) as e:
         return _err(f"invalid parameter: {e}", status=400)
     except FileNotFoundError as e:
@@ -320,13 +325,20 @@ async def handle_tts_stream(request: web.Request) -> web.StreamResponse:
             }).encode() + b"\n")
             if item.final:
                 break
-    except (asyncio.CancelledError, ConnectionResetError,
-            ConnectionError):
+    except asyncio.CancelledError:
         # client went away: retire the slot and stop the producer — the
         # request would otherwise keep decoding/vocoding for nobody and
         # starve live requests of slots
         cont.cancel(args)
         raise
+    except (ConnectionResetError, ConnectionError):
+        # same cleanup, but return instead of re-raising: a reset mid-
+        # write is ordinary client-abort traffic (the soak drives it on
+        # purpose), and re-raising makes aiohttp log a full traceback
+        # per abort ("Error handling request") — log noise, not signal
+        cont.cancel(args)
+        log.info("stream client disconnected mid-write")
+        return resp
     finally:
         streams.discard(abandoned)
         try:
@@ -656,16 +668,11 @@ def build_pipeline_from_args(args) -> TtsPipeline:
 
 def main(argv=None):
     # persistent compile cache: first compiles of the engine programs
-    # through the axon tunnel cost minutes; server restarts hit the cache
-    import jax as _jax
-    import os as _os
-    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                _os.path.expanduser("~/.cache/jax"))
-    try:
-        _jax.config.update("jax_compilation_cache_dir", cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:           # pragma: no cover - older jax without knobs
-        pass
+    # through the axon tunnel cost minutes; server restarts hit the cache.
+    # CPU runs get a per-host-CPU cache dir (cross-machine XLA:CPU AOT
+    # artifacts can SIGILL — utils/compile_cache).
+    from ..utils.compile_cache import enable as _enable_cache
+    _enable_cache()
 
     p = argparse.ArgumentParser("rwkvtts_server (TPU)")
     p.add_argument("--port", type=int, default=3000)

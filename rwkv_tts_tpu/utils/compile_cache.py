@@ -1,0 +1,54 @@
+"""Persistent-compile-cache location, fingerprinted per host for CPU.
+
+XLA:CPU serializes AOT executables with the COMPILE machine's CPU feature
+set; loading one on a host with different features is undefined (the
+loader warns "could lead to execution errors such as SIGILL", and an
+r4 full-suite run segfaulted inside the cache read after the cache
+directory had been populated on a different physical host — this repo's
+home directory persists across machines). TPU/axon executables don't
+have this problem (they target the accelerator, not the host), so only
+CPU cache paths get the fingerprint suffix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+_BASE = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax"))
+
+
+def _host_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
+def cache_dir(platform: str | None = None) -> str:
+    """Cache dir for the given jax platform (default: whatever is
+    pinned via env). CPU gets a per-host-CPU suffix; accelerators share
+    the base dir."""
+    plat = (platform or os.environ.get("RWKV_TTS_PLATFORM")
+            or os.environ.get("JAX_PLATFORMS") or "").lower()
+    if plat.startswith("cpu"):
+        return f"{_BASE}-cpu-{_host_fingerprint()}"
+    return _BASE
+
+
+def enable(platform: str | None = None) -> str:
+    """Point jax at the right persistent cache; returns the dir."""
+    import jax
+
+    d = cache_dir(platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — older jax without the knobs
+        pass
+    return d

@@ -21,6 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite is dominated by XLA compiles on
-# this single-core VM; repeat runs hit the cache instead.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# this single-core VM; repeat runs hit the cache instead. The directory is
+# fingerprinted per host CPU (utils/compile_cache): XLA:CPU AOT artifacts
+# from a DIFFERENT physical host segfaulted the r4 suite when the shared
+# home directory carried them across machines.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+from rwkv_tts_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache("cpu")

@@ -206,9 +206,15 @@ def test_pipeline_warmup_smoke(bc_params):
                                 max_semantic_tokens=8),
         use_pallas=False)
     times = pipe.warmup(detok_buckets=(64,))
-    # non-TP serving runs the fused lm_program per bucket × mode
-    assert "lm_normal_16" in times and "lm_zs_16" in times \
-        and "lm_normal_32" in times and "detokenize_64" in times
+    # non-TP serving runs the one-dispatch lm_program per bucket × mode ×
+    # batch-ladder width (pow2 ladder ∪ cap — ADVICE r3 #1)
+    assert "lm_normal_16_b1" in times and "lm_zs_16_b1" in times \
+        and "lm_normal_32_b1" in times and "detokenize_64" in times
+    cap = pipe.engine.engine_cfg.batch_size
+    assert f"lm_normal_16_b{cap}" in times     # the serving cap width
+    # streaming vocode windows for every latency mode (r4)
+    assert any(k.startswith("stream_flash_") for k in times)
+    assert any(k.startswith("stream_exact_") for k in times)
 
 
 def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
