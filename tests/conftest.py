@@ -9,6 +9,21 @@ the env var alone is not enough — we must override through jax.config.
 
 import os
 
+# XLA:CPU mmaps every loaded/cached executable; a full suite (hundreds of
+# compiled programs + ~250 extension modules) can exhaust the default
+# vm.max_map_count (65530), which surfaced as NONDETERMINISTIC segfaults
+# inside the jax compile-cache read/write late in single-process runs
+# (r4: three crashes at ~93%, different tests; green after raising it).
+# Best-effort bump — this environment runs as root; harmless otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _cur = int(_f.read())
+    if _cur < 1048576:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("1048576")
+except (OSError, ValueError):
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
