@@ -111,6 +111,48 @@ def test_synthesize_cached_end_to_end(pipe):
     np.testing.assert_array_equal(r1.audio, r2.audio)
 
 
+def test_streaming_cached_speaker(tmp_path):
+    """cached_speaker rides /api/tts/stream: resolution happens upstream
+    of the continuous engine (off the event loop), the stream runs the
+    zero-shot chain, and audio arrives chunked."""
+    import base64 as b64
+
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rwkv_tts_tpu.config import BatchConfig
+    from rwkv_tts_tpu.server.app import create_app
+    import json as _json
+
+    async def go():
+        app = create_app(tiny_pipeline(tmp_path),
+                         BatchConfig(max_batch_size=4, collect_timeout_ms=5,
+                                     inference_timeout_ms=120000))
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/api/tts/stream",
+                json={"text": "cached stream", "seed": 5,
+                      "cached_speaker": True, "latency_mode": "ultra"},
+                timeout=aiohttp.ClientTimeout(total=900))
+            assert r.status == 200
+            chunks = []
+            async for line in r.content:
+                if line.strip():
+                    chunks.append(_json.loads(line))
+            assert chunks and chunks[-1]["final"]
+            pcm = b"".join(b64.b64decode(c.get("audio_base64", ""))
+                           for c in chunks)
+            assert len(pcm) > 0
+            # the speaker cache was populated by the stream's resolution
+            pipe = app["pipeline"]
+            assert any(k[-1] == 5 for k in pipe._speaker_cache)
+        finally:
+            await client.close()
+    asyncio.run(go())
+
+
 def test_http_cached_speaker_flag(tmp_path):
     """API accepts cached_speaker; the response synthesizes through the
     zero-shot chain and stays deterministic per (props, seed)."""
