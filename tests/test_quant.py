@@ -121,6 +121,32 @@ def test_quant_layers_partial_composes_with_fused_layout():
         rwkv7.fuse_params(q, CFG)
 
 
+def test_quant_layers_partial_serves_through_engine():
+    """Partial quantization must run the SERVING path end-to-end: the
+    one-dispatch lm_program (fused prefill+global+semantic) over the
+    segmented blocks, both modes."""
+    from rwkv_tts_tpu.config import EngineConfig, TtsArgs
+    from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+    import dataclasses
+    cfg = dataclasses.replace(CFG, vocab_size=77923,
+                              padded_vocab_size=78080)
+    params = rwkv7.init_params(cfg, jax.random.PRNGKey(0))
+    q = quantize_rwkv_params(params, quant_layers=1)
+    eng = TtsEngine(q, cfg,
+                    EngineConfig(prefill_buckets=(32, 64),
+                                 max_semantic_tokens=8, batch_size=2),
+                    use_pallas=False)
+    r = eng.generate(TtsArgs(text="partial quant", seed=3, max_tokens=6))
+    assert len(r.global_tokens) == 32
+    assert all(0 <= t < 4096 for t in r.global_tokens)
+    # zero-shot chain too (cached-speaker/cloning route)
+    rz = eng.generate(TtsArgs(text="clone", seed=0, zero_shot=True,
+                              ref_global_tokens=list(range(32)),
+                              max_tokens=6))
+    assert rz.global_tokens == list(range(32))
+
+
 def test_quant_layers_ge_nlayer_is_full():
     params = rwkv7.init_params(CFG, jax.random.PRNGKey(0))
     q = quantize_rwkv_params(params, quant_layers=CFG.n_layer + 3)
