@@ -120,6 +120,28 @@ def main() -> int:
           peak=round(float(np.abs(wav).max()), 3), rtf=round(res.rtf, 4),
           semantic_tokens=len(res.semantic_tokens))
 
+    # 4b. cached-speaker A/B ----------------------------------------------
+    # The r4 cached-speaker fast path deviates from the reference: the 32
+    # speaker tokens condition on properties+seed only, NOT the request
+    # text (docs/PARITY.md). This stage writes the SAME text/seed through
+    # both paths so first contact with real weights includes the human
+    # audio A/B the deviation calls for.
+    try:
+        res_ca = pipe.synthesize(TtsArgs(text="你好，世界。Hello world.",
+                                         seed=42, cached_speaker=True, **mt))
+        wc = np.asarray(res_ca.audio)
+        pipe.save_audio(res_ca, os.path.join(args.out,
+                                             "cached_speaker_seed42.wav"))
+        stage("cached_speaker_ab",
+              wc.size >= min_samples and np.isfinite(wc).all()
+              and len(res_ca.global_tokens) == 32,
+              samples=int(wc.size),
+              note="A/B cached_speaker_seed42.wav vs normal_seed42.wav "
+                   "by ear: same properties/seed, text-free speaker "
+                   "tokens (docs/PARITY.md deviation)")
+    except Exception as e:  # noqa: BLE001
+        stage("cached_speaker_ab", False, error=f"{type(e).__name__}: {e}")
+
     # 5. zero-shot from a shipped reference voice -------------------------
     voices = pipe.voice_store.list()
     if voices:
