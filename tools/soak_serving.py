@@ -100,6 +100,18 @@ def build_app(light: bool):
     return app
 
 
+def warm_app(app):
+    """The server's --warmup, for soaks that verify the no-cold-compile
+    claim (VERDICT r3 #7): pipeline programs + continuous-engine
+    admission/decode buckets, before any traffic."""
+    from rwkv_tts_tpu.server.app import _get_continuous
+    t0 = time.perf_counter()
+    times = app["pipeline"].warmup()
+    _get_continuous(app).warmup()
+    print(f"warmup: {time.perf_counter()-t0:.1f}s "
+          f"({len(times)} pipeline programs)", file=sys.stderr, flush=True)
+
+
 async def soak(app, minutes: float, port: int, snapshot_every: float,
                concurrency: int):
     import aiohttp
@@ -268,10 +280,16 @@ def main():
     ap.add_argument("--concurrency", type=int, default=6)
     ap.add_argument("--light", action="store_true",
                     help="tiny models (CPU smoke of the harness itself)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile all serving programs before traffic "
+                         "(the server's --warmup; verifies zero "
+                         "compile-attributable p99 spikes)")
     args = ap.parse_args()
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr, flush=True)
     app = build_app(args.light)
+    if args.warmup:
+        warm_app(app)
     stats, snapshots, health, drained = asyncio.run(
         soak(app, args.minutes, args.port, args.snapshot_every,
              args.concurrency))
