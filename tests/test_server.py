@@ -308,7 +308,7 @@ def test_ui_i18n_and_waveform_markup(tmp_path):
         for marker in ('data-i18n', 'id="lang-toggle"', '"zh"',
                        'id="wave"', 'drawWave', '/api/tts/stream',
                        'very_high_pitch', 'middle-aged', '"CONTEMPT"',
-                       '音色库'):
+                       '音色库', 'id="cached-speaker"', '缓存音色'):
             assert marker in body, marker
         # all 25 emotion classes present in the JS table
         import re
