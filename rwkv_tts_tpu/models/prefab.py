@@ -19,15 +19,29 @@ with a message; this reader closes the gap for the common case:
     expects, so the result feeds the same ``normalize_rwkv7_names`` →
     ``load_rwkv7`` pipeline as a safetensors file.
 
-QUANTIZED prefabs: the ``Int8`` variant DECODES — web-rwkv's Quant::Int8
-is BlinkDL's asymmetric u8 scheme (per-row min/range ``my``/``ry``,
-per-column min/range ``mx``/``rx``; dequant w ≈ (q+0.5)/256·ry·rx+my+mx),
-and :func:`_decode_int8_variant` inverts it to f32 so the container
-feeds the normal ``load_rwkv7`` path (re-quantize at load with
-``--quant-type`` to keep the memory point). ``NF4``/``SF4`` variants
-still refuse with a conversion pointer (their packed nibble layout is
-web-rwkv-internal). An Int8 variant whose inner structure doesn't match
-the known field set fails loudly LISTING the fields found, so first
+QUANTIZED prefabs: the ``Int8`` variant decodes TWO known layouts:
+
+  * the ChatRWKV-era BlinkDL asymmetric scheme — u8 ``w`` plus four
+    float vectors (per-row min/range ``my``/``ry``, per-column
+    ``mx``/``rx``; dequant w ≈ (q+0.5)/256·ry·rx+my+mx);
+  * the fused per-block minmax scheme of web-rwkv 0.10.x
+    (``Matrix::Int8 { w, m }`` — the version the reference pins,
+    Cargo.toml:22): u8 ``w`` plus ONE float tensor ``m`` of
+    interleaved (min, max) pairs, one pair per contiguous block of
+    ``w`` in storage order; block size is inferred from the size
+    ratio and dequant is x = min + q/255·(max−min).
+
+Both are inverted to f32 so the container feeds the normal
+``load_rwkv7`` path (re-quantize at load with ``--quant-type`` to keep
+the memory point). The fused-``m`` pair layout (interleaved vec2, block
+over contiguous storage) is the structural reading of the 0.10.x
+serialization and has NOT yet been confirmed against a published Int8
+prefab (zero-egress environment) — first contact runs
+``tools/validate_real_assets.py`` whose LM/codec cross-validation would
+catch a wrong interpretation loudly. ``NF4``/``SF4`` variants still
+refuse with a conversion pointer (their packed nibble layout is
+web-rwkv-internal). An Int8 variant whose inner structure matches
+neither field set fails loudly LISTING the fields found, so first
 contact with a drifted container yields an actionable error rather than
 garbage weights. Bare u8 byte blobs not wrapped in a recognized variant
 are refused for the same reason (they would otherwise load 0–255
@@ -267,15 +281,48 @@ def _dequant_int8_blinkdl(q, mx, rx, my, ry) -> np.ndarray:
             + my[:, None] + mx[None, :])
 
 
+_INT8_BLOCK_CANDIDATES = (512, 256, 128, 64, 32)
+
+
+def quantize_int8_blockminmax(w: np.ndarray, block: int = 128):
+    """web-rwkv 0.10.x fused per-block minmax u8 quantization: each
+    contiguous ``block`` elements of ``w`` (storage order) share one
+    (min, max) pair; q = round((x−min)/(max−min)·255). Returns
+    (q u8 same-shape, m f32 [n_blocks·2] interleaved min/max) — the
+    inverse of :func:`_dequant_int8_blockminmax`. Used by the fixture
+    tests and tools/validate_real_assets.py first-contact checks."""
+    flat = np.asarray(w, np.float32).reshape(-1)
+    if flat.size % block:
+        raise ValueError(f"size {flat.size} not divisible by block {block}")
+    blocks = flat.reshape(-1, block)
+    mn = blocks.min(axis=1)
+    mx = blocks.max(axis=1)
+    rng = np.maximum(mx - mn, 1e-12)
+    q = np.clip(np.rint((blocks - mn[:, None]) / rng[:, None] * 255.0),
+                0, 255).astype(np.uint8)
+    m = np.stack([mn, mx], axis=1).reshape(-1).astype(np.float32)
+    return q.reshape(np.shape(w)), m
+
+
+def _dequant_int8_blockminmax(q: np.ndarray, m: np.ndarray,
+                              block: int) -> np.ndarray:
+    """x = min + q/255·(max−min), per contiguous storage-order block."""
+    flat = q.astype(np.float32).reshape(-1, block)
+    pairs = m.astype(np.float32).reshape(-1, 2)
+    mn, mx = pairs[:, 0][:, None], pairs[:, 1][:, None]
+    return (mn + flat / 255.0 * (mx - mn)).reshape(q.shape)
+
+
 def _decode_int8_variant(node: Any, path: str) -> np.ndarray:
     """web-rwkv ``Int8`` matrix variant → dequantized f32 ndarray.
 
-    Expected inner structure (Matrix::Int8 struct fields): a u8 weight
-    tensor ``w`` and four float vectors ``mx``/``rx`` (per column) and
-    ``my``/``ry`` (per row). Field spellings are matched
-    case-insensitively; any other structure raises listing the fields
-    found so a drifted container gives an actionable first-contact
-    error instead of corrupt weights."""
+    Two known inner structures (module docstring): the ChatRWKV-era
+    ``w`` + ``mx``/``rx``/``my``/``ry`` row/col vectors, and the
+    web-rwkv 0.10.x fused ``{w, m}`` per-block minmax pair tensor
+    (block size inferred from |m| = 2·|w|/B). Field spellings are
+    matched case-insensitively; any other structure raises listing the
+    fields found so a drifted container gives an actionable
+    first-contact error instead of corrupt weights."""
     if not isinstance(node, dict):
         raise CborError(
             f"prefab Int8 variant at '{path}' is not a struct "
@@ -283,12 +330,17 @@ def _decode_int8_variant(node: Any, path: str) -> np.ndarray:
     fields: Dict[str, Any] = {str(k).lower(): v for k, v in node.items()}
     w_node = fields.get("w") or fields.get("q") or fields.get("weight")
     vec_nodes = {k: fields.get(k) for k in ("mx", "rx", "my", "ry")}
+    if w_node is not None and any(v is None for v in vec_nodes.values()) \
+            and ("m" in fields or "minmax" in fields):
+        return _decode_int8_fused(w_node,
+                                  fields.get("m", fields.get("minmax")),
+                                  path)
     if w_node is None or any(v is None for v in vec_nodes.values()):
         raise CborError(
             f"prefab Int8 variant at '{path}' has fields "
-            f"{sorted(fields)} — expected w + mx/rx/my/ry (web-rwkv "
-            "Quant::Int8); extend models/prefab.py's Int8 shim for "
-            "this container")
+            f"{sorted(fields)} — expected w + mx/rx/my/ry (ChatRWKV "
+            "scheme) or w + m (web-rwkv 0.10.x fused minmax); extend "
+            "models/prefab.py's Int8 shim for this container")
     rt = _raw_tensor(w_node, allow_u8=True)
     if rt is None or rt[0] is None or not rt[1]:
         raise CborError(
@@ -325,6 +377,43 @@ def _decode_int8_variant(node: Any, path: str) -> np.ndarray:
     w = _dequant_int8_blinkdl(q, vecs["mx"], vecs["rx"],
                               vecs["my"], vecs["ry"])
     log.info("prefab: dequantized Int8 tensor '%s' [%d, %d]", path, R, C)
+    return w
+
+
+def _decode_int8_fused(w_node: Any, m_node: Any, path: str) -> np.ndarray:
+    """``Matrix::Int8 { w, m }`` (web-rwkv 0.10.x): u8 weights + one
+    float tensor of interleaved per-block (min, max) pairs. The block
+    size is whatever makes |m| = 2·|w|/B for a power-of-two B (web-rwkv
+    uses 128; accept the nearby ladder so a upstream retune still
+    loads); no candidate matching is a loud failure."""
+    rt = _raw_tensor(w_node, allow_u8=True)
+    if rt is None or rt[0] is None or not rt[1]:
+        raise CborError(
+            f"prefab Int8 variant at '{path}': field 'w' is not a u8 "
+            "tensor payload")
+    q = rt[0]
+    mrt = _raw_tensor(m_node)
+    if mrt is None or mrt[0] is None:
+        if isinstance(m_node, list) and m_node and all(
+                isinstance(x, (int, float)) for x in m_node):
+            m = np.asarray(m_node, np.float32)
+        else:
+            raise CborError(
+                f"prefab Int8 variant at '{path}': field 'm' is not a "
+                "float tensor/list")
+    else:
+        m = mrt[0].reshape(-1)
+    block = next((b for b in _INT8_BLOCK_CANDIDATES
+                  if q.size % b == 0 and m.size == 2 * q.size // b), None)
+    if block is None:
+        raise CborError(
+            f"prefab Int8 variant at '{path}': |m| = {m.size} matches no "
+            f"per-block minmax layout for |w| = {q.size} (tried blocks "
+            f"{_INT8_BLOCK_CANDIDATES}); extend models/prefab.py's fused "
+            "Int8 shim for this container")
+    w = _dequant_int8_blockminmax(q, m, block)
+    log.info("prefab: dequantized fused Int8 tensor '%s' %s (block %d)",
+             path, list(q.shape), block)
     return w
 
 

@@ -591,13 +591,21 @@ class TtsEngine:
         props = convert_standard_properties_to_tokens(
             args.age, args.gender, args.emotion, args.pitch, args.speed)
         prompt = list(props) + [C.TTS_TAG_2, C.TTS_TAG_0]
-        state = rwkv7.init_state(self.cfg, 1)
+        # under TP the data axis shards dim-0 of the batch: a B=1 prefill
+        # cannot shard over dp>1, so pad the enrollment prompt to the
+        # data-axis width (same trick as generate_batch's dp padding) and
+        # keep row 0 of the result
+        B = 1
         if self.tp_mesh is not None:
+            from ..parallel import mesh as meshlib
             from ..parallel import tp as tplib
+            B = self.tp_mesh.shape[meshlib.DATA_AXIS]
+        state = rwkv7.init_state(self.cfg, B)
+        if self.tp_mesh is not None:
             state = tplib.shard_state_tp(self.tp_mesh, state)
-        logits, state = self.prefill([prompt], state)
-        glob_keys = jnp.asarray(
-            raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET))[None]
+        logits, state = self.prefill([prompt] * B, state)
+        glob_keys = jnp.asarray(np.stack(
+            [raw_threefry_key(seed + C.GLOBAL_SEED_OFFSET)] * B))
         glob, _, _ = global_stage(
             self.params, state, logits, glob_keys, self.cfg,
             use_pallas=self.use_pallas_step, step_fn=self._step_fn)

@@ -495,9 +495,14 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         if self.cached_speaker_default:
             # cached-speaker serving: warm the enrollment programs (short
             # prefill bucket + B=1 global stage) through the real path —
-            # also pre-populates the default-properties entry
+            # also pre-populates the default-properties entries. API
+            # requests that omit seed resolve under the seed=None key (a
+            # distinct server-lifetime "default voice"), so warm BOTH keys
+            # or the first no-seed request pays full enrollment (r4
+            # advisor finding).
             t0 = time.perf_counter()
             self.get_cached_speaker(TtsArgs(text="", seed=0))
+            self.get_cached_speaker(TtsArgs(text="", seed=None))
             out["speaker_cache"] = round(time.perf_counter() - t0, 2)
     else:
         # under TP a B=1 request pads to the data-axis width and runs
@@ -532,6 +537,16 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
             sem.block_until_ready()
             out[f"semantic_{'zs' if zs else 'normal'}"] = \
                 round(time.perf_counter() - t0, 2)
+        if self.cached_speaker_default:
+            # enrollment under TP pads the prompt to the data-axis width
+            # (engine.generate_speaker_tokens); warm it through the real
+            # path here too — the non-TP branch alone left a TP server's
+            # first cache miss cold AND crashed pre-r5 (B=1 prefill can't
+            # shard over dp>1)
+            t0 = time.perf_counter()
+            self.get_cached_speaker(TtsArgs(text="", seed=0))
+            self.get_cached_speaker(TtsArgs(text="", seed=None))
+            out["speaker_cache"] = round(time.perf_counter() - t0, 2)
     for S in detok_buckets:
         t0 = time.perf_counter()
         # default bucket ladder, same as serving: detokenize pads to

@@ -45,7 +45,19 @@ def enable(platform: str | None = None) -> str:
     """Point jax at the right persistent cache; returns the dir."""
     import jax
 
-    d = cache_dir(platform)
+    plat = (platform or os.environ.get("RWKV_TTS_PLATFORM")
+            or os.environ.get("JAX_PLATFORMS") or "")
+    if not plat:
+        # no env pin: a process can still land on XLA:CPU by default (no
+        # TPU visible), which must get the per-host fingerprint or the
+        # cross-host AOT SIGILL this module exists to prevent comes back
+        # (r4 advisor finding). default_backend() initializes the backend,
+        # which every enable() caller does moments later anyway.
+        try:
+            plat = jax.default_backend()
+        except Exception:  # pragma: no cover — backend init failure
+            plat = "cpu"   # conservative: fingerprinted dir is always safe
+    d = cache_dir(plat)
     try:
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

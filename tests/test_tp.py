@@ -150,6 +150,28 @@ def test_tts_engine_tp_mesh_token_identical(setup):
             assert w.semantic_tokens == g.semantic_tokens
 
 
+def test_tp_speaker_enrollment_token_identical(setup):
+    """generate_speaker_tokens under a dp>1 mesh pads the B=1 enrollment
+    prompt to the data-axis width (r4 advisor medium: an unpadded batch
+    of 1 cannot shard dim-0 over dp>1, so a cached-speaker cache miss
+    crashed under --tp serving) and must stay token-identical to the
+    plain engine."""
+    from rwkv_tts_tpu.config import EngineConfig, TtsArgs
+    from rwkv_tts_tpu.runtime.engine import TtsEngine
+
+    params, _ = setup
+    ecfg = EngineConfig(prefill_buckets=(32, 64), max_semantic_tokens=16)
+    base = TtsEngine(params, CFG, ecfg, use_pallas=False)
+    m = meshlib.make_mesh(8, model_parallel=2)   # data axis = 4
+    tpe = TtsEngine(params, CFG, ecfg, tp_mesh=m)
+
+    args = TtsArgs(text="", gender="male", pitch="high_pitch")
+    want = base.generate_speaker_tokens(args, seed=3)
+    got = tpe.generate_speaker_tokens(args, seed=3)
+    assert len(want) == 32
+    assert got == want
+
+
 def test_step_tp_int8_matches_unsharded_int8(setup):
     """The int8 serving layout shards too: q like its float tensor,
     per-out-channel scales per orientation. Row-parallel activation
