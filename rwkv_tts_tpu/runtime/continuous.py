@@ -390,6 +390,8 @@ class ContinuousEngine:
                              "(and the bucketed block bypasses the TP step)")
         self.buckets = tuple(sorted(buckets or ()))
         self._queue: "queue.Queue" = queue.Queue()
+        # id(args) of requests cancelled before admission (see cancel())
+        self._pending_cancels: set = set()
         self._live: Dict[int, _Live] = {}
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -526,16 +528,22 @@ class ContinuousEngine:
         self.start()
 
     def cancel(self, args: TtsArgs) -> bool:
-        """Abort a live request (client disconnected). The decode thread
-        idles its device slot, frees it, and fires result_cb with
-        RequestCancelled — otherwise the slot keeps decoding (and the
-        streaming producer keeps vocoding) for a consumer that is gone."""
+        """Abort a live OR still-queued request (client disconnected,
+        inference timeout). A live slot: the decode thread idles it,
+        frees it, and fires result_cb with RequestCancelled — otherwise
+        the slot keeps decoding (and the streaming producer keeps
+        vocoding) for a consumer that is gone. A request not yet admitted
+        is marked so admission drops it instead of spending a device slot
+        decoding for a caller that already gave up (the non-streaming
+        /api/tts timeout path hits this under backlog)."""
         with self._lock:
             for live in self._live.values():
                 if live.request is args and not live.cancelled:
                     live.cancelled = True
                     self._wake.set()
                     return True
+            self._pending_cancels.add(id(args))
+        self._wake.set()
         return False
 
     def _apply_cancels(self):
@@ -700,9 +708,24 @@ class ContinuousEngine:
         incoming = []
         while free and not self._queue.empty():
             try:
-                incoming.append((free.pop(0), self._queue.get_nowait()))
+                entry = self._queue.get_nowait()
             except queue.Empty:
                 break
+            with self._lock:
+                dropped = id(entry[0]) in self._pending_cancels
+                if dropped:
+                    self._pending_cancels.discard(id(entry[0]))
+            if dropped:
+                # cancelled while queued: hand back RequestCancelled
+                # without ever spending a slot on it
+                try:
+                    entry[1](RequestCancelled("cancelled before admission"))
+                except Exception:  # noqa: BLE001 — caller callback
+                    import logging
+                    logging.getLogger(__name__).exception(
+                        "result callback failed")
+                continue
+            incoming.append((free.pop(0), entry))
         if not incoming:
             return
         # one batched chunked prefill for the whole admission burst (ragged

@@ -279,6 +279,33 @@ class TtsPipeline:
     def synthesize(self, args: TtsArgs) -> SynthesisResult:
         return self.synthesize_batch([args])[0]
 
+    def vocode(self, g: GenerationResult) -> np.ndarray:
+        """One request's semantic tokens → f32 waveform @16 kHz (bucketed
+        BiCodec detokenize; empty generation → 1 s of silence,
+        lightweight_tts_pipeline.rs:828-830)."""
+        if g.semantic_tokens:
+            return bicodec.detokenize(
+                self.bicodec_params, g.global_tokens or [0] * 32,
+                g.semantic_tokens, self.bicodec_cfg,
+            )[0]
+        return np.zeros(C.SAMPLE_RATE, np.float32)
+
+    def assemble_result(self, g: GenerationResult, wav: np.ndarray,
+                        timings_ms: Dict[str, float]) -> SynthesisResult:
+        """Package one continuous-engine generation the way
+        ``synthesize_batch`` packages a static batch (same RTF accounting:
+        serving wall per second of audio that wall produced —
+        bin/server.rs:631-676)."""
+        total_s = sum(timings_ms.values()) / 1000.0
+        audio_s = len(wav) / C.SAMPLE_RATE
+        return SynthesisResult(
+            audio=wav, sample_rate=C.SAMPLE_RATE,
+            global_tokens=g.global_tokens,
+            semantic_tokens=g.semantic_tokens,
+            timings_ms=dict(timings_ms),
+            rtf=(total_s / audio_s) if audio_s > 0 else 0.0,
+        )
+
     def synthesize_batch(self, requests: Sequence[TtsArgs]
                          ) -> List[SynthesisResult]:
         timer = StageTimer()
@@ -300,18 +327,7 @@ class TtsPipeline:
                     gens[i] = g
 
         with timer.stage("detokenize"):
-            audios = []
-            for g in gens:
-                if g.semantic_tokens:
-                    wav = bicodec.detokenize(
-                        self.bicodec_params, g.global_tokens or [0] * 32,
-                        g.semantic_tokens, self.bicodec_cfg,
-                    )[0]
-                else:
-                    # failed/empty generation → 1 s of silence
-                    # (lightweight_tts_pipeline.rs:828-830)
-                    wav = np.zeros(C.SAMPLE_RATE, np.float32)
-                audios.append(wav)
+            audios = [self.vocode(g) for g in gens]
 
         total_s = timer.total_seconds()
         # RTF = serving wall per second of audio PRODUCED by that wall: the

@@ -141,7 +141,10 @@ async def handle_tts(request: web.Request) -> web.Response:
     t0 = time.perf_counter()
     try:
         _validate_voice(app, args)
-        result = await app["batcher"].submit(args)
+        if app.get("tts_engine_mode", "continuous") == "continuous":
+            result = await _tts_via_continuous(app, args)
+        else:
+            result = await app["batcher"].submit(args)
     except InferenceTimeout as e:
         return _err(str(e), status=504)
     except FileNotFoundError as e:
@@ -163,6 +166,67 @@ async def handle_tts(request: web.Request) -> web.Response:
         "rtf": result.rtf,
         "timings_ms": result.timings_ms,
     })
+
+
+async def _tts_via_continuous(app, args: TtsArgs):
+    """Serve one non-streaming /api/tts request through the continuous
+    slot engine (round 5, VERDICT r4 #2: unify serving on continuous).
+
+    The previous default put every /api/tts batch through the static
+    ``lm_program`` — an unpreemptible up-to-~1 s device program that
+    blocked every live stream's next decode block while it ran (the
+    measured mixed-load p99 head-of-line tail, docs/PERF.md r4). Here the
+    request occupies one slot of the SAME decode-block loop the streams
+    ride, so a long request batch and a stream interleave at block
+    granularity instead. The reference's batch manager serializes
+    requests on the device either way (dynamic_batch_manager.rs:419-421);
+    the engines here are token-identical by test
+    (tests/test_continuous.py), so routing is a serving-path choice, not
+    a numerics change. The static path stays for offline/batch use
+    (``--tts-engine static``, ``TtsPipeline.synthesize_batch``)."""
+    loop = asyncio.get_running_loop()
+    pipe: TtsPipeline = app["pipeline"]
+    # resolve OFF the event loop (cached-speaker enrollment / ref-audio
+    # featurization can run device programs — same as the stream path)
+    resolved = await loop.run_in_executor(None, pipe.resolve_voice, args)
+    cont = await _get_continuous_async(app)
+    fut: asyncio.Future = loop.create_future()
+
+    def _cb(res):
+        def settle():
+            if fut.done():
+                return
+            if isinstance(res, Exception):
+                fut.set_exception(res)
+            else:
+                fut.set_result(res)
+        try:
+            loop.call_soon_threadsafe(settle)
+        except RuntimeError:
+            pass   # loop closed: server teardown mid-request
+
+    t_gen = time.perf_counter()
+    cont.submit(resolved, _cb)
+    timeout_s = app["batch_cfg"].inference_timeout_ms / 1000.0
+    try:
+        gen = await asyncio.wait_for(fut, timeout=timeout_s)
+    except asyncio.TimeoutError:
+        # retire the slot (live) or drop from the admission queue
+        # (pending) — never keep decoding for a caller that gave up
+        cont.cancel(resolved)
+        raise InferenceTimeout(
+            f"inference exceeded {app['batch_cfg'].inference_timeout_ms:.0f}"
+            " ms") from None
+    except asyncio.CancelledError:
+        cont.cancel(resolved)   # client disconnected
+        raise
+    gen_ms = (time.perf_counter() - t_gen) * 1000.0
+    t_voc = time.perf_counter()
+    wav = await loop.run_in_executor(None, pipe.vocode, gen)
+    detok_ms = (time.perf_counter() - t_voc) * 1000.0
+    return pipe.assemble_result(
+        gen, wav, {"generate": round(gen_ms, 1),
+                   "detokenize": round(detok_ms, 1)})
 
 
 async def _get_continuous_async(app):
@@ -542,11 +606,21 @@ async def logging_middleware(request, handler):
 # --------------------------------------------------------------------------
 
 def create_app(pipeline: TtsPipeline, batch_cfg: BatchConfig = BatchConfig(),
-               stream_block: int = 16) -> web.Application:
+               stream_block: int = 16,
+               tts_engine: str = "continuous") -> web.Application:
+    """``tts_engine``: which engine serves non-streaming /api/tts —
+    ``"continuous"`` (default since r5: slot engine shared with streams,
+    no static-batch head-of-line blocking) or ``"static"`` (the
+    DynamicBatcher → lm_program path, still the offline/batch tool)."""
+    if tts_engine not in ("continuous", "static"):
+        raise ValueError(f"tts_engine must be continuous|static, "
+                         f"got {tts_engine!r}")
     app = web.Application(middlewares=[cors_middleware, logging_middleware],
                           client_max_size=100 * 1024 * 1024)
     app["pipeline"] = pipeline
     app["stream_block"] = int(stream_block)
+    app["tts_engine_mode"] = tts_engine
+    app["batch_cfg"] = batch_cfg
     app["voice_store"] = pipeline.voice_store
     app["batcher"] = DynamicBatcher(pipeline, batch_cfg)
     from ..utils.metrics import (
@@ -707,6 +781,16 @@ def main(argv=None):
                         "first-chunk latency on a multi-chip slice)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting traffic")
+    p.add_argument("--tts-engine", choices=["continuous", "static"],
+                   default="continuous",
+                   help="engine behind non-streaming /api/tts: "
+                        "'continuous' (default) shares the slot-based "
+                        "decode-block loop with /api/tts/stream so no "
+                        "request batch can monopolize the chip; 'static' "
+                        "restores the r4 DynamicBatcher → one-dispatch "
+                        "lm_program path (lowest single-request latency "
+                        "on a tunneled device, and the offline/batch "
+                        "tool either way)")
     p.add_argument("--cached-speaker", action="store_true",
                    help="serve property-controlled requests through the "
                         "cached-speaker fast path by default (32 speaker "
@@ -728,7 +812,13 @@ def main(argv=None):
         inference_timeout_ms=args.inference_timeout,
     )
     app = create_app(pipeline, batch_cfg,
-                     stream_block=getattr(args, "stream_block", 16))
+                     stream_block=getattr(args, "stream_block", 16),
+                     tts_engine=args.tts_engine)
+    if args.tts_engine == "continuous":
+        # the default serving engine: build it at startup rather than on
+        # the first request (device allocations through a remote tunnel
+        # take seconds)
+        _get_continuous(app)
     if args.warmup:
         log.info("warming up compiled programs …")
         times = pipeline.warmup()

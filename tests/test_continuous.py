@@ -302,6 +302,33 @@ def test_cancel_retires_slot(params, cont):
     assert len(res.global_tokens) == 32
 
 
+def test_cancel_before_admission_never_decodes(params):
+    """A request cancelled while still in the admission queue (the
+    non-streaming /api/tts timeout path under backlog, r5) is dropped at
+    admission with RequestCancelled instead of spending a device slot."""
+    from rwkv_tts_tpu.runtime.continuous import RequestCancelled
+
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=8,
+                           slots=1)   # one slot: the 2nd submit must queue
+    try:
+        blocker_done = threading.Event()
+        victim_done = threading.Event()
+        box = {}
+
+        blocker = TtsArgs(text="slot occupant", seed=1, max_tokens=20)
+        victim = TtsArgs(text="queued then cancelled", seed=2, max_tokens=20)
+        eng.submit(blocker, lambda r: blocker_done.set())
+        eng.submit(victim,
+                   lambda r: (box.__setitem__("res", r), victim_done.set()))
+        assert not eng.cancel(victim)   # not live yet → queued-cancel path
+        assert victim_done.wait(300.0)
+        assert isinstance(box["res"], RequestCancelled)
+        assert blocker_done.wait(300.0)
+        assert not eng._pending_cancels   # consumed, not leaked
+    finally:
+        eng.stop()
+
+
 def test_crashed_loop_fast_fails_submits(params):
     """A dead decode loop must fast-fail new submits, not strand them in
     a queue nothing drains until the caller's timeout."""

@@ -51,11 +51,11 @@ def tiny_pipeline(tmpdir) -> TtsPipeline:
     )
 
 
-def run_client(tmpdir, coro_fn):
+def run_client(tmpdir, coro_fn, **app_kw):
     async def runner():
         app = create_app(tiny_pipeline(tmpdir),
                          BatchConfig(max_batch_size=4, collect_timeout_ms=5,
-                                     inference_timeout_ms=120000))
+                                     inference_timeout_ms=120000), **app_kw)
         client = TestClient(TestServer(app))
         await client.start_server()
         try:
@@ -260,6 +260,30 @@ def test_stream_and_batch_concurrently(tmp_path):
         assert chunks and chunks[-1]["final"]
         assert j["success"]
     run_client(tmp_path, go)
+
+
+def test_tts_engine_modes_audio_identical(tmp_path):
+    """/api/tts through the continuous slot engine (the r5 serving
+    default) must return byte-identical audio to the static
+    DynamicBatcher path for the same seeded request — engines are
+    token-identical, vocode is shared, so the WAV must match exactly."""
+    async def one(client):
+        r = await client.post("/api/tts", json={
+            "text": "engine unification", "seed": 11})
+        j = await r.json()
+        assert r.status == 200 and j["success"], j
+        assert set(j["timings_ms"]) >= {"generate", "detokenize"}
+        return j["audio_base64"]
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    cont_audio = run_client(tmp_path / "a", one, tts_engine="continuous")
+    stat_audio = run_client(tmp_path / "b", one, tts_engine="static")
+    assert cont_audio == stat_audio
+
+    with pytest.raises(ValueError, match="tts_engine"):
+        create_app(tiny_pipeline(tmp_path / "a"), BatchConfig(),
+                   tts_engine="bogus")
 
 
 def test_with_token_chunk_shapes_prefill_buckets():
