@@ -274,6 +274,28 @@ def first_chunk_latency(params, bc_params, on_tpu, cfg=CFG_SERVING, batch=8,
     return best
 
 
+# Wall-clock budget (seconds, from process start): the r4 driver run was
+# killed by an external timeout with NOTHING on stdout (BENCH_r04.json
+# rc 124, parsed null) because the single JSON line printed only after
+# eleven compiled configurations finished. Two defenses now: (a) a JSON
+# line is emitted INCREMENTALLY after each serving run and again at the
+# end (the driver parses the last line in the tail — any kill still
+# leaves the newest completed superset on stdout); (b) the first-chunk
+# mode sweep checks this budget before each mode and skips the rest
+# (listed in detail.first_chunk_modes_skipped) so a cold-cache run
+# still exits 0 with a complete headline.
+BUDGET_S = float(os.environ.get("RWKV_BENCH_BUDGET_S", "900"))
+_T_START = time.monotonic()
+
+
+def _elapsed():
+    return time.monotonic() - _T_START
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     # On-device init→fuse→quantize in one program: values are irrelevant to
@@ -291,68 +313,87 @@ def main():
                                         fused=False)
     bc_params = bicodec.init_params(BC_CFG, jax.random.PRNGKey(1), fast=True)
 
+    detail = {
+        "backend": jax.default_backend(),
+        "config": "batch=128 int8 bf16-state, E2E (LM + full BiCodec)",
+        "model_shape": f"{CFG.n_layer}L x {CFG.n_embd}E (pinned flagship)",
+        "prefill_len": PREFILL_LEN,
+        "decode_steps": DECODE_STEPS,
+    }
+
+    def payload(xrt):
+        return {
+            "metric": "synthesis_xrt_per_chip",
+            "value": round(xrt, 3),
+            "unit": "audio_sec/sec",
+            "vs_baseline": round(xrt / 3.33, 3),
+            "detail": dict(detail),
+        }
+
     xrt_e2e, xrt_lm, wall_lm, wall_detok = serving_run(
         qparams, bc_params, 128, DECODE_STEPS, on_tpu)
+    detail.update({
+        "xrt_e2e": round(xrt_e2e, 3),
+        "xrt_lm_only": round(xrt_lm, 3),
+        "rtf_e2e": round(1.0 / xrt_e2e, 5),
+        "wall_s_lm_batch128": round(wall_lm, 3),
+        "wall_s_detok_batch128": round(wall_detok, 3),
+        "perf_model_batch128": perf_model(
+            CFG_SERVING, qparams, 128, wall_lm, DECODE_STEPS),
+    })
+    _emit(payload(xrt_e2e))        # headline lands even if killed later
+
     xrt_e2e_b8, xrt_lm_b8, wall_lm8, wall_detok8 = serving_run(
         qparams, bc_params, 8, DECODE_STEPS, on_tpu)
-    first_chunk_ms = first_chunk_latency(qparams, bc_params, on_tpu,
-                                         latency_mode="ultra")
-    first_chunk_low_ms = first_chunk_latency(qparams, bc_params, on_tpu,
-                                             latency_mode="low")
-    first_chunk_zs_ms = first_chunk_latency(qparams, bc_params, on_tpu,
-                                            latency_mode="ultra",
-                                            zero_shot=True)
-    first_chunk_flash_ms = first_chunk_latency(qparams, bc_params, on_tpu,
-                                               latency_mode="flash")
-    first_chunk_zs_flash_ms = first_chunk_latency(qparams, bc_params, on_tpu,
-                                                  latency_mode="flash",
-                                                  zero_shot=True)
-    # cached-speaker fast path (round 4): a property-controlled request
-    # served through the zero-shot chain with 32 cached speaker tokens +
-    # TAG_1 prefilled — the prompt is text + 34 extra ids, and the
-    # 32-step global stage never runs (cache warm; the once-per-
-    # (props, seed) enrollment is off the request path by construction)
-    first_chunk_cached_ms = first_chunk_latency(
-        qparams, bc_params, on_tpu, latency_mode="flash", zero_shot=True,
-        prefill_len=PREFILL_LEN + 34)
-    first_chunk_cached_ultra_ms = first_chunk_latency(
-        qparams, bc_params, on_tpu, latency_mode="ultra", zero_shot=True,
-        prefill_len=PREFILL_LEN + 34)
+    detail.update({
+        "xrt_e2e_batch8": round(xrt_e2e_b8, 3),
+        "rtf_e2e_batch8": round(1.0 / xrt_e2e_b8, 5),
+        "perf_model_batch8": perf_model(
+            CFG_SERVING, qparams, 8, wall_lm8, DECODE_STEPS),
+    })
+    _emit(payload(xrt_e2e))
 
-    print(json.dumps({
-        "metric": "synthesis_xrt_per_chip",
-        "value": round(xrt_e2e, 3),
-        "unit": "audio_sec/sec",
-        "vs_baseline": round(xrt_e2e / 3.33, 3),
-        "detail": {
-            "backend": jax.default_backend(),
-            "config": "batch=128 int8 bf16-state, E2E (LM + full BiCodec)",
-            "model_shape": f"{CFG.n_layer}L x {CFG.n_embd}E (pinned flagship)",
-            "prefill_len": PREFILL_LEN,
-            "decode_steps": DECODE_STEPS,
-            "xrt_e2e": round(xrt_e2e, 3),
-            "xrt_lm_only": round(xrt_lm, 3),
-            "rtf_e2e": round(1.0 / xrt_e2e, 5),
-            "wall_s_lm_batch128": round(wall_lm, 3),
-            "wall_s_detok_batch128": round(wall_detok, 3),
-            "xrt_e2e_batch8": round(xrt_e2e_b8, 3),
-            "rtf_e2e_batch8": round(1.0 / xrt_e2e_b8, 5),
-            "perf_model_batch128": perf_model(
-                CFG_SERVING, qparams, 128, wall_lm, DECODE_STEPS),
-            "perf_model_batch8": perf_model(
-                CFG_SERVING, qparams, 8, wall_lm8, DECODE_STEPS),
-            "first_chunk_ms_batch8": round(first_chunk_ms, 1),
-            "first_chunk_modes": {
-                "normal_ultra": round(first_chunk_ms, 1),
-                "normal_low": round(first_chunk_low_ms, 1),
-                "normal_flash": round(first_chunk_flash_ms, 1),
-                "zero_shot_ultra": round(first_chunk_zs_ms, 1),
-                "zero_shot_flash": round(first_chunk_zs_flash_ms, 1),
-                "normal_cached": round(first_chunk_cached_ms, 1),
-                "normal_cached_ultra": round(first_chunk_cached_ultra_ms, 1),
-            },
-        },
-    }))
+    # first-chunk latency sweep, budget-aware: measure modes one at a
+    # time, predicting each one's cost from the slowest mode seen so far
+    # (a cold tunnel compile costs minutes; warm, seconds) and skipping
+    # the remainder once the budget would be overrun. The cached-speaker
+    # modes run FIRST: normal_cached is the north-star <200 ms number the
+    # r4 artifact failed to record.
+    modes = [
+        # (name, latency_mode, zero_shot, prefill_len)
+        # cached-speaker fast path (round 4): a property-controlled
+        # request served through the zero-shot chain with 32 cached
+        # speaker tokens + TAG_1 prefilled — prompt is text + 34 extra
+        # ids, and the 32-step global stage never runs (cache warm; the
+        # once-per-(props, seed) enrollment is off the request path)
+        ("normal_cached", "flash", True, PREFILL_LEN + 34),
+        ("normal_cached_ultra", "ultra", True, PREFILL_LEN + 34),
+        ("normal_flash", "flash", False, PREFILL_LEN),
+        ("normal_ultra", "ultra", False, PREFILL_LEN),
+        ("zero_shot_flash", "flash", True, PREFILL_LEN),
+        ("zero_shot_ultra", "ultra", True, PREFILL_LEN),
+        ("normal_low", "low", False, PREFILL_LEN),
+    ]
+    measured, skipped = {}, []
+    est_s = 120.0                   # conservative first-mode guess
+    for name, lm_mode, zs, pl in modes:
+        if _elapsed() + est_s > BUDGET_S:
+            skipped.append(name)
+            continue
+        t0 = time.monotonic()
+        measured[name] = round(first_chunk_latency(
+            qparams, bc_params, on_tpu, latency_mode=lm_mode,
+            zero_shot=zs, prefill_len=pl), 1)
+        est_s = max(30.0, 1.5 * (time.monotonic() - t0))
+    if "normal_ultra" in measured:
+        detail["first_chunk_ms_batch8"] = measured["normal_ultra"]
+    detail["first_chunk_modes"] = measured
+    if skipped:
+        detail["first_chunk_modes_skipped"] = skipped
+        sys.stderr.write(
+            f"bench.py: budget {BUDGET_S:.0f}s reached at "
+            f"{_elapsed():.0f}s — skipped first-chunk modes: {skipped}\n")
+    _emit(payload(xrt_e2e))
 
 
 if __name__ == "__main__":
