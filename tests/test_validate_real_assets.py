@@ -110,14 +110,44 @@ def test_validation_script_all_stages_pass(asset_dir, tmp_path):
         # ceiling ≥3× the ~767 s idle runtime: the shared single-core VM
         # inflates this subprocess under suite contention (r2 full-run
         # flake); a generous ceiling only matters when genuinely hung
-        capture_output=True, text=True, cwd=REPO, timeout=3000)
+        capture_output=True, text=True, cwd=REPO, env=env,
+        timeout=3000)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "ALL STAGES PASSED" in r.stdout
     report = json.loads((out / "report.json").read_text())
     assert all(v["ok"] for v in report.values()), report
     # the shape-class stage must have flagged the non-flagship test shape
     assert report["lm_shape_class"]["matches_pinned_flagship"] is False
+    # r5 stages: the quantified cached-speaker A/B and the production-
+    # engine replays ran and produced their metrics
+    assert 0.0 <= report["cached_speaker_ab"]["speaker_token_overlap"] <= 1.0
+    assert report["continuous_replay"]["mismatched_seeds"] == []
+    devs = report["streaming_replay"]["max_abs_dev"]
+    assert set(devs) == {"exact", "low", "ultra", "flash"}
+    assert devs["exact"] <= 1e-3
     # artifacts: playable WAVs were produced
     from rwkv_tts_tpu.audio.io import read_wav_file
     wav, sr, ch = read_wav_file(str(out / "normal_seed42.wav"))
     assert sr == 16000 and ch == 1 and np.isfinite(wav).all()
+
+
+def test_validation_script_quick_preset(asset_dir, tmp_path):
+    """--quick (r5): the first-minutes-on-real-hardware preset — presence
+    + header + load + one 8-token decode + one vocode, then stop."""
+    raf = tmp_path / "raf"
+    shutil.copytree(os.path.join(REPO, "assets/raf"), raf)
+    out = tmp_path / "out_quick"
+    env = dict(os.environ, RWKV_TTS_PLATFORM="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/validate_real_assets.py"),
+         "--model-dir", asset_dir, "--raf-dir", str(raf), "--no-download",
+         "--out", str(out), "--quick"],
+        capture_output=True, text=True, cwd=REPO, env=env,
+        timeout=1800)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "QUICK PRESET PASSED" in r.stdout
+    report = json.loads((out / "report.json").read_text())
+    assert report["normal_synth"]["ok"]
+    # the quick preset STOPS after the first decode+vocode
+    assert "parity_capture" not in report
+    assert "continuous_replay" not in report

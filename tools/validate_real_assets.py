@@ -12,11 +12,26 @@ machine that has them, and it validates the full chain end to end:
   3. LM load + a seeded normal-mode synth (tokens + waveform sanity)
   4. BiCodec/wav2vec2 import with the native↔transpiled parity gates
      (models/codec_loader cross-validates both directions at load)
+  4b. cached-speaker A/B with a QUANTIFIED similarity metric (r5):
+     global-token overlap + log-mel spectral distance between the
+     cached-path and exact-path WAVs at the same seed (docs/PARITY.md
+     documents the expected band)
   5. zero-shot synth from a shipped reference voice (.raf.json)
   6. enrollment round trip (WAV → tokens → clone)
   7. reference-RNG parity capture (runtime/parity.py): seed-fixed token
      streams written to parity_tokens.json for A/B against the Rust
      server on the same checkpoint/text/seed (docs/PARITY.md)
+  8. continuous-engine replay (r5): the captured seeded requests run
+     again through the production slot engine and must be
+     token-identical to the static engine on the real weights
+  9. streaming-vocoder replay (r5): the captured semantic tokens vocode
+     through the windowed streaming path; exact mode must be
+     bit-identical to the one-shot detokenize, latency modes report
+     their max deviation
+
+``--quick`` runs the first-minutes-on-real-hardware preset: presence →
+header → load → one short decode + one vocode (stages 1-3b with an
+8-token cap), then stops.
 
 Exit code 0 = every stage passed. Run:  python tools/validate_real_assets.py
   [--model-dir assets/model] [--no-download] [--out /tmp/validate_out]
@@ -42,7 +57,8 @@ import numpy as np
 
 
 def main() -> int:
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--model-dir", default="assets/model")
     ap.add_argument("--raf-dir", default="assets/raf")
     ap.add_argument("--no-download", action="store_true")
@@ -52,7 +68,12 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=0,
                     help="cap the decode length (0 = serving default; "
                          "useful to bound CPU smoke runs)")
+    ap.add_argument("--quick", action="store_true",
+                    help="first-minutes preset: presence + header + load "
+                         "+ one 8-token decode + one vocode, then stop")
     args = ap.parse_args()
+    if args.quick and not args.max_tokens:
+        args.max_tokens = 8
     os.makedirs(args.out, exist_ok=True)
     report = {}
 
@@ -119,26 +140,38 @@ def main() -> int:
           seconds=round(wav.size / res.sample_rate, 2),
           peak=round(float(np.abs(wav).max()), 3), rtf=round(res.rtf, 4),
           semantic_tokens=len(res.semantic_tokens))
+    if args.quick:
+        _write(report, args.out)
+        failed = [k for k, v in report.items() if not v["ok"]]
+        print(("QUICK PRESET PASSED (presence + header + load + decode + "
+               "vocode) — rerun without --quick for the full chain")
+              if not failed else f"FAILED stages: {failed}", flush=True)
+        return 1 if failed else 0
 
     # 4b. cached-speaker A/B ----------------------------------------------
     # The r4 cached-speaker fast path deviates from the reference: the 32
     # speaker tokens condition on properties+seed only, NOT the request
     # text (docs/PARITY.md). This stage writes the SAME text/seed through
-    # both paths so first contact with real weights includes the human
-    # audio A/B the deviation calls for.
+    # both paths AND quantifies the deviation (r5, VERDICT r4 #6): the
+    # real-weights run produces numbers, not just two WAVs to ear-ball.
     try:
         res_ca = pipe.synthesize(TtsArgs(text="你好，世界。Hello world.",
                                          seed=42, cached_speaker=True, **mt))
         wc = np.asarray(res_ca.audio)
         pipe.save_audio(res_ca, os.path.join(args.out,
                                              "cached_speaker_seed42.wav"))
+        overlap = _token_overlap(res.global_tokens, res_ca.global_tokens)
+        meldist = _logmel_l1(wav, wc)
         stage("cached_speaker_ab",
               wc.size >= min_samples and np.isfinite(wc).all()
               and len(res_ca.global_tokens) == 32,
               samples=int(wc.size),
-              note="A/B cached_speaker_seed42.wav vs normal_seed42.wav "
-                   "by ear: same properties/seed, text-free speaker "
-                   "tokens (docs/PARITY.md deviation)")
+              speaker_token_overlap=overlap,
+              logmel_l1=meldist,
+              note="A/B cached_speaker_seed42.wav vs normal_seed42.wav: "
+                   "same properties/seed, text-free speaker tokens; "
+                   "expected bands in docs/PARITY.md (docstring "
+                   "deviation)")
     except Exception as e:  # noqa: BLE001
         stage("cached_speaker_ab", False, error=f"{type(e).__name__}: {e}")
 
@@ -209,11 +242,98 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         stage("parity_capture", False, error=f"{type(e).__name__}: {e}")
 
+    # 8. continuous-engine replay (r5, VERDICT r4 #5) ---------------------
+    # The parity capture above runs the host-loop batch-1 parity engine;
+    # serving runs the continuous slot engine. Replay the same seeded
+    # requests through BOTH production engines on the real weights and
+    # require bit-identical token streams (the CPU tests prove this on
+    # random weights; first contact must prove it on the checkpoint).
+    try:
+        from rwkv_tts_tpu.runtime.continuous import ContinuousEngine
+        eng = pipe.engine
+        cont = ContinuousEngine(eng.params, eng.cfg, eng.engine_cfg,
+                                tokenizer=eng.tokenizer,
+                                use_pallas=eng.use_pallas, block=16,
+                                slots=min(4, eng.engine_cfg.batch_size))
+        try:
+            mismatch = []
+            for seed in (0, 42):
+                a = TtsArgs(text="parity capture 你好", seed=seed,
+                            max_tokens=min(args.max_tokens or 64, 64))
+                ws = eng.generate(a)
+                wc = cont.generate(a, timeout=900.0)
+                if (ws.global_tokens, ws.semantic_tokens) != \
+                        (wc.global_tokens, wc.semantic_tokens):
+                    mismatch.append(seed)
+        finally:
+            cont.stop()
+        stage("continuous_replay", not mismatch, mismatched_seeds=mismatch,
+              note="static engine vs continuous slot engine, same seeds — "
+                   "token-identical by contract (runtime/continuous.py)")
+    except Exception as e:  # noqa: BLE001
+        stage("continuous_replay", False, error=f"{type(e).__name__}: {e}")
+
+    # 9. streaming-vocoder replay (r5, VERDICT r4 #5) ---------------------
+    # Vocode the captured semantic tokens through the windowed streaming
+    # path: exact mode must match the one-shot detokenize (the serving
+    # stream's bit-exactness claim), latency modes report their max
+    # deviation for the record.
+    try:
+        from rwkv_tts_tpu.models import bicodec
+        from rwkv_tts_tpu.runtime.streaming import StreamingVocoder
+        g = res.global_tokens
+        sem = res.semantic_tokens[:128]
+        full = np.asarray(bicodec.detokenize(
+            pipe.bicodec_params, g, sem, pipe.bicodec_cfg)[0])
+        devs = {}
+        for mode in ("exact", "low", "ultra", "flash"):
+            sv = StreamingVocoder(pipe.bicodec_params, pipe.bicodec_cfg, g,
+                                  latency_mode=None if mode == "exact"
+                                  else mode)
+            parts = []
+            for i in range(0, len(sem), 16):
+                parts.append(sv.push(sem[i:i + 16]))
+            parts.append(sv.push([], flush=True))
+            streamed = np.concatenate(parts)
+            n = min(len(streamed), len(full))
+            devs[mode] = round(
+                float(np.max(np.abs(streamed[:n] - full[:n]))), 5)
+        ok = devs["exact"] <= 1e-3 and len(streamed) > 0
+        stage("streaming_replay", ok, max_abs_dev=devs,
+              note="exact-mode windows must reproduce the one-shot "
+                   "detokenize; latency modes truncate the prenet "
+                   "conditioning tail by design (runtime/streaming.py)")
+    except Exception as e:  # noqa: BLE001
+        stage("streaming_replay", False, error=f"{type(e).__name__}: {e}")
+
     _write(report, args.out)
     failed = [k for k, v in report.items() if not v["ok"]]
     print(("ALL STAGES PASSED — listen to the WAVs in " + args.out)
           if not failed else f"FAILED stages: {failed}", flush=True)
     return 1 if failed else 0
+
+
+def _token_overlap(a, b) -> float:
+    """Multiset overlap of two 32-token speaker (global) codebook id
+    lists: |intersection| / 32. Order-insensitive — BiCodec's global
+    tokens are a speaker-embedding FSQ code, not a sequence."""
+    from collections import Counter
+    ca, cb = Counter(a), Counter(b)
+    inter = sum((ca & cb).values())
+    return round(inter / max(len(a), 1), 3)
+
+
+def _logmel_l1(wav_a, wav_b) -> float:
+    """Mean |Δ| of log-mel frames over the common length — the offline
+    spectral-distance metric for the cached-speaker A/B (same mel
+    contract as enrollment, ops/mel.py)."""
+    from rwkv_tts_tpu.ops.mel import mel_spectrogram
+    n = min(len(wav_a), len(wav_b))
+    if n < 1024:
+        return float("nan")
+    ma = np.log(np.asarray(mel_spectrogram(wav_a[:n])) + 1e-5)
+    mb = np.log(np.asarray(mel_spectrogram(wav_b[:n])) + 1e-5)
+    return round(float(np.mean(np.abs(ma - mb))), 3)
 
 
 def _write(report, out):
