@@ -390,10 +390,15 @@ class ContinuousEngine:
                              "(and the bucketed block bypasses the TP step)")
         self.buckets = tuple(sorted(buckets or ()))
         self._queue: "queue.Queue" = queue.Queue()
-        # id(args) of requests cancelled before admission (see cancel())
-        self._pending_cancels: set = set()
+        # submitted-but-not-yet-admitted entries, keyed by id(args) with
+        # the entry (strong args ref) as value: cancel() flags the entry
+        # in place, admission unregisters on drain — no id-reuse hazard
+        # (the ref pins the id while registered) and no leak (every entry
+        # leaves the registry exactly when it leaves the queue)
+        self._queued: Dict[int, list] = {}
         self._live: Dict[int, _Live] = {}
         self._lock = threading.Lock()
+        self._start_lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
         self._block_seq = 0        # decode_block dispatches so far
@@ -479,21 +484,29 @@ class ContinuousEngine:
     # -- public API -----------------------------------------------------
 
     def start(self):
-        t = self._thread
-        if t is not None and t.is_alive():
-            # never spawn a second driver over a live one (two threads
-            # would concurrently mutate device state); if a stop() is
-            # still draining, the caller can retry once it exits
-            if self._stop:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "start(): previous decode thread still exiting — "
-                    "not started")
-            return
-        self._stop = False
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="continuous-decode")
-        self._thread.start()
+        # atomic check-then-spawn: submit() calls this from BOTH the event
+        # loop (non-streaming /api/tts since r5) and stream producer
+        # threads — an unlocked check let two near-simultaneous first
+        # submits each spawn a decode thread, and two drivers interleave
+        # _admit over the shared free list, silently overwriting each
+        # other's _live entries (the r5 http-soak 504s: requests admitted
+        # by one driver, clobbered by the other, no callback ever fired)
+        with self._start_lock:
+            t = self._thread
+            if t is not None and t.is_alive():
+                # never spawn a second driver over a live one (two threads
+                # would concurrently mutate device state); if a stop() is
+                # still draining, the caller can retry once it exits
+                if self._stop:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "start(): previous decode thread still exiting — "
+                        "not started")
+                return
+            self._stop = False
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="continuous-decode")
+            self._thread.start()
 
     def stop(self, timeout: float = 10.0):
         self._stop = True
@@ -523,7 +536,11 @@ class ContinuousEngine:
             raise RuntimeError(
                 "continuous decode loop crashed and is offline"
             ) from self._crashed
-        self._queue.put((args, result_cb, chunk_cb, time.perf_counter()))
+        # entry layout: [args, result_cb, chunk_cb, t_submit, cancelled]
+        entry = [args, result_cb, chunk_cb, time.perf_counter(), False]
+        with self._lock:
+            self._queued[id(args)] = entry
+        self._queue.put(entry)
         self._wake.set()
         self.start()
 
@@ -542,8 +559,11 @@ class ContinuousEngine:
                     live.cancelled = True
                     self._wake.set()
                     return True
-            self._pending_cancels.add(id(args))
-        self._wake.set()
+            entry = self._queued.get(id(args))
+            if entry is not None and entry[0] is args:
+                entry[4] = True
+                self._wake.set()
+                return True
         return False
 
     def _apply_cancels(self):
@@ -632,8 +652,11 @@ class ContinuousEngine:
                             done.set()
 
                 for _ in range(m):
-                    self._queue.put((TtsArgs(text=wt, seed=0, max_tokens=1),
-                                     cb, None, time.perf_counter()))
+                    wa = TtsArgs(text=wt, seed=0, max_tokens=1)
+                    entry = [wa, cb, None, time.perf_counter(), False]
+                    with self._lock:
+                        self._queued[id(wa)] = entry
+                    self._queue.put(entry)
                 self.start()
                 if not done.wait(timeout):
                     raise TimeoutError(f"warmup burst of {m} timed out")
@@ -712,9 +735,8 @@ class ContinuousEngine:
             except queue.Empty:
                 break
             with self._lock:
-                dropped = id(entry[0]) in self._pending_cancels
-                if dropped:
-                    self._pending_cancels.discard(id(entry[0]))
+                self._queued.pop(id(entry[0]), None)
+                dropped = entry[4]
             if dropped:
                 # cancelled while queued: hand back RequestCancelled
                 # without ever spending a slot on it
@@ -740,7 +762,7 @@ class ContinuousEngine:
         for _, entry in incoming:
             self.hist["queue_wait"].observe(t_admit - entry[3])
         prompts, texts = [], []
-        for _, (args, _, _, _) in incoming:
+        for _, (args, _, _, _, _) in incoming:
             p, t = self.inner.build_prompt(args)
             prompts.append(p)
             texts.append(t)
@@ -767,7 +789,7 @@ class ContinuousEngine:
         # duplicate scatter indices then write identical values)
         slots_np, stages, limits, hmins, zss, gkeys, skeys = \
             [], [], [], [], [], [], []
-        for j, (slot, (args, result_cb, chunk_cb, _ts)) in enumerate(incoming):
+        for j, (slot, (args, result_cb, chunk_cb, _ts, _c)) in enumerate(incoming):
             resolved = args
             seed = resolved.seed if resolved.seed is not None else \
                 int.from_bytes(os.urandom(4), "little")
@@ -818,7 +840,7 @@ class ContinuousEngine:
                 s["gkey"] = s["gkey"].at[slot].set(gkeys[j])
                 s["skey"] = s["skey"].at[slot].set(skeys[j])
 
-        for j, (slot, (args, result_cb, chunk_cb, t_sub)) in enumerate(
+        for j, (slot, (args, result_cb, chunk_cb, t_sub, _c)) in enumerate(
                 incoming):
             resolved = args
             zs = zss[j]
@@ -991,6 +1013,8 @@ class ContinuousEngine:
                     l.result_cb(e)
                 except Exception:  # noqa: BLE001
                     pass
+            with self._lock:
+                self._queued.clear()
             while True:
                 try:
                     cb = self._queue.get_nowait()[1]

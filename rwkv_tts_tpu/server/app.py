@@ -141,7 +141,14 @@ async def handle_tts(request: web.Request) -> web.Response:
     t0 = time.perf_counter()
     try:
         _validate_voice(app, args)
-        if app.get("tts_engine_mode", "continuous") == "continuous":
+        cont = app["runtime"].get("continuous")
+        use_cont = (app.get("tts_engine_mode", "continuous") == "continuous"
+                    # graceful degradation: a crashed decode loop fast-
+                    # fails submits, but the static engine still works —
+                    # keep serving (healthz reports degraded/503 so the
+                    # orchestrator recycles the process meanwhile)
+                    and not (cont is not None and cont._crashed is not None))
+        if use_cont:
             result = await _tts_via_continuous(app, args)
         else:
             result = await app["batcher"].submit(args)
@@ -253,7 +260,13 @@ def _get_continuous(app):
         from ..runtime.continuous import ContinuousEngine
         pipe: TtsPipeline = app["pipeline"]
         eng = pipe.engine
-        slots = eng.engine_cfg.batch_size
+        # since r5 this engine also serves non-streaming /api/tts, so it
+        # must offer at least the request concurrency the DynamicBatcher
+        # was configured for (in production both knobs come from
+        # --batch-size; a smaller engine cap would otherwise throttle
+        # the burst throughput the batcher used to deliver)
+        slots = max(eng.engine_cfg.batch_size,
+                    app["batch_cfg"].max_batch_size)
         if eng.tp_mesh is not None:
             # keep --tp on the streaming path: the continuous engine runs
             # the sharded step/prefill over the same mesh (params already
@@ -509,12 +522,14 @@ async def handle_trace(request: web.Request) -> web.Response:
 async def handle_healthz(request: web.Request) -> web.Response:
     app = request.app
     cont = app["runtime"].get("continuous")
-    # a crashed decode loop bricks /api/tts/stream while /api/tts still
-    # works — report degraded (503) so orchestrators recycle the process
+    # a crashed decode loop bricks /api/tts/stream (and the continuous
+    # /api/tts default falls back to the static engine) — report
+    # degraded (503) so orchestrators recycle the process
     crashed = cont is not None and cont._crashed is not None
     body = {
         "status": "degraded" if crashed else "ok",
         "uptime_s": round(time.monotonic() - app["t_start"], 1),
+        "tts_engine": app.get("tts_engine_mode", "continuous"),
         "model": {
             "n_layer": app["pipeline"].engine.cfg.n_layer,
             "n_embd": app["pipeline"].engine.cfg.n_embd,

@@ -199,7 +199,7 @@ def test_compaction_relocates_straggler(params, static_engine):
         # it on the first request) so they admit as ONE burst → slots
         # 0, 1, 2; the straggler lands in slot 2 (> bucket 2)
         for i, r in enumerate(short + [long]):
-            eng._queue.put((r, mk(i), None, time.perf_counter()))
+            eng._queue.put([r, mk(i), None, time.perf_counter(), False])
         eng.start()
         assert done.wait(300), f"only {len(results)}/3 finished"
         assert eng.stats["relocations"] >= 1, \
@@ -320,11 +320,11 @@ def test_cancel_before_admission_never_decodes(params):
         eng.submit(blocker, lambda r: blocker_done.set())
         eng.submit(victim,
                    lambda r: (box.__setitem__("res", r), victim_done.set()))
-        assert not eng.cancel(victim)   # not live yet → queued-cancel path
+        assert eng.cancel(victim)       # not live yet → queued-cancel path
         assert victim_done.wait(300.0)
         assert isinstance(box["res"], RequestCancelled)
         assert blocker_done.wait(300.0)
-        assert not eng._pending_cancels   # consumed, not leaked
+        assert not eng._queued          # registry drained, not leaked
     finally:
         eng.stop()
 

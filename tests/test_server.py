@@ -461,11 +461,18 @@ def test_healthz_degraded_on_crashed_decode_loop(tmp_path):
             r = await client.get("/healthz")
             j = await r.json()
             assert r.status == 503 and j["status"] == "degraded"
+            assert j["tts_engine"] == "continuous"
             assert "decode loop died" in j["continuous_error"]
             r = await client.get("/metrics")
             text = await r.text()
             assert "rwkv_tts_continuous_crashed 1" in text
             assert "rwkv_tts_continuous_slots" in text
+            # graceful degradation (r5): with the crashed loop, the
+            # continuous-default /api/tts falls back to the static
+            # engine instead of fast-failing every request
+            r = await client.post("/api/tts",
+                                  json={"text": "degraded", "seed": 2})
+            assert r.status == 200 and (await r.json())["success"]
         finally:
             cont._crashed = None
     run_client(tmp_path, go)
