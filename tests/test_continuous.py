@@ -302,6 +302,50 @@ def test_cancel_retires_slot(params, cont):
     assert len(res.global_tokens) == 32
 
 
+def test_concurrent_first_submits_single_driver(params):
+    """Regression (r5): start() must be atomic. Before the fix, two
+    near-simultaneous FIRST submits from different threads (the event
+    loop serving /api/tts + a stream producer) could each spawn a decode
+    driver; the two drivers interleaved _admit over the shared free list
+    and silently clobbered each other's _live entries — lost requests
+    that never fired their callbacks. Hammer the cold-start window from
+    8 threads and require every request to complete with exactly one
+    decode thread alive."""
+    eng = ContinuousEngine(params, CFG, ECFG, use_pallas=False, block=8,
+                           slots=3)
+    try:
+        n = 8
+        done = threading.Event()
+        results, lock = [], threading.Lock()
+
+        def cb(res):
+            with lock:
+                results.append(res)
+                if len(results) == n:
+                    done.set()
+
+        barrier = threading.Barrier(n)
+
+        def submit_one(i):
+            args = TtsArgs(text=f"racer {i}", seed=i, max_tokens=8)
+            barrier.wait()          # maximize concurrent start() calls
+            eng.submit(args, cb)
+
+        threads = [threading.Thread(target=submit_one, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        drivers = [t for t in threading.enumerate()
+                   if t.name == "continuous-decode" and t.is_alive()]
+        assert len(drivers) == 1, f"{len(drivers)} decode drivers spawned"
+        assert done.wait(600.0), f"only {len(results)}/{n} completed"
+        assert all(not isinstance(r, Exception) for r in results)
+    finally:
+        eng.stop()
+
+
 def test_cancel_before_admission_never_decodes(params):
     """A request cancelled while still in the admission queue (the
     non-streaming /api/tts timeout path under backlog, r5) is dropped at
