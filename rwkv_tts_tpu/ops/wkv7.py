@@ -368,9 +368,9 @@ def _wkv7_single_bt_stack_kernel(l_ref, r_ref, w_ref, k_ref, v_ref, a_ref,
     jax.lax.fori_loop(0, Hb, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "hb", "cast"))
 def wkv7_single_bt_stack(r, w, k, v, a, b, state_stack, layer,
-                         interpret=False):
+                         interpret=False, hb=None, cast=True):
     """In-place decode WKV on the FULL layer stack.
 
     r..b: [H, N, B]; state_stack: [L, H, N, N, B] (any float dtype — cast
@@ -392,12 +392,17 @@ def wkv7_single_bt_stack(r, w, k, v, a, b, state_stack, layer,
     H, N, B = r.shape
     f32 = jnp.float32
     elem = jnp.dtype(state_stack.dtype).itemsize
-    cap = max(1, (1 << 21) // (N * N * (-(-B // 128) * 128) * elem))
-    Hb = 1
-    for h in (8, 4, 2):
-        if h <= cap and H % h == 0:
-            Hb = h
-            break
+    if hb is not None:
+        # profiling override (tools/profile_stack_kernel.py): caller takes
+        # responsibility for the VMEM footprint at this block size
+        Hb = hb
+    else:
+        cap = max(1, (1 << 21) // (N * N * (-(-B // 128) * 128) * elem))
+        Hb = 1
+        for h in (8, 4, 2):
+            if h <= cap and H % h == 0:
+                Hb = h
+                break
 
     seq_spec = pl.BlockSpec((Hb, N, B), lambda i, l: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -421,8 +426,9 @@ def wkv7_single_bt_stack(r, w, k, v, a, b, state_stack, layer,
         input_output_aliases={7: 1},
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(layer, jnp.int32), (1,)),
-      r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),
-      a.astype(f32), b.astype(f32), state_stack)
+      *((r.astype(f32), w.astype(f32), k.astype(f32), v.astype(f32),
+         a.astype(f32), b.astype(f32)) if cast else (r, w, k, v, a, b)),
+      state_stack)
     return y, s_out
 
 

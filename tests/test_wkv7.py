@@ -572,6 +572,44 @@ def test_single_bt_stack_in_place():
                         np.asarray(stack2[other]), np.asarray(stack[other]))
 
 
+def test_single_bt_stack_hb_override_identical():
+    """The profiling block-size override (wkv7_single_bt_stack hb=) must
+    be bit-identical to the heuristic default — it only re-tiles the grid
+    (tools/profile_stack_kernel.py relies on this to A/B block sizes),
+    and cast=False must agree to bf16 tolerance when fed bf16 operands."""
+    from rwkv_tts_tpu.ops.wkv7 import wkv7_single_bt_stack
+
+    L = 2
+    r, w, k, v, a, b, s0 = _rand_inputs(T=1, B=3, H=4, seed=33)
+    interp = jax.default_backend() != "tpu"
+
+    def to_bt(x):
+        return jnp.transpose(jnp.asarray(x[:, 0]), (1, 2, 0))
+
+    bt_args = tuple(to_bt(x) for x in (r, w, k, v, a, b))
+    rng = np.random.default_rng(6)
+    stack = jnp.asarray(rng.normal(
+        size=(L,) + bt_args[0].shape[:2]
+        + (bt_args[0].shape[1], bt_args[0].shape[2])
+    ).astype(np.float32) * 0.2)
+    y0, s_def = wkv7_single_bt_stack(*bt_args, stack, jnp.int32(1),
+                                     interpret=interp)
+    for hb in (1, 2, 4):
+        y, s = wkv7_single_bt_stack(*bt_args, stack, jnp.int32(1),
+                                    interpret=interp, hb=hb)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y0))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s_def))
+    bt16 = tuple(x.astype(jnp.bfloat16) for x in bt_args)
+    y16, s16 = wkv7_single_bt_stack(*bt16, stack, jnp.int32(1),
+                                    interpret=interp, cast=False)
+    # bf16 operands through exp(-exp(w)) etc. — coarse agreement only
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y0),
+                               rtol=0.15, atol=0.15)
+    np.testing.assert_allclose(np.asarray(s16, np.float32),
+                               np.asarray(s_def, np.float32),
+                               rtol=0.15, atol=0.15)
+
+
 def test_lane_blocks_bounded_for_any_B():
     """_lane_blocks must never return a block wider than 128 lanes: the
     chunked-prefill pair kernel packs B·n_c lanes (e.g. 28 requests × 16
